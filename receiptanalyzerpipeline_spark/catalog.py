@@ -1,0 +1,71 @@
+"""Table catalog for the driver's synthetic parquet tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file/dir per table under an ``sf_dir``.
+
+Loading is lazy and declarative (``spark.read.parquet``): Catalyst keeps
+column pruning and predicate pushdown available for every downstream
+query; nothing here collects or caches eagerly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions that should always ride the broadcast path in joins.
+BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table as a lazy DataFrame scan.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright. We read nanos as raw INT64
+    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a microsecond
+    timestamp with exact integer division — same truncation DuckDB
+    applies when casting TIMESTAMP_NS → TIMESTAMP, so both engines see
+    identical values.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            # NTZ, built by exact integer micro-addition: wall-clock identical
+            # in every session timezone (timestamp_micros would be zone-shifted).
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All tables keyed by name (lazy scans)."""
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql usage."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

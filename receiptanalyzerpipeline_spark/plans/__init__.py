@@ -1,0 +1,12 @@
+"""Declared query inventory (SURVEY.md §2.12) as a typed registry.
+
+Importing this package registers every query module.
+"""
+
+from receiptanalyzerpipeline_spark.plans.registry import REGISTRY, Query, register  # noqa: F401
+
+# Import for registration side effects.
+from receiptanalyzerpipeline_spark.plans import relational  # noqa: E402,F401
+from receiptanalyzerpipeline_spark.plans import events  # noqa: E402,F401
+from receiptanalyzerpipeline_spark.plans import llmops  # noqa: E402,F401
+from receiptanalyzerpipeline_spark.plans import receipts  # noqa: E402,F401

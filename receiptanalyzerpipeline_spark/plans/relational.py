@@ -1,0 +1,580 @@
+"""Relational core queries (SURVEY.md §2.12 Q-P*/Q-A*/Q-J*/Q-W*/Q-S1/Q-U*/Q-F1/Q-F2).
+
+Everything here is pure DataFrame API — no UDFs, no collect — so Catalyst
+owns pushdown, pruning, join strategy, and whole-stage codegen. Small
+dimensions are broadcast explicitly; fact-fact joins shuffle on their keys
+and rely on AQE for coalescing/skew handling at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from receiptanalyzerpipeline_spark.catalog import table
+from receiptanalyzerpipeline_spark.plans.registry import register
+
+
+def dec2(c: str | Column) -> Column:
+    """Money-safe cast: DECIMAL(18,2) before any aggregation."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,2)")
+
+
+def avg_via_decimal(sum_col: Column, count_col: Column) -> Column:
+    """Deterministic average: exact decimal sum → double → one IEEE division."""
+    return sum_col.cast("double") / count_col
+
+
+# ---------------------------------------------------------------------------
+# Q-P*: projection / filter / predicate  (reference P1-P9, anarcptlib.py:20-25,49-76)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_p1_filter_project",
+    oracle="""
+        SELECT l_orderkey, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+        ORDER BY l_orderkey, l_extendedprice
+    """,
+    doc="Pushed-down filter + pruned projection (SURVEY P1/P2).",
+    tags=("filter", "projection"),
+    bench=True,
+)
+def q_p1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-03-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+        )
+        .select("l_orderkey", "l_extendedprice")
+        .orderBy("l_orderkey", "l_extendedprice")
+    )
+
+
+@register(
+    "q_p2_case_cast",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS size_class,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+    doc="CASE/WHEN dispatch + decimal money cast (SURVEY P3, F1).",
+    tags=("projection", "case"),
+)
+def q_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 100000, "big").otherwise("small").alias("size_class"),
+        dec2("o_totalprice").alias("price_dec"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Q-A*: aggregation  (reference A1 pivot, A4-A6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_a1_conditional_pivot",
+    oracle="""
+        SELECT o_custkey,
+               MAX(CASE WHEN o_orderpriority = '1-URGENT'
+                   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS urgent_max,
+               MAX(CASE WHEN o_orderpriority = '2-HIGH'
+                   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS high_max,
+               MAX(CASE WHEN o_orderpriority = '5-LOW'
+                   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS low_max,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY o_custkey
+    """,
+    doc=(
+        "KV-rows→wide-row pivot by conditional aggregation — the Spark form of the "
+        "reference's per-receipt collapse (anarcptlib.py:44-78, SURVEY A1)."
+    ),
+    tags=("agg", "pivot"),
+)
+def q_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+
+    def bucket(priority: str) -> Column:
+        return F.max(F.when(F.col("o_orderpriority") == priority, dec2("o_totalprice")))
+
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            bucket("1-URGENT").alias("urgent_max"),
+            bucket("2-HIGH").alias("high_max"),
+            bucket("5-LOW").alias("low_max"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "q_a2_count_distinct",
+    oracle="""
+        SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               COUNT(*) AS n_rows
+        FROM lineitem
+    """,
+    doc="Multi-column distinct aggregation (SURVEY A4).",
+    tags=("agg", "distinct"),
+)
+def q_a2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "q_a3_tpch_q1",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: partial+final agg over the fact table (SURVEY Q-A3).",
+    tags=("agg",),
+    bench=True,
+)
+def q_a3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    sum_qty = F.sum(dec2("l_quantity"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty.cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(dec2("l_extendedprice")).cast("decimal(18,2)").alias("sum_base"),
+            F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("sum_disc_price"),
+            avg_via_decimal(sum_qty, F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q_a4_rollup",
+    oracle="""
+        SELECT r_name, n_name,
+               COUNT(*) AS n_cust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+        FROM region
+        JOIN nation ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+    doc="ROLLUP grouping sets over a broadcast dim chain (SURVEY A5).",
+    tags=("agg", "rollup", "join"),
+)
+def q_a4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    c = table(spark, sf_dir, "customer")
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(r, n.n_regionkey == r.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(dec2("c_acctbal")).cast("decimal(18,2)").alias("sum_bal"),
+        )
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q-J*: joins  (reference J1/J2/J5, models.py:18,30-31)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_j1_multijoin_revenue",
+    oracle="""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+    doc=(
+        "TPC-H Q5 shape: fact-fact shuffle join + broadcast dims; the engine form of "
+        "the reference's parent/child FK join (SURVEY J1, Q-J1)."
+    ),
+    tags=("join", "agg"),
+    bench=True,
+)
+def q_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        li.join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r.where(F.col("r_name") == "ASIA"), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("revenue")
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q_j2_reconciliation",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS header_total,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS line_total,
+               (ABS(CAST(o_totalprice AS DECIMAL(18,2))
+                    - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4))) > 1.0)
+                 AS mismatch
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_orderkey, o_totalprice
+        ORDER BY o_orderkey
+    """,
+    doc=(
+        "Header-vs-Σ(line items) reconciliation — receipt_summary.total vs "
+        "receipt_line_item amounts (models.py:7-31 semantics; SURVEY Q-J2)."
+    ),
+    tags=("join", "agg"),
+    bench=True,
+)
+def q_j2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    line_total = F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(line_total.alias("line_total"))
+        .select(
+            "o_orderkey",
+            dec2("o_totalprice").alias("header_total"),
+            "line_total",
+            (F.abs(dec2("o_totalprice") - F.col("line_total")) > 1.0).alias("mismatch"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q_j3_anti",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    doc="LEFT ANTI join — the reference's dedup-by-collision as a plan op (SURVEY J2/J5).",
+    tags=("join", "anti"),
+)
+def q_j3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_j4_semi",
+    oracle="""
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        ORDER BY s_suppkey
+    """,
+    doc="LEFT SEMI join (SURVEY J5).",
+    tags=("join", "semi"),
+)
+def q_j4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q-W*: window functions  (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_w1_ranking",
+    oracle="""
+        SELECT c_mktsegment, c_custkey, c_acctbal, rn, rnk
+        FROM (
+            SELECT c_mktsegment, c_custkey, c_acctbal,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rn,
+                   RANK()       OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC) AS rnk
+            FROM customer
+        ) t
+        WHERE rn <= 3
+        ORDER BY c_mktsegment, rn
+    """,
+    doc="Ranking windows: top-3 per segment; 'latest receipt per vendor' shape (SURVEY §2.5).",
+    tags=("window",),
+)
+def q_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = table(spark, sf_dir, "customer")
+    w_unique = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_rank = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w_unique).alias("rn"),
+            F.rank().over(w_rank).alias("rnk"),
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@register(
+    "q_w2_lag_running",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               LAG(CAST(o_totalprice AS DECIMAL(18,2)))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DECIMAL(18,2)) AS running_total
+        FROM orders
+        ORDER BY o_custkey, o_orderkey
+    """,
+    doc="Analytic lag + running-frame sum per customer (SURVEY Q-W2).",
+    tags=("window",),
+    bench=True,
+)
+def q_w2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag(dec2("o_totalprice")).over(w).alias("prev_price"),
+        F.sum(dec2("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("decimal(18,2)")
+        .alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Q-S1: top-k  (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_s1_topk",
+    oracle="""
+        SELECT p.p_partkey, p.p_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_partkey, p.p_name
+        ORDER BY revenue DESC, p_partkey
+        LIMIT 10
+    """,
+    doc="Top-k by aggregate (TakeOrderedAndProject; SURVEY Q-S1).",
+    tags=("topk", "join", "agg"),
+    bench=True,
+)
+def q_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = F.broadcast(table(spark, sf_dir, "part"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q-U*: set operations  (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_u1_except",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    doc="EXCEPT (distinct) — nations with customers but no suppliers (SURVEY Q-U1).",
+    tags=("setop",),
+)
+def q_u1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s).orderBy("nationkey")
+
+
+@register(
+    "q_u2_union_intersect",
+    oracle="""
+        SELECT nationkey, src FROM (
+            SELECT c_nationkey AS nationkey, 'both' AS src FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nationkey, 'both' AS src FROM supplier
+            UNION
+            SELECT DISTINCT c_nationkey AS nationkey, 'customer' AS src FROM customer
+        ) t
+        ORDER BY nationkey, src
+    """,
+    doc="UNION distinct + INTERSECT — the multi-source ingest union (SURVEY §2.7/S1/S2/S4).",
+    tags=("setop",),
+)
+def q_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("both").alias("src")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("both").alias("src")
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("src"))
+        .distinct()
+    )
+    return c.intersect(s).unionByName(cust).distinct().orderBy("nationkey", "src")
+
+
+# ---------------------------------------------------------------------------
+# Q-F1/Q-F2: scalar string / date functions  (reference F1-F6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_f1_string_ops",
+    oracle="""
+        SELECT p_partkey,
+               split_part(p_name, ' ', 1) AS name_head,
+               regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+               regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_masked,
+               upper(p_name) AS name_upper,
+               length(p_name) AS name_len
+        FROM part
+        ORDER BY p_partkey
+    """,
+    doc=(
+        "Regex extract/replace + split/trim/case — the engine forms of the money/tag "
+        "parsers (anarcptlib.py:26,35-41,89; SURVEY F1/F2/F4)."
+    ),
+    tags=("string",),
+)
+def q_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split(F.col("p_name"), " ").getItem(0).alias("name_head"),
+        F.regexp_extract(F.col("p_brand"), "([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace(F.col("p_type"), "[AEIOU]", "_").alias("type_masked"),
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.length(F.col("p_name")).alias("name_len"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "q_f2_date_ops",
+    oracle="""
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS month_total
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY 1
+    """,
+    doc="date_trunc/year + monthly totals — receipt_date time-series semantics (SURVEY F3/Q-F2).",
+    tags=("date", "agg"),
+)
+def q_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            # trunc() yields DateType — zone-independent, unlike date_trunc()
+            # which promotes NTZ inputs to session-zone timestamps.
+            F.trunc(F.col("o_orderdate"), "month").alias("order_month"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(dec2("o_totalprice")).cast("decimal(18,2)").alias("month_total"),
+        )
+        .orderBy("order_month")
+    )

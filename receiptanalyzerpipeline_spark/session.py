@@ -1,0 +1,74 @@
+"""SparkSession factory with the engine's scale-posture defaults.
+
+Defaults are chosen for correctness-determinism on local[*] while staying
+valid on a 1000-executor cluster:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  broadcast-join demotion/promotion) — the primary scale lever.
+- Arrow on — every Python boundary (pandas_udf / applyInPandas /
+  toPandas) is batch-columnar, never row-at-a-time pickling.
+- Session timezone pinned to UTC — oracle comparisons and event-time
+  windows are zone-stable.
+- Shuffle partitions default to the core count locally; on a real
+  cluster this is overridden (or left to AQE coalescing from a high
+  initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "receiptanalyzerpipeline-spark"
+
+
+def default_parallelism() -> int:
+    """Driver-provided CPU budget (SPARK_GRAFT_CPUS), else host CPUs."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master=None`` respects an externally-configured cluster master and
+    falls back to ``local[<cpus>]`` for standalone use.
+    """
+    cpus = default_parallelism()
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+
+    conf: dict[str, str] = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Nested-schema pruning: the Textract document scans (sources/textract.py)
+        # must read only the struct leaves a query touches.
+        "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+        # Keep parquet scans pruned + pushed down (explicitly pinned so a
+        # misconfigured environment can't silently disable them).
+        "spark.sql.parquet.filterPushdown": "true",
+        # Local-mode memory hygiene; harmless on a cluster where the
+        # submitter overrides these.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "spark.ui.enabled": "false",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
