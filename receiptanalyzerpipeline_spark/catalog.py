@@ -41,6 +41,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (id(spark), sf_dir, name)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _read(spark, sf_dir, name)
+    _SCAN_CACHE[key] = df
+    return df
+
+
+# DataFrames are immutable lazy plans, so memoizing the scan per
+# (session, sf_dir, table) is semantics-free; it avoids re-listing files and
+# re-reading parquet footers (driver-side blocking IO) on every query build.
+_SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         from pyspark.sql import functions as F

@@ -105,7 +105,6 @@ def q_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ) t
         WHERE rn = 1
-        ORDER BY event_id
     """,
     doc=(
         "Keyed dedup with a deterministic survivor (first by ts) — the engine form of "
@@ -121,7 +120,6 @@ def q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .drop("rn")
-        .orderBy("event_id")
     )
 
 
@@ -153,7 +151,6 @@ def q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
                MAX(ts) AS session_end
         FROM sessions
         GROUP BY user_id, session_id
-        ORDER BY user_id, session_id
     """,
     doc="Gap-based sessionization (30-min gaps) via lag + cumulative sum (SURVEY Q-T3).",
     tags=("window", "sessionization", "streaming-equivalent"),
@@ -179,5 +176,4 @@ def q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
         )
-        .orderBy("user_id", "session_id")
     )

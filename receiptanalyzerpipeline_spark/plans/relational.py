@@ -38,7 +38,6 @@ def avg_via_decimal(sum_col: Column, count_col: Column) -> Column:
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1995-03-01'
           AND l_discount BETWEEN 0.05 AND 0.07
-        ORDER BY l_orderkey, l_extendedprice
     """,
     doc="Pushed-down filter + pruned projection (SURVEY P1/P2).",
     tags=("filter", "projection"),
@@ -52,7 +51,6 @@ def q_p1(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.05, 0.07)
         )
         .select("l_orderkey", "l_extendedprice")
-        .orderBy("l_orderkey", "l_extendedprice")
     )
 
 
@@ -63,7 +61,6 @@ def q_p1(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS size_class,
                CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
         FROM orders
-        ORDER BY o_orderkey
     """,
     doc="CASE/WHEN dispatch + decimal money cast (SURVEY P3, F1).",
     tags=("projection", "case"),
@@ -74,7 +71,7 @@ def q_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.when(F.col("o_totalprice") > 100000, "big").otherwise("small").alias("size_class"),
         dec2("o_totalprice").alias("price_dec"),
-    ).orderBy("o_orderkey")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -95,7 +92,6 @@ def q_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_orders
         FROM orders
         GROUP BY o_custkey
-        ORDER BY o_custkey
     """,
     doc=(
         "KV-rows→wide-row pivot by conditional aggregation — the Spark form of the "
@@ -117,7 +113,6 @@ def q_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket("5-LOW").alias("low_max"),
             F.count("*").alias("n_orders"),
         )
-        .orderBy("o_custkey")
     )
 
 
@@ -278,7 +273,6 @@ def q_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS mismatch
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         GROUP BY o_orderkey, o_totalprice
-        ORDER BY o_orderkey
     """,
     doc=(
         "Header-vs-Σ(line items) reconciliation — receipt_summary.total vs "
@@ -293,17 +287,19 @@ def q_j2(spark: SparkSession, sf_dir: str) -> DataFrame:
     line_total = F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))).cast(
         "decimal(18,4)"
     )
-    return (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", "o_totalprice")
-        .agg(line_total.alias("line_total"))
-        .select(
-            "o_orderkey",
-            dec2("o_totalprice").alias("header_total"),
-            "line_total",
-            (F.abs(dec2("o_totalprice") - F.col("line_total")) > 1.0).alias("mismatch"),
-        )
-        .orderBy("o_orderkey")
+    # Aggregate-before-join: collapse the fact table to one row per order
+    # *before* the join, so the join shuffle moves |orders| rows, not
+    # |lineitem| — the plan that survives a 100× scale-up. The lineitem
+    # side arrives already hash-partitioned by key from its groupBy, so
+    # the join adds no extra exchange for it.
+    per_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        line_total.alias("line_total")
+    )
+    return o.join(per_order, "o_orderkey").select(
+        "o_orderkey",
+        dec2("o_totalprice").alias("header_total"),
+        "line_total",
+        (F.abs(dec2("o_totalprice") - F.col("line_total")) > 1.0).alias("mismatch"),
     )
 
 
@@ -404,7 +400,6 @@ def q_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS DECIMAL(18,2)) AS running_total
         FROM orders
-        ORDER BY o_custkey, o_orderkey
     """,
     doc="Analytic lag + running-frame sum per customer (SURVEY Q-W2).",
     tags=("window",),
@@ -423,7 +418,7 @@ def q_w2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .cast("decimal(18,2)")
         .alias("running_total"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -529,7 +524,6 @@ def q_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
                upper(p_name) AS name_upper,
                length(p_name) AS name_len
         FROM part
-        ORDER BY p_partkey
     """,
     doc=(
         "Regex extract/replace + split/trim/case — the engine forms of the money/tag "
@@ -546,7 +540,7 @@ def q_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.col("p_type"), "[AEIOU]", "_").alias("type_masked"),
         F.upper(F.col("p_name")).alias("name_upper"),
         F.length(F.col("p_name")).alias("name_len"),
-    ).orderBy("p_partkey")
+    )
 
 
 @register(
