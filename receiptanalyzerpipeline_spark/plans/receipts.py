@@ -1,6 +1,161 @@
-"""Receipt-domain queries: Textract flatten → pivot → curated tables (SURVEY M2).
+"""Receipt-domain queries (SURVEY M2 / Q-E1): Textract → flatten → pivot →
+curated receipt_summary / receipt_line_item.
 
-Filled in by sources/textract.py; registered here.
+The fixture documents are original synthetic receipts
+(sources/fixtures.py); the oracles are hand-derived golden rows as VALUES
+literals, so the driver's gate verifies the full parse pipeline: last-wins
+pivot, label-only TOTAL match, money/currency/date parsing, defaults, and
+the other_data map fold (rendered as a sorted ``k=v;...`` string — maps
+don't hash portably).
+
+Reference parity: anarcpt/anarcptlib.py:20-78 (flatten+pivot),
+:81-108 (line items), models.py:7-31 (defaults).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from receiptanalyzerpipeline_spark.plans.registry import register
+from receiptanalyzerpipeline_spark.sources.fixtures import ALL_RECEIPTS
+from receiptanalyzerpipeline_spark.sources.textract import (
+    TEXTRACT_SCHEMA,
+    extract_line_items,
+    flatten_summary_fields,
+    pivot_receipt_summary,
+)
+
+
+def fixture_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(ALL_RECEIPTS, TEXTRACT_SCHEMA)
+
+
+def other_repr(map_col) -> F.Column:
+    """Deterministic string form of the other_data map: sorted ``k=v`` joined
+    with ``;`` (map cells don't compare portably across engines)."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(map_col)),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+        ";",
+    )
+
+
+@register(
+    "q_e1_receipt_summary",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('0f1e2d3c4b5a6978', 'CORNER CAFE', '12 High Street, London',
+             TIMESTAMP '2023-11-02 00:00:00', CAST(18.20 AS DECIMAL(18,2)),
+             CAST(17.00 AS DECIMAL(18,2)), CAST(1.20 AS DECIMAL(18,2)),
+             'Pound Sterling', 'TABLE=7'),
+            ('a1b2c3d4e5f60718', 'ACME MART #42', NULL,
+             TIMESTAMP '2023-03-05 14:07:00', CAST(25.00 AS DECIMAL(18,2)),
+             CAST(23.45 AS DECIMAL(18,2)), CAST(1.55 AS DECIMAL(18,2)),
+             'US Dollars', 'CASH=$26.00;CHANGE=0.56'),
+            ('deadbeef00000000', 'Unknown', NULL,
+             NULL, CAST(0.00 AS DECIMAL(18,2)),
+             CAST(0.00 AS DECIMAL(18,2)), CAST(0.00 AS DECIMAL(18,2)),
+             'US Dollars', '')
+        ) AS t(img_id, vendor_name, receiver_address, receipt_date,
+               total, sub_total, tax_amount, currency, other_repr)
+    """,
+    doc=(
+        "End-to-end receipt slice: nested AnalyzeExpense docs → flatten (P1) → "
+        "last-wins pivot (A1) → receipt_summary golden rows (SURVEY Q-E1)."
+    ),
+    tags=("receipt", "golden"),
+)
+def q_e1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    summary = pivot_receipt_summary(flatten_summary_fields(fixture_df(spark)))
+    return summary.select(
+        "img_id",
+        "vendor_name",
+        "receiver_address",
+        "receipt_date",
+        "total",
+        "sub_total",
+        "tax_amount",
+        "currency",
+        other_repr(F.col("other_data")).alias("other_repr"),
+    ).orderBy("img_id")
+
+
+@register(
+    "q_e2_receipt_line_items",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('a1b2c3d4e5f60718', 1, 'COFFEE BEANS', CAST(12.99 AS DECIMAL(18,2)), 1),
+            ('a1b2c3d4e5f60718', 2, 'OAT MILK', CAST(3.49 AS DECIMAL(18,2)), 1)
+        ) AS t(img_id, line_no, item_name, price, quantity)
+    """,
+    doc=(
+        "Line items natively from LineItemGroups (replaces the reference's "
+        "CSV round-trip, SURVEY F10/F5): tag-strip, money parse, quantity "
+        "default on unparseable input."
+    ),
+    tags=("receipt", "golden"),
+)
+def q_e2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = extract_line_items(fixture_df(spark))
+    return items.select(
+        "img_id", F.col("line_no").cast("int"), "item_name", "price", "quantity"
+    ).orderBy("img_id", "line_no")
+
+
+@register(
+    "q_f4_money_roundtrip",
+    oracle="""
+        WITH tagged AS (
+            SELECT p_partkey,
+                   CASE CAST(p_partkey % 4 AS INT)
+                        WHEN 0 THEN '$' || CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR)
+                        WHEN 1 THEN '£' || CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR)
+                        WHEN 2 THEN '€ ' || CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR)
+                        ELSE CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR)
+                   END AS money_str
+            FROM part
+        )
+        SELECT p_partkey, money_str,
+               CAST(regexp_replace(
+                    regexp_extract(money_str,
+                        '^\\s*([£$€])?\\s*([0-9][0-9,]*\\.?[0-9]*)\\s*$', 2),
+                    ',', '') AS DECIMAL(18,2)) AS amount,
+               CASE regexp_extract(money_str,
+                        '^\\s*([£$€])?\\s*([0-9][0-9,]*\\.?[0-9]*)\\s*$', 1)
+                    WHEN '$' THEN 'US Dollars'
+                    WHEN '£' THEN 'Pound Sterling'
+                    WHEN '€' THEN 'Euro'
+                    ELSE 'US Dollars'
+               END AS currency
+        FROM tagged
+    """,
+    doc=(
+        "Money-parser roundtrip over the synthetic tables: format a decimal "
+        "with a currency symbol, parse it back (reference F1/F2 semantics)."
+    ),
+    tags=("string", "money"),
+)
+def q_f4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from receiptanalyzerpipeline_spark.catalog import table
+    from receiptanalyzerpipeline_spark.functions.money import (
+        money_amount,
+        money_currency_name,
+    )
+
+    p = table(spark, sf_dir, "part")
+    dec_str = F.col("p_retailprice").cast("decimal(18,2)").cast("string")
+    money_str = (
+        F.when(F.col("p_partkey") % 4 == 0, F.concat(F.lit("$"), dec_str))
+        .when(F.col("p_partkey") % 4 == 1, F.concat(F.lit("£"), dec_str))
+        .when(F.col("p_partkey") % 4 == 2, F.concat(F.lit("€ "), dec_str))
+        .otherwise(dec_str)
+    )
+    return p.select("p_partkey", money_str.alias("money_str")).select(
+        "p_partkey",
+        "money_str",
+        money_amount(F.col("money_str")).alias("amount"),
+        money_currency_name(F.col("money_str")).alias("currency"),
+    )
