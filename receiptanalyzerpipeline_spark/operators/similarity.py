@@ -1,0 +1,184 @@
+"""Embedding similarity search (SURVEY N4): brute-force cosine top-k as
+the exact baseline, hyperplane-LSH bucketing as the scale path.
+
+Design notes for 100 TB:
+- The dot product is a JVM-side ``zip_with``/``aggregate`` expression —
+  no Python, no UDF, sequential left-to-right double accumulation (the
+  summation order is part of the operator contract so results are
+  reproducible run-to-run and engine-to-engine).
+- Brute force is a broadcast of the (small) probe set against the corpus:
+  one pass, no shuffle of the corpus, top-k via per-probe window.
+- The LSH variant buckets the corpus once (map-side signature), joins
+  probes to their bucket, and only scores within-bucket candidates: the
+  shuffle moves one int bucket key per vector, and candidate scoring is
+  O(bucket size), not O(corpus).
+- Hyperplane signs derive from md5 parity — deterministic, seedless,
+  reproducible anywhere (no RNG state to ship).
+- Similarities are rounded to 4 decimals *before* ranking so orderings
+  (ties broken by vec_id) are stable across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double dot product (deterministic accumulation order)."""
+    return F.aggregate(
+        F.zip_with(as_double(a), as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(as_double(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column, scale: int = 4) -> Column:
+    """Cosine similarity rounded to ``scale`` decimals (rank-stable)."""
+    return F.round(dot(a, b) / (norm(a) * norm(b)), scale)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id: str = "q_id",
+    probe_vec: str = "q_emb",
+) -> DataFrame:
+    """Exact top-k neighbors per probe: broadcast probes × corpus, window
+    rank by (similarity desc, vec_id). Self-matches excluded."""
+    pairs = corpus.join(
+        F.broadcast(probes), F.col(probe_id) != F.col(id_col)
+    ).select(
+        probe_id,
+        id_col,
+        cosine(F.col(probe_vec), F.col(vec_col)).alias("sim"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.col("sim").desc(), F.col(id_col))
+    return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+N_PLANES = 4  # per table: 16 buckets — coarse partitions, decent recall
+N_TABLES = 4  # independent hash tables; candidates = union of bucket hits
+
+
+def hyperplane_sign(plane: Column, dim: Column) -> Column:
+    """±1 coefficient for (plane, dim), from md5 hex parity — the same
+    expression is replayable in any engine with md5."""
+    hex_digit = F.substring(
+        F.md5(F.concat(plane.cast("string"), F.lit(":"), dim.cast("string"))), 1, 1
+    )
+    return (F.conv(hex_digit, 16, 10).cast("int") % 2) * 2 - 1
+
+
+def lsh_bucket(vec_col: Column, n_planes: int = N_PLANES) -> Column:
+    """Bucket id: bit p = [dot(plane_p, v) > 0], planes from md5 parity.
+
+    The plane loop is unrolled in Python (static count) so shift amounts
+    stay literal; the per-plane dot is still one codegen'd aggregate."""
+    v = as_double(vec_col)
+
+    def plane_dot(p: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, d: x * hyperplane_sign(F.lit(p), d),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        bucket = bucket + F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def lsh_table_buckets(vec_col: Column, n_planes: int = N_PLANES, n_tables: int = N_TABLES) -> Column:
+    """array<struct<tbl,bucket>> — one bucket per hash table; plane indices
+    are disjoint across tables (plane id = tbl*n_planes + p)."""
+    v = as_double(vec_col)
+
+    def plane_dot(plane_id: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, d: x * hyperplane_sign(F.lit(plane_id), d),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    tables = []
+    for t in range(n_tables):
+        bucket = F.lit(0)
+        for p in range(n_planes):
+            bucket = bucket + F.when(plane_dot(t * n_planes + p) > 0, F.lit(1 << p)).otherwise(0)
+        tables.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
+    return F.array(*tables)
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id: str = "q_id",
+    probe_vec: str = "q_emb",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing a hyperplane
+    bucket with the probe in ≥1 of the hash tables. Trades recall for a
+    corpus-partition-pruned scan — the IVF/LSH shape that survives a 100×
+    corpus. Signatures are computed once per vector (map-side); the join
+    key is (table, bucket)."""
+    bucketed = corpus.select(
+        id_col, vec_col, F.explode(lsh_table_buckets(F.col(vec_col))).alias("tb")
+    )
+    probes_b = F.broadcast(
+        probes.select(
+            probe_id, probe_vec, F.explode(lsh_table_buckets(F.col(probe_vec))).alias("q_tb")
+        )
+    )
+    cands = (
+        bucketed.join(
+            probes_b, (F.col("tb") == F.col("q_tb")) & (F.col(probe_id) != F.col(id_col))
+        )
+        .select(probe_id, probe_vec, id_col, vec_col)
+        .distinct()  # a pair may collide in several tables
+    )
+    pairs = cands.select(
+        probe_id, id_col, cosine(F.col(probe_vec), F.col(vec_col)).alias("sim")
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.col("sim").desc(), F.col(id_col))
+    return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact, id_a < id_b). The baseline
+    verify stage; at scale, front it with lsh_bucket equality."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )

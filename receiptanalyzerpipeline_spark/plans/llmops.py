@@ -1,6 +1,378 @@
-"""LLM-data-pipeline queries: dedup / similarity / text analysis (SURVEY §2.11).
-
-Filled in by operators/ modules; registered here.
+"""LLM-data-pipeline queries (SURVEY §2.11 / Q-N1 / Q-N2): dedup,
+similarity search, and text analysis over documents + embeddings,
+each oracle-checked against the same math replayed in DuckDB SQL
+(md5-derived hashes and rounded cosines are engine-portable).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from receiptanalyzerpipeline_spark.catalog import table
+from receiptanalyzerpipeline_spark.operators import dedup as D
+from receiptanalyzerpipeline_spark.operators import similarity as S
+from receiptanalyzerpipeline_spark.operators import textanalysis as T
+from receiptanalyzerpipeline_spark.plans.registry import register
+
+# Shared SQL fragments -------------------------------------------------------
+
+_SHINGLES_CTE = """
+        toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        shingles AS (
+            SELECT doc_id,
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in range(1, len(t) - 1)]) s
+            FROM toks WHERE len(t) >= 3
+        ),
+        e AS (SELECT doc_id, unnest(s) AS sh FROM shingles),
+        sizes AS (SELECT doc_id, len(s) AS n FROM shingles)
+"""
+
+_JACCARD_SQL = f"""
+        WITH {_SHINGLES_CTE},
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings")
+
+
+# Text analysis --------------------------------------------------------------
+
+
+@register(
+    "q_n1_doc_stats",
+    oracle="""
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="Per-language corpus stats (SURVEY Q-N1).",
+    tags=("text", "agg"),
+)
+def q_n1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_n1b_top_tokens",
+    oracle="""
+        SELECT tok, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+    """,
+    doc="Corpus-wide top tokens via explode (SURVEY Q-N1/N6).",
+    tags=("text", "agg", "topk"),
+)
+def q_n1b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_x1_lang_id",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text,' '), x -> x IN ('hash','sort','scan','batch'))) AS s_de,
+                   len(list_filter(string_split(text,' '), x -> x IN ('the','a','fast','slow','big','small'))) AS s_en,
+                   len(list_filter(string_split(text,' '), x -> x IN ('data','table','row','column'))) AS s_es,
+                   len(list_filter(string_split(text,' '), x -> x IN ('query','filter','join','merge'))) AS s_fr,
+                   len(list_filter(string_split(text,' '), x -> x IN ('spark','stream','window','vector'))) AS s_zh
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN s_de > 0 AND s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+                    WHEN s_en > 0 AND s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+                    WHEN s_es > 0 AND s_es >= greatest(s_de, s_en, s_fr, s_zh) THEN 'es'
+                    WHEN s_fr > 0 AND s_fr >= greatest(s_de, s_en, s_es, s_zh) THEN 'fr'
+                    WHEN s_zh > 0 AND s_zh >= greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+                    ELSE 'unknown' END AS lang_pred
+        FROM scored
+    """,
+    doc="n-gram-marker language ID: token-overlap argmax, deterministic ties (SURVEY N6).",
+    tags=("text", "langid"),
+)
+def q_x1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang", T.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@register(
+    "q_x2_quality",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   len(string_split(text,' ')) AS n_tokens,
+                   len(regexp_extract_all(text, '[^\\w\\s]')) AS punct_cnt,
+                   len(list_filter(string_split(text,' '),
+                       x -> x IN ('the','a','of','and','to','in'))) AS stop_cnt
+            FROM documents
+        )
+        SELECT doc_id, n_tokens, punct_cnt,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(stop_cnt AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+               CASE WHEN n_tokens < 5 THEN 'too_short'
+                    WHEN CASE WHEN n_tokens > 0
+                              THEN CAST(stop_cnt AS DOUBLE) / n_tokens ELSE 0.0 END > 0.5
+                         THEN 'boilerplate'
+                    ELSE 'ok' END AS quality
+        FROM m
+    """,
+    doc="Document quality scoring: length/punctuation/stopword signals (SURVEY N6).",
+    tags=("text", "quality"),
+)
+def q_x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    text = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        T.token_count_ws(text).alias("n_tokens"),
+        T.punct_count(text).alias("punct_cnt"),
+        T.stopword_ratio(text).alias("stop_ratio"),
+        T.quality_class(text).alias("quality"),
+    )
+
+
+@register(
+    "q_x3_token_count",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+        FROM documents
+    """,
+    doc="Token counting: whitespace + BPE-ish regex pre-tokenization (SURVEY N6).",
+    tags=("text", "tokens"),
+)
+def q_x3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    text = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        T.token_count_ws(text).alias("ws_tokens"),
+        T.token_count_bpe(text).alias("bpe_tokens"),
+    )
+
+
+@register(
+    "q_x4_fingerprint",
+    oracle="""
+        SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+    """,
+    doc="Exact-content fingerprint (md5 of normalized text; SURVEY N6; the "
+    "textual analogue of the reference's image hash, anarcptlib.py:152-153).",
+    tags=("text", "fingerprint"),
+)
+def q_x4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.content_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+# Dedup ----------------------------------------------------------------------
+
+
+@register(
+    "q_d1_exact_dedup",
+    oracle="""
+        WITH all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id, text FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, md5(lower(trim(text))) AS fp,
+                   ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                      ORDER BY doc_id) AS rn
+            FROM all_docs
+        )
+        SELECT doc_id, fp FROM ranked WHERE rn = 1
+    """,
+    doc=(
+        "Exact dedup with injected duplicates: corpus ∪ shifted-id clone, "
+        "hash-groupBy keeps the lowest-id survivor (SURVEY N1; the "
+        "reference's rename-to-hash collision as a distributed op)."
+    ),
+    tags=("dedup",),
+)
+def q_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    deduped = D.exact_dedup(docs.unionByName(clones), "text", "doc_id")
+    return deduped.select("doc_id", T.content_fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "q_d2_ngram_jaccard",
+    oracle=_JACCARD_SQL,
+    doc=(
+        "Exact 3-gram Jaccard near-dup pairs ≥ 0.5 via shingle inverted-index "
+        "join — shuffles on shingle, not doc×doc (SURVEY N3)."
+    ),
+    tags=("dedup", "similarity"),
+)
+def q_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", k=3, threshold=0.5)
+
+
+@register(
+    "q_d3_minhash_lsh",
+    oracle=_JACCARD_SQL,
+    doc=(
+        "MinHash(32)+LSH(16 bands×2) candidates, exact-Jaccard verified — "
+        "must equal the exhaustive result (recall ≈ 1−3e-8 at j=0.8) while "
+        "generating candidates from band-bucket collisions only (SURVEY N3)."
+    ),
+    tags=("dedup", "similarity", "lsh"),
+)
+def q_d3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", k=3, threshold=0.5, n_hashes=32, rows_per_band=2
+    )
+
+
+@register(
+    "q_d4_simhash",
+    oracle="""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+            ) t
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5('sim:' || tok), 1, 15)) AS BIGINT) AS h
+            FROM tok
+        ),
+        votes AS (
+            SELECT doc_id, r.b,
+                   SUM(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+            FROM h, (SELECT unnest(range(60)) AS b) r
+            GROUP BY doc_id, r.b
+        ),
+        sig AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b)
+                       ELSE CAST(0 AS BIGINT) END) AS simhash
+            FROM votes GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc=(
+        "SimHash near-dup pairs (Hamming ≤ 3 over 60-bit sign-aggregate "
+        "signatures); Spark side joins on 4×15-bit pigeonhole bands, oracle "
+        "brute-forces — identical pairs by construction (SURVEY N2/N3)."
+    ),
+    tags=("dedup", "similarity", "simhash"),
+)
+def q_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.simhash_signatures(_docs(spark, sf_dir), "doc_id", "text")
+    return D.simhash_pairs(sigs, max_hamming=3)
+
+
+@register(
+    "q_d5_cosine_neardup",
+    oracle="""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4) >= 0.45
+    """,
+    doc="Embedding-cosine near-dup pairs ≥ 0.45 (SURVEY N2-for-embeddings).",
+    tags=("dedup", "similarity", "embedding"),
+)
+def q_d5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.45)
+
+
+# Similarity search ----------------------------------------------------------
+
+
+@register(
+    "q_n2_embedding_topk",
+    oracle="""
+        WITH probes AS (
+            SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10
+        ),
+        pairs AS (
+            SELECT p.q_id, e.vec_id,
+                   round(list_cosine_similarity(CAST(p.q_emb AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])), 4) AS sim
+            FROM probes p JOIN embeddings e ON e.vec_id != p.q_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+            FROM pairs
+        )
+        SELECT q_id, vec_id, sim, rank FROM ranked WHERE rank <= 5
+    """,
+    doc=(
+        "Brute-force cosine top-5 for 10 fixed probes — broadcast probes, "
+        "rank by rounded sim with vec_id tiebreak (SURVEY Q-N2/N4)."
+    ),
+    tags=("similarity", "embedding", "topk"),
+    bench=True,
+)
+def q_n2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    probes = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return S.brute_force_topk(emb, probes, k=5)
+
+
+@register(
+    "q_x5_ann_lsh",
+    oracle=None,  # approximate by design; determinism + recall pinned in tests
+    doc=(
+        "LSH-bucketed approximate top-3: hyperplane signs from md5 parity, "
+        "candidates = same-bucket corpus vectors only (SURVEY N4 scale path). "
+        "Rows-only driver check; tests/test_llmops.py pins determinism and "
+        "recall vs the brute-force baseline."
+    ),
+    tags=("similarity", "embedding", "ann"),
+)
+def q_x5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    probes = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return S.lsh_bucketed_topk(emb, probes, k=3)

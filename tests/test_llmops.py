@@ -1,0 +1,98 @@
+"""Dedup / similarity / text-analysis operator tests beyond the oracle gate:
+LSH recall properties, winnowing fingerprints, determinism of the
+approximate ops."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_minhash_candidates_cover_all_true_pairs(spark, sf_dir):
+    """LSH(16 bands × 2 rows) candidates must contain every exhaustive
+    Jaccard≥0.5 pair (miss prob ≈ 3e-8 at j=0.8)."""
+    from receiptanalyzerpipeline_spark.catalog import table
+    from receiptanalyzerpipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).collect()
+    }
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            minhash_signatures(docs, "doc_id", "text", k=3, n_hashes=32), 32, 2
+        ).collect()
+    }
+    assert truth, "testdata should contain engineered near-dup pairs"
+    assert truth <= cands, f"LSH missed true pairs: {truth - cands}"
+
+
+def test_ann_lsh_deterministic_and_useful(spark, sf_dir):
+    from receiptanalyzerpipeline_spark.plans import REGISTRY
+
+    q = REGISTRY["q_x5_ann_lsh"]
+    r1 = sorted(map(tuple, q.spark(spark, sf_dir).collect()))
+    r2 = sorted(map(tuple, q.spark(spark, sf_dir).collect()))
+    assert r1 == r2, "approximate top-k must still be deterministic"
+
+    bf = {
+        (r["q_id"], r["vec_id"])
+        for r in REGISTRY["q_n2_embedding_topk"].spark(spark, sf_dir).collect()
+        if r["rank"] <= 3
+    }
+    ann = {(r[0], r[1]) for r in r1}
+    recall = len(bf & ann) / len(bf)
+    # Random embeddings (max pair cosine ≈ 0.51) are the worst case for
+    # hyperplane LSH; clustered real-world embeddings recall far higher.
+    assert recall >= 0.3, f"ANN recall collapsed: {recall}"
+
+
+def test_winnow_fingerprints(spark):
+    from receiptanalyzerpipeline_spark.operators.textanalysis import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # identical
+            (3, "the quick brown fox vaults over the lazy dog"),  # near-dup
+            (4, "completely different content entirely here"),
+            (5, "ab"),  # shorter than k
+        ],
+        ["doc_id", "text"],
+    ).select("doc_id", winnow_fingerprints("text").alias("fp"))
+    got = {r["doc_id"]: r["fp"] for r in df.collect()}
+    assert got[1] == got[2], "identical docs → identical fingerprint sets"
+    inter13 = len(set(got[1]) & set(got[3]))
+    union13 = len(set(got[1]) | set(got[3]))
+    assert inter13 / union13 > 0.5, "near-dups share most fingerprints"
+    inter14 = len(set(got[1]) & set(got[4]))
+    assert inter14 == 0, "unrelated docs share nothing"
+    assert got[5] == [], "sub-k text → empty fingerprint set"
+
+
+def test_exact_dedup_idempotent(spark, sf_dir):
+    """Property (SURVEY §5.2.4): dedup(dedup(x)) == dedup(x)."""
+    from receiptanalyzerpipeline_spark.catalog import table
+    from receiptanalyzerpipeline_spark.operators.dedup import exact_dedup
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    once = exact_dedup(docs.unionByName(docs), "text", "doc_id")
+    twice = exact_dedup(once, "text", "doc_id")
+    assert once.count() == twice.count() == docs.count()
+
+
+def test_simhash_identical_token_sets_collide(spark):
+    from receiptanalyzerpipeline_spark.operators.dedup import simhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha beta"), (3, "delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2], "same distinct-token set → same simhash"
+    assert sigs[1] != sigs[3]
