@@ -1,0 +1,142 @@
+"""The OCR operator boundary (SURVEY S6, §7.3.4): image bytes → AnalyzeExpense
+document, as a pluggable, memoized, executor-side stage.
+
+The reference calls Textract synchronously once per image
+(anarcpt/anarcptlib.py:113,121,128-130) — a serial, quota-bound hot loop.
+Here OCR is a ``mapInPandas`` stage with:
+
+- **pluggable backends**: ``TextractBackend`` (boto3, client built once per
+  partition, reference parity) or ``StubBackend`` (deterministic canned
+  documents keyed by content hash — CI runs with no AWS at all);
+- **write-once memoization**: ``ocr_with_cache`` anti-joins the input
+  against a raw-zone parquet keyed by ``ahash`` and OCRs only the misses,
+  so retries, AQE re-execution, and re-runs never re-pay the OCR call —
+  the *plan-shape* optimization the reference encodes as pipeline order
+  (hash/dedup before Textract, SURVEY §4.1);
+- OCR results as JSON strings in the raw zone (schema applied on read via
+  ``from_json`` with sources.textract.TEXTRACT_SCHEMA) so the cache is
+  append-only and schema-evolution-safe (K3 semantics).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from typing import Protocol
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from receiptanalyzerpipeline_spark.sources.textract import TEXTRACT_SCHEMA
+
+OCR_RESULT_SCHEMA = "ahash string, doc_json string, ocr_error string"
+
+
+class OcrBackend(Protocol):
+    def analyze(self, content: bytes, ahash: str) -> dict: ...
+
+
+class StubBackend:
+    """Deterministic offline backend: returns a canned AnalyzeExpense-shaped
+    document derived from the content hash. Tests inject richer canned docs
+    via ``responses`` (ahash → document dict)."""
+
+    def __init__(self, responses: dict[str, dict] | None = None):
+        self.responses = responses or {}
+
+    def analyze(self, content: bytes, ahash: str) -> dict:
+        if ahash in self.responses:
+            return self.responses[ahash]
+        return {
+            "img_id": ahash,
+            "DocumentMetadata": {"Pages": 1},
+            "ExpenseDocuments": [
+                {
+                    "ExpenseIndex": 1,
+                    "SummaryFields": [
+                        {
+                            "PageNumber": 1,
+                            "Type": {"Text": "VENDOR_NAME", "Confidence": 50.0},
+                            "LabelDetection": None,
+                            "ValueDetection": {
+                                "Text": f"STUB VENDOR {ahash[:4].upper()}",
+                                "Confidence": 50.0,
+                                "Geometry": None,
+                            },
+                        }
+                    ],
+                    "LineItemGroups": [],
+                }
+            ],
+        }
+
+
+class TextractBackend:  # pragma: no cover - requires AWS credentials
+    """AnalyzeExpense via boto3 — one client per executor partition
+    (reference parity: anarcptlib.py:112-113,121). Untested in this
+    environment (no AWS); the call shape mirrors the reference."""
+
+    def __init__(self, region_name: str = "us-east-2"):
+        self.region_name = region_name
+        self._client = None
+
+    def analyze(self, content: bytes, ahash: str) -> dict:
+        if self._client is None:
+            import boto3
+
+            self._client = boto3.client("textract", region_name=self.region_name)
+        resp = self._client.analyze_expense(Document={"Bytes": content})
+        resp["img_id"] = ahash
+        return resp
+
+
+def ocr_expense(df: DataFrame, backend: OcrBackend) -> DataFrame:
+    """(ahash, content) → (ahash, doc_json, ocr_error). Per-event error
+    isolation (reference T5): a failing document yields an error row, the
+    batch keeps going."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for ahash, content in zip(pdf["ahash"], pdf["content"]):
+                try:
+                    doc = backend.analyze(bytes(content), ahash)
+                    out.append((ahash, json.dumps(doc), None))
+                except Exception as ex:  # quarantine row, don't kill the batch
+                    out.append((ahash, None, f"{type(ex).__name__}: {ex}"))
+            yield pd.DataFrame(out, columns=["ahash", "doc_json", "ocr_error"])
+
+    return df.select("ahash", "content").mapInPandas(run, schema=OCR_RESULT_SCHEMA)
+
+
+def parse_ocr_documents(raw: DataFrame) -> DataFrame:
+    """raw-zone rows → typed nested documents (img_id = ahash)."""
+    return (
+        raw.where(F.col("doc_json").isNotNull())
+        .select(F.from_json(F.col("doc_json"), TEXTRACT_SCHEMA).alias("doc"))
+        .select("doc.*")
+    )
+
+
+def ocr_with_cache(
+    spark: SparkSession, images: DataFrame, cache_path: str, backend: OcrBackend
+) -> DataFrame:
+    """Memoized OCR: hit rows come from the raw-zone cache, misses run the
+    backend once and are appended. Returns the full (ahash, doc_json,
+    ocr_error) set for the input images.
+
+    The anti-join keys on ahash — exactly-once OCR per distinct image
+    content, idempotent under replay (SURVEY §7.3.4/§7.3.6)."""
+    distinct_imgs = images.select("ahash", "content").dropDuplicates(["ahash"])
+    try:
+        cache = spark.read.parquet(cache_path)
+    except Exception:
+        cache = spark.createDataFrame([], OCR_RESULT_SCHEMA)
+
+    misses = distinct_imgs.join(cache.select("ahash"), "ahash", "left_anti")
+    fresh = ocr_expense(misses, backend)
+    if fresh.limit(1).count() > 0:
+        fresh.write.mode("append").parquet(cache_path)
+    cache_now = spark.read.parquet(cache_path)
+    return cache_now.join(distinct_imgs.select("ahash"), "ahash", "left_semi")

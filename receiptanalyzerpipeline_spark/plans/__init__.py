@@ -10,3 +10,4 @@ from receiptanalyzerpipeline_spark.plans import relational  # noqa: E402,F401
 from receiptanalyzerpipeline_spark.plans import events  # noqa: E402,F401
 from receiptanalyzerpipeline_spark.plans import llmops  # noqa: E402,F401
 from receiptanalyzerpipeline_spark.plans import receipts  # noqa: E402,F401
+from receiptanalyzerpipeline_spark.plans import multimodal_queries  # noqa: E402,F401
