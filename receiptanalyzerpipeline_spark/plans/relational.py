@@ -175,6 +175,26 @@ def q_a3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_a5_approx_distinct",
+    oracle=None,  # HLL++ sketches differ across engines by design; the
+    # tolerance property vs exact counts is pinned in tests/test_relational_extra.py
+    doc=(
+        "approx_count_distinct (HLL++) — the sketch path for distinct "
+        "metrics at 100 TB where exact distinct is a full shuffle "
+        "(SURVEY A4). Rows-only driver check; accuracy pinned in tests."
+    ),
+    tags=("agg", "distinct", "approx"),
+)
+def q_a5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@register(
     "q_a4_rollup",
     oracle="""
         SELECT r_name, n_name,
@@ -353,13 +373,15 @@ def q_j4(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_w1_ranking",
     oracle="""
-        SELECT c_mktsegment, c_custkey, c_acctbal, rn, rnk
+        SELECT c_mktsegment, c_custkey, c_acctbal, rn, rnk, drnk
         FROM (
             SELECT c_mktsegment, c_custkey, c_acctbal,
                    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
                                       ORDER BY c_acctbal DESC, c_custkey) AS rn,
                    RANK()       OVER (PARTITION BY c_mktsegment
-                                      ORDER BY c_acctbal DESC) AS rnk
+                                      ORDER BY c_acctbal DESC) AS rnk,
+                   DENSE_RANK() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC) AS drnk
             FROM customer
         ) t
         WHERE rn <= 3
@@ -383,6 +405,7 @@ def q_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_acctbal",
             F.row_number().over(w_unique).alias("rn"),
             F.rank().over(w_rank).alias("rnk"),
+            F.dense_rank().over(w_rank).alias("drnk"),
         )
         .where(F.col("rn") <= 3)
         .orderBy("c_mktsegment", "rn")

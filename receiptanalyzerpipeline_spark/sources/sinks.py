@@ -1,0 +1,78 @@
+"""Sinks (SURVEY §2.1 K1-K6): curated-table writers with the 100 TB layout.
+
+Reference → engine:
+
+    K1 batched ORM insert (db.py:9-13)       → partitioned parquet append /
+                                               JDBC batch write
+    K2 create_all DDL (main.py:135-141)      → explicit-schema create
+    K3 Alembic add-column migration          → mergeSchema-on-read append
+       (migrations/versions/e5c6...py:20-28)   (schema evolution without
+                                               rewrites)
+    K4 move-to-S3 (watcher.py:104-118)       → same writers against s3a://
+                                               URIs (Hadoop S3A); no code
+                                               difference
+    K6 rename-to-hash (anarcptlib.py:155-159)→ hash is a column; physical
+                                               layout = hash-prefix
+                                               partition, not a rename
+
+Layout policy (SURVEY N7): curated receipt tables partition by month
+(time-pruned scans for the dominant date-range queries); raw/dedup zones
+partition by 2-hex hash prefix (256 uniform buckets, co-locates the
+dedup join key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned_by_month(
+    df: DataFrame, path: str, ts_col: str = "receipt_date", mode: str = "append"
+) -> None:
+    """Append with month partitions: `<path>/month=YYYY-MM/part-*.parquet`.
+    NULL dates land in a literal `month=unknown` partition instead of
+    failing (reference defaults unparsed dates, we quarantine them)."""
+    with_month = df.withColumn(
+        "month",
+        F.coalesce(F.date_format(F.col(ts_col), "yyyy-MM"), F.lit("unknown")),
+    )
+    with_month.write.partitionBy("month").mode(mode).parquet(path)
+
+
+def write_partitioned_by_hash_prefix(
+    df: DataFrame, path: str, hash_col: str = "ahash", mode: str = "append"
+) -> None:
+    """Append with 2-hex-char hash-prefix partitions (256 uniform buckets) —
+    the physical form of the reference's rename-to-hash layout."""
+    with_prefix = df.withColumn("hash_prefix", F.substring(F.col(hash_col), 1, 2))
+    with_prefix.write.partitionBy("hash_prefix").mode(mode).parquet(path)
+
+
+def append_evolving(df: DataFrame, path: str) -> None:
+    """Schema-evolution-safe append (K3): new columns may appear in later
+    writes; readers see the union via read_evolved."""
+    df.write.mode("append").parquet(path)
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read an evolving parquet table with the merged (union) schema —
+    the engine's ALTER TABLE ADD COLUMN."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def write_jdbc(
+    df: DataFrame, url: str, table: str, mode: str = "append", **options: str
+) -> None:  # pragma: no cover - no JDBC endpoint in this environment
+    """K1 parity sink: batch JDBC write (e.g. to the reference's SQLite via a
+    JDBC URL, or any warehouse). Untested here — no JDBC endpoint in the
+    container; the call shape is the standard DataFrameWriter JDBC path."""
+    df.write.format("jdbc").option("url", url).option("dbtable", table).options(
+        **options
+    ).mode(mode).save()
+
+
+def create_table(spark: SparkSession, df: DataFrame, name: str) -> None:
+    """K2: explicit-schema managed-table DDL from a (possibly empty)
+    DataFrame."""
+    df.limit(0).write.mode("overwrite").saveAsTable(name)

@@ -1,0 +1,95 @@
+"""Sink layout (partitioning, schema evolution) + CSV line-item parser
+tests (SURVEY K1-K6, F5)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+
+def test_month_partitioned_layout(spark, tmp_path: Path):
+    from receiptanalyzerpipeline_spark.sources.sinks import write_partitioned_by_month
+
+    df = spark.createDataFrame(
+        [
+            ("r1", "2023-03-05 14:07:00"),
+            ("r2", "2023-03-20 09:00:00"),
+            ("r3", "2023-11-02 00:00:00"),
+            ("r4", None),  # unparsed date → quarantine partition
+        ],
+        ["img_id", "d"],
+    ).select("img_id", F.col("d").cast("timestamp").alias("receipt_date"))
+    out = str(tmp_path / "summary")
+    write_partitioned_by_month(df, out)
+
+    parts = {p.name for p in Path(out).iterdir() if p.name.startswith("month=")}
+    assert parts == {"month=2023-03", "month=2023-11", "month=unknown"}
+
+    # Partition pruning: a month filter must prune the scan to one partition.
+    pruned = spark.read.parquet(out).where(F.col("month") == "2023-03")
+    assert pruned.count() == 2
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "month=2023-03" in plan or "PartitionFilters" in plan
+
+
+def test_hash_prefix_layout(spark, tmp_path: Path):
+    from receiptanalyzerpipeline_spark.sources.sinks import write_partitioned_by_hash_prefix
+
+    df = spark.createDataFrame(
+        [("a1b2c3", b"x"), ("a1ffff", b"y"), ("ff0000", b"z")], ["ahash", "content"]
+    )
+    out = str(tmp_path / "raw")
+    write_partitioned_by_hash_prefix(df, out)
+    parts = {p.name for p in Path(out).iterdir() if "=" in p.name}
+    assert parts == {"hash_prefix=a1", "hash_prefix=ff"}
+
+
+def test_schema_evolution_append(spark, tmp_path: Path):
+    """K3: the other_data migration — a later write adds a column; evolved
+    reads see the union schema with NULLs for old rows."""
+    from receiptanalyzerpipeline_spark.sources.sinks import append_evolving, read_evolved
+
+    out = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([("r1", "CVS")], ["img_id", "vendor_name"])
+    append_evolving(v1, out)
+    v2 = spark.createDataFrame(
+        [("r2", "CAFE", '{"CHANGE":"0.55"}')], ["img_id", "vendor_name", "other_data"]
+    )
+    append_evolving(v2, out)
+
+    evolved = read_evolved(spark, out)
+    assert set(evolved.columns) == {"img_id", "vendor_name", "other_data"}
+    rows = {r["img_id"]: r["other_data"] for r in evolved.collect()}
+    assert rows["r1"] is None and rows["r2"] is not None
+
+
+CSV_CASES = [
+    ("COFFEE BEANS (ITEM),12.99,2", ("COFFEE BEANS", Decimal("12.99"), 2)),
+    ("OAT MILK,$3.49,F 1", ("OAT MILK", Decimal("3.49"), 1)),  # bad qty → 1
+    ("MYSTERY,,", ("MYSTERY", Decimal("0.00"), 1)),  # empty price/qty → defaults
+    (",8.29,", ("Unknown", Decimal("8.29"), 1)),  # empty item → Unknown
+]
+
+
+def test_parse_line_item_csv(spark):
+    from receiptanalyzerpipeline_spark.functions.text import parse_line_item_csv
+
+    df = spark.createDataFrame([(s,) for s, _ in CSV_CASES], ["line"]).select(
+        "line", parse_line_item_csv("line").alias("li")
+    )
+    got = {r["line"]: (r["li"]["item_name"], r["li"]["price"], r["li"]["quantity"]) for r in df.collect()}
+    for line, expect in CSV_CASES:
+        assert got[line] == expect, f"{line!r}: {got[line]} != {expect}"
+
+
+def test_approx_distinct_tolerance(spark, sf_dir):
+    from receiptanalyzerpipeline_spark.plans import REGISTRY
+
+    approx = REGISTRY["q_a5_approx_distinct"].spark(spark, sf_dir).collect()[0]
+    exact = (
+        REGISTRY["q_a2_count_distinct"].spark(spark, sf_dir).collect()[0]
+    )
+    assert abs(approx["approx_parts"] - exact["n_parts"]) / exact["n_parts"] < 0.05
+    assert abs(approx["approx_supps"] - exact["n_supps"]) / exact["n_supps"] < 0.05
