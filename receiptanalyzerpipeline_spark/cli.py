@@ -1,0 +1,178 @@
+"""CLI — entry-point parity with the reference's typer app (anarcpt/main.py).
+
+    anarcpt analyze img.png      → python -m receiptanalyzerpipeline_spark analyze --image-file img.png
+    anarcpt analyze --s3-document k --s3-bucket b
+                                 → ... analyze --path s3a://b/k
+    anarcpt watch scan/ hashed/  → ... watch --scan-dir scan/ --work-dir out/
+    anarcpt hash-image img.png   → ... hash-image --image-file img.png [--rename]
+    anarcpt db init              → ... init-db --work-dir out/
+
+Differences by design (SURVEY §7.4): analyze returns BOTH summary and line
+items (the reference's S3 branch crashes unpacking a single value); no
+rename-based dedup — the hash is a column and layout is hash-prefix
+partitioning; the sink is partitioned parquet, not SQLite.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def _spark():
+    from receiptanalyzerpipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="anarcpt-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _backend(name: str):
+    if name == "textract":  # pragma: no cover - needs AWS
+        from receiptanalyzerpipeline_spark.multimodal.ocr import TextractBackend
+
+        return TextractBackend()
+    from receiptanalyzerpipeline_spark.multimodal.ocr import StubBackend
+
+    return StubBackend()
+
+
+def cmd_analyze(args: argparse.Namespace) -> int:
+    """One-shot batch: images → ahash → OCR → curated tables (SURVEY §3.1)."""
+    from receiptanalyzerpipeline_spark.multimodal.images import read_images, with_ahash
+    from receiptanalyzerpipeline_spark.multimodal.ocr import ocr_with_cache, parse_ocr_documents
+    from receiptanalyzerpipeline_spark.sources.textract import (
+        extract_line_items,
+        flatten_summary_fields,
+        pivot_receipt_summary,
+    )
+
+    spark = _spark()
+    path = args.image_file or args.path
+    images = with_ahash(read_images(spark, path, glob=args.glob))
+    work = Path(args.work_dir)
+    ocr = ocr_with_cache(spark, images, str(work / "raw_zone"), _backend(args.backend))
+    docs = parse_ocr_documents(ocr)
+    summary = pivot_receipt_summary(flatten_summary_fields(docs))
+    items = extract_line_items(docs)
+    summary.show(truncate=False)
+    items.show(truncate=False)
+    if args.write:
+        from receiptanalyzerpipeline_spark.sources.sinks import write_partitioned_by_month
+
+        write_partitioned_by_month(summary, str(work / "receipt_summary"))
+        items.write.mode("append").parquet(str(work / "receipt_line_item"))
+    return 0
+
+
+def cmd_watch(args: argparse.Namespace) -> int:
+    """Streaming ingest (SURVEY §3.2); --once drains the backlog and exits."""
+    from receiptanalyzerpipeline_spark.streaming.ingest import run_ingest
+
+    work = Path(args.work_dir)
+    run_ingest(
+        _spark(),
+        args.scan_dir,
+        str(work / "checkpoint"),
+        str(work / "raw_zone"),
+        str(work / "receipt_summary"),
+        str(work / "receipt_line_item"),
+        _backend(args.backend),
+        available_now=args.once,
+    )
+    return 0
+
+
+def cmd_hash_image(args: argparse.Namespace) -> int:
+    """Print (and optionally rename to) the perceptual hash — parity with
+    `anarcpt hash-image` (anarcpt/main.py:20-38)."""
+    from receiptanalyzerpipeline_spark.multimodal.images import _ahash_hex
+
+    p = Path(args.image_file)
+    h = _ahash_hex(p.read_bytes())
+    print(f"{p.name}: {h}")
+    if args.rename:
+        target = p.with_name(f"{h}{p.suffix}")
+        p.rename(target)
+        print(f"renamed -> {target.name}")
+    return 0
+
+
+def cmd_init_db(args: argparse.Namespace) -> int:
+    """Create the curated-table layout with explicit schemas (K2 parity with
+    `anarcpt db init`, anarcpt/main.py:135-141)."""
+    spark = _spark()
+    work = Path(args.work_dir)
+    summary_schema = (
+        "img_id string, vendor_name string, receiver_address string, "
+        "receipt_date timestamp, total decimal(18,2), sub_total decimal(18,2), "
+        "tax_amount decimal(18,2), currency string, other_data map<string,string>"
+    )
+    items_schema = "img_id string, line_no int, item_name string, price decimal(18,2), quantity int"
+    spark.createDataFrame([], summary_schema).write.mode("ignore").parquet(
+        str(work / "receipt_summary")
+    )
+    spark.createDataFrame([], items_schema).write.mode("ignore").parquet(
+        str(work / "receipt_line_item")
+    )
+    print(f"initialized {work}")
+    return 0
+
+
+def cmd_oracle(args: argparse.Namespace) -> int:
+    """Run the DuckDB-oracle correctness sweep (the driver's gate, locally)."""
+    from receiptanalyzerpipeline_spark.oracle import run_all
+
+    results = run_all(_spark(), args.sf_dir)
+    ok = True
+    for r in results:
+        print(r)
+        ok &= r.ok
+    return 0 if ok else 1
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="anarcpt-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    a = sub.add_parser("analyze", help="one-shot receipt analysis (local path or s3a://)")
+    g = a.add_mutually_exclusive_group(required=True)
+    g.add_argument("--image-file", help="local image file or directory")
+    g.add_argument("--path", help="any Hadoop-visible path (s3a://bucket/key, hdfs://...)")
+    a.add_argument("--work-dir", default="./anarcpt_spark_data")
+    a.add_argument("--glob", default="*.{png,jpg,jpeg}")
+    a.add_argument("--backend", choices=["stub", "textract"], default="stub")
+    a.add_argument("--write", action="store_true", help="persist curated tables")
+    a.set_defaults(fn=cmd_analyze)
+
+    w = sub.add_parser("watch", help="streaming ingest of a landing directory")
+    w.add_argument("--scan-dir", required=True)
+    w.add_argument("--work-dir", default="./anarcpt_spark_data")
+    w.add_argument("--backend", choices=["stub", "textract"], default="stub")
+    w.add_argument("--once", action="store_true", help="availableNow: drain backlog and exit")
+    w.set_defaults(fn=cmd_watch)
+
+    h = sub.add_parser("hash-image", help="print the image's perceptual hash")
+    h.add_argument("--image-file", required=True)
+    h.add_argument("--rename", action="store_true")
+    h.set_defaults(fn=cmd_hash_image)
+
+    i = sub.add_parser("init-db", help="create curated tables with explicit schemas")
+    i.add_argument("--work-dir", default="./anarcpt_spark_data")
+    i.set_defaults(fn=cmd_init_db)
+
+    o = sub.add_parser("oracle", help="run the DuckDB correctness sweep")
+    o.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    o.set_defaults(fn=cmd_oracle)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -124,6 +124,53 @@ def q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_t4_session_window",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+                        WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    doc=(
+        "Native session windows: session_window(ts, '30 minutes') — Spark's "
+        "built-in stateful sessionization operator, identical in batch and "
+        "Structured Streaming (SURVEY T6). Window end = last event + gap. "
+        "Testdata has no exact-30min gaps, so the >=-gap oracle is exact."
+    ),
+    tags=("window-time", "sessionization", "streaming-equivalent"),
+)
+def q_t4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "q_t3_sessionization",
     oracle=f"""
         WITH flagged AS (

@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis; SURVEY §5.2.4): money-parser roundtrip
+over generated strings and pivot invariants over generated KV rows.
+
+Examples are batched into single Spark jobs (one job per hypothesis
+example would be prohibitively slow), so each example is a whole table.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+amounts = st.decimals(
+    min_value=Decimal("0.00"), max_value=Decimal("999999.99"), places=2
+)
+symbols = st.sampled_from(["", "$", "£", "€"])
+
+SYMBOL_NAME = {"": "US Dollars", "$": "US Dollars", "£": "Pound Sterling", "€": "Euro"}
+
+
+def fmt_money(amount: Decimal, symbol: str, grouped: bool, spaced: bool) -> str:
+    s = f"{amount:,.2f}" if grouped else f"{amount:.2f}"
+    sep = " " if spaced else ""
+    return f"{symbol}{sep}{s}"
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(amounts, symbols, st.booleans(), st.booleans()),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_money_roundtrip(cases):
+    from receiptanalyzerpipeline_spark.functions.money import (
+        money_amount,
+        money_currency_name,
+    )
+
+    spark = _SPARK[0]
+    rows = [
+        (i, fmt_money(a, sym, g, sp), a, SYMBOL_NAME[sym])
+        for i, (a, sym, g, sp) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(
+        rows, "i int, s string, expect_amount decimal(18,2), expect_currency string"
+    ).select(
+        "i",
+        "expect_amount",
+        "expect_currency",
+        money_amount("s").alias("amount"),
+        money_currency_name("s").alias("currency"),
+    )
+    for r in df.collect():
+        assert r["amount"] == r["expect_amount"], r
+        assert r["currency"] == r["expect_currency"], r
+
+
+kv_types = st.sampled_from(
+    ["VENDOR_NAME", "TOTAL", "SUBTOTAL", "TAX", "OTHER", "RECEIVER_ADDRESS"]
+)
+values = st.text(
+    alphabet="abcdefghij0123456789.$ ", min_size=0, max_size=12
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), kv_types, values),  # (img idx, type, value)
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_pivot_invariants(kv_rows):
+    """For ANY kv input: one output row per img_id; money fields never NULL
+    (defaults apply); vendor falls back to 'Unknown'."""
+    from receiptanalyzerpipeline_spark.sources.textract import pivot_receipt_summary
+
+    spark = _SPARK[0]
+    rows = [
+        (f"img{img}", pos, t, None, v, 90.0, 90.0, 90.0)
+        for pos, (img, t, v) in enumerate(kv_rows)
+    ]
+    kv = spark.createDataFrame(
+        rows,
+        "img_id string, pos int, TypeText string, LabelText string, "
+        "ValueText string, TypeConfidence double, LabelConfidence double, "
+        "ValueConfidence double",
+    )
+    out = pivot_receipt_summary(kv).collect()
+    assert len(out) == len({r[0] for r in rows})
+    for r in out:
+        assert r["total"] is not None
+        assert r["sub_total"] is not None
+        assert r["tax_amount"] is not None
+        assert r["vendor_name"] is not None
+        assert r["currency"] in ("US Dollars", "Pound Sterling", "Euro")
+
+
+_SPARK = []
+
+
+def setup_module(module):
+    from receiptanalyzerpipeline_spark.session import get_spark
+
+    _SPARK.append(get_spark(app_name="receiptanalyzerpipeline-tests"))
