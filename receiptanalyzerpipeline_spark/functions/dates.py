@@ -43,4 +43,8 @@ def parse_receipt_date(c: str | Column) -> Column:
     candidates = [
         F.try_to_timestamp(normalized, F.lit(fmt)) for fmt in RECEIPT_DATE_FORMATS
     ]
-    return F.coalesce(*candidates)
+    # NTZ: a receipt date is a wall-clock fact with no zone; try_to_timestamp
+    # yields LTZ, which would shift under a non-UTC session timezone. The
+    # cast round-trips through the same session zone, restoring the parsed
+    # wall-clock independent of the session setting.
+    return F.coalesce(*candidates).cast("timestamp_ntz")

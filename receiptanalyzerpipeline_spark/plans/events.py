@@ -96,6 +96,52 @@ def q_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_t5_sliding_window",
+    oracle="""
+        WITH assigned AS (
+            SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS window_start,
+                   event_type, value
+            FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE,
+                   event_type, value
+            FROM events
+        )
+        SELECT window_start,
+               window_start + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+        FROM assigned
+        GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "Sliding event-time window (1 h window, 30 min slide): each event in "
+        "two overlapping windows — window(ts, '1 hour', '30 minutes') "
+        "(SURVEY T6). Oracle assigns the two bucket starts explicitly."
+    ),
+    tags=("window-time", "agg", "streaming-equivalent"),
+)
+def q_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour", "30 minutes")
+    return (
+        e.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "q_t2_dedup",
     oracle="""
         SELECT event_id, ts, user_id, event_type, value
