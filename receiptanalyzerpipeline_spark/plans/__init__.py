@@ -11,3 +11,4 @@ from receiptanalyzerpipeline_spark.plans import events  # noqa: E402,F401
 from receiptanalyzerpipeline_spark.plans import llmops  # noqa: E402,F401
 from receiptanalyzerpipeline_spark.plans import receipts  # noqa: E402,F401
 from receiptanalyzerpipeline_spark.plans import multimodal_queries  # noqa: E402,F401
+from receiptanalyzerpipeline_spark.plans import temporal  # noqa: E402,F401
