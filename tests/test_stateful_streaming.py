@@ -1,0 +1,115 @@
+"""Stream/batch equivalence for the applyInPandasWithState sessionizer.
+
+The same event slice is (a) sessionized in batch with the lag+cumsum plan
+(q_t3 semantics) and (b) replayed as a 3-micro-batch file stream through
+streaming/stateful.py. Every session the stream CAN close (watermark
+passed end+gap) must match the batch session exactly; sessions still open
+at end-of-stream are excluded from the comparison on both sides.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from receiptanalyzerpipeline_spark.streaming.stateful import sessionize_stream
+
+GAP_S = 1800
+STREAM_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def test_stateful_sessionizer_matches_batch(spark, sf_dir, tmp_path: Path):
+    from receiptanalyzerpipeline_spark.catalog import table
+
+    # A few users only, chronological, unique ts per user (generator gives
+    # microsecond ts — collisions effectively impossible).
+    events = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 8)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+        .orderBy("ts")
+    )
+    rows = events.collect()
+    assert len(rows) > 50
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    chunk = len(rows) // 3
+    for i in range(3):
+        part = rows[i * chunk : (i + 1) * chunk if i < 2 else len(rows)]
+        with open(landing / f"chunk_{i}.json", "w") as f:
+            for r in part:
+                f.write(
+                    json.dumps(
+                        {
+                            "user_id": r["user_id"],
+                            "ts": r["ts"].isoformat(),
+                            "value": r["value"],
+                        }
+                    )
+                    + "\n"
+                )
+
+    stream = (
+        spark.readStream.schema(STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    sessions = sessionize_stream(stream, gap_seconds=GAP_S, watermark="30 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("closed_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM closed_sessions").collect()
+    }
+
+    # Batch truth (q_t3 semantics on the same slice), restricted to sessions
+    # the stream could close: end + gap <= final watermark (max ts - delay).
+    max_ts = max(r["ts"] for r in rows)
+    import datetime as dt
+
+    closeable_before = max_ts - dt.timedelta(seconds=GAP_S) - dt.timedelta(minutes=30)
+    sessions_b = []
+    by_user: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, rs in by_user.items():
+        cur = None
+        for r in rs:
+            if cur is None or (r["ts"] - cur["end"]).total_seconds() > GAP_S:
+                if cur is not None:
+                    sessions_b.append((uid, cur["start"], cur["end"], cur["n"]))
+                cur = {"start": r["ts"], "end": r["ts"], "n": 1}
+            else:
+                cur["end"] = r["ts"]
+                cur["n"] += 1
+        if cur is not None:
+            sessions_b.append((uid, cur["start"], cur["end"], cur["n"]))
+    want = {s for s in sessions_b if s[2] <= closeable_before}
+
+    missing = want - got
+    assert not missing, f"stream missed sessions: {sorted(missing)[:5]}"
+    # Everything the stream emitted must be a true batch session.
+    extra = got - {tuple(s) for s in sessions_b}
+    assert not extra, f"stream emitted non-sessions: {sorted(extra)[:5]}"
