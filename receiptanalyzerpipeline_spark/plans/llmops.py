@@ -376,3 +376,27 @@ def q_x5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     return S.lsh_bucketed_topk(emb, probes, k=3)
+
+
+@register(
+    "q_x6_ann_ivf",
+    oracle=None,  # approximate by design; determinism + recall pinned in tests
+    doc=(
+        "IVF approximate top-3: k-means cells fitted from a deterministic "
+        "sample, corpus assigned map-side (Arrow pandas UDF), probes search "
+        "their nprobe=4 nearest cells of 16 — ~25% of the corpus scored "
+        "(SURVEY N4 scale path, the centroid-partitioned sibling of q_x5). "
+        "Rows-only driver check; tests/test_llmops.py pins determinism and "
+        "recall vs brute force."
+    ),
+    tags=("similarity", "embedding", "ann", "ivf"),
+)
+def q_x6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from receiptanalyzerpipeline_spark.operators import ivf
+
+    emb = _emb(spark, sf_dir)
+    probes = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    centroids = ivf.fit_centroids(emb, n_cells=16)
+    return ivf.ivf_topk(emb, probes, centroids, k=3, nprobe=4)
