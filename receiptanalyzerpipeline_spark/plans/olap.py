@@ -1,0 +1,105 @@
+"""OLAP grouping extensions: CUBE, GROUPING SETS, exact percentiles.
+
+Completes the aggregation family (SURVEY §2.4; q_a4 covers ROLLUP):
+multi-level aggregates are Catalyst ``Expand``-based — one extra
+projection per grouping set feeding a single hash aggregate, so the
+plan stays one shuffle regardless of how many sets are requested
+(that's the property that matters at 100 TB; N separate groupBys would
+be N shuffles and N scans).
+
+Percentile determinism: ``percentile`` (Spark) and ``quantile_cont``
+(DuckDB) both linearly interpolate at index q·(n−1). With dyadic
+quantiles (.25/.5/.75) and integer-valued inputs (l_quantity), the
+interpolation is exact in IEEE double in both engines — bit-identical,
+safe to hash. Non-dyadic quantiles over arbitrary doubles would NOT be
+(registry docstring rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from receiptanalyzerpipeline_spark.catalog import table
+from receiptanalyzerpipeline_spark.plans.registry import register
+
+
+@register(
+    "q_a6_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc=(
+        "CUBE over (returnflag, linestatus): all 4 grouping sets in one "
+        "Expand + single hash aggregate (one shuffle total)."
+    ),
+    tags=("agg", "cube", "olap"),
+)
+def q_a6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("sum_qty"),
+    )
+
+
+@register(
+    "q_a7_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                   AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    doc=(
+        "Explicit GROUPING SETS ((returnflag),(linestatus)) — disjoint "
+        "single-column sets, NOT derivable from cube/rollup shorthand."
+    ),
+    tags=("agg", "grouping-sets", "olap"),
+)
+def q_a7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("sum_price"),
+    )
+
+
+@register(
+    "q_a8_quartiles",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS q25,
+               quantile_cont(l_quantity, 0.5)  AS q50,
+               quantile_cont(l_quantity, 0.75) AS q75,
+               MAX(l_quantity) AS q_max
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc=(
+        "Exact continuous quartiles of l_quantity per returnflag — dyadic "
+        "quantiles over integer values interpolate bit-identically in both "
+        "engines. (approx_percentile is the sketch sibling, q_a5-style.)"
+    ),
+    tags=("agg", "percentile", "olap"),
+)
+def q_a8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.percentile("l_quantity", 0.5).alias("q50"),
+        F.percentile("l_quantity", 0.75).alias("q75"),
+        F.max("l_quantity").alias("q_max"),
+    )
