@@ -76,3 +76,25 @@ def create_table(spark: SparkSession, df: DataFrame, name: str) -> None:
     """K2: explicit-schema managed-table DDL from a (possibly empty)
     DataFrame."""
     df.limit(0).write.mode("overwrite").saveAsTable(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (``bucketBy`` + optional ``sortBy``): the
+    co-located-join layout. Two tables bucketed identically on their join
+    key hash-partition at WRITE time, so a later join needs no shuffle
+    exchange at all (tests/test_bucketing.py asserts the plan) — at
+    100 TB this converts the nightly fact-fact join's dominant cost into
+    a one-time write-side cost amortized over every downstream join.
+    ``sortBy`` additionally pre-sorts within buckets, letting sort-merge
+    join skip its sort."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(name)

@@ -1,0 +1,75 @@
+"""Audio/video binary-column plumbing: metadata extraction, frame
+sampling (cardinality-changing mapInPandas), per-row error isolation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from receiptanalyzerpipeline_spark.multimodal.media import (
+    extract_media_meta,
+    make_stub_media,
+    sample_frames,
+)
+
+
+def _media_df(spark):
+    rows = [
+        ("v1.mp4", make_stub_media(5000, fps=30.0, payload=b"x" * 100)),
+        ("v2.mp4", make_stub_media(500, fps=24.0)),
+        ("a1.wav", make_stub_media(2000, sample_rate=16000, n_channels=2, payload=b"pcm")),
+        ("bad.bin", b"\x00\x01not-a-container"),
+    ]
+    return spark.createDataFrame(rows, "path string, content binary")
+
+
+def test_media_meta_and_error_isolation(spark):
+    meta = {r["path"]: r for r in extract_media_meta(_media_df(spark)).collect()}
+    assert meta["v1.mp4"]["kind"] == "video"
+    assert meta["v1.mp4"]["fps"] == 30.0
+    assert meta["v1.mp4"]["payload_bytes"] == 100
+    assert meta["a1.wav"]["kind"] == "audio"
+    assert meta["a1.wav"]["sample_rate"] == 16000
+    assert meta["bad.bin"]["kind"] is None
+    assert "NotImplementedError" in meta["bad.bin"]["error"]
+    # The undecodable row did not kill the batch.
+    assert len(meta) == 4
+
+
+def test_frame_sampling_cardinality_and_determinism(spark):
+    df = _media_df(spark)
+    frames = sample_frames(df, every_ms=1000, max_frames=16)
+    ok = frames.filter(F.col("error").isNull())
+    per_path = {
+        r["path"]: r["n"]
+        for r in ok.groupBy("path").agg(F.count("*").alias("n")).collect()
+    }
+    # 5000 ms @ 1 frame/s -> frames at 0..5000 ms = 6; 500 ms -> just frame 0.
+    assert per_path == {"v1.mp4": 6, "v2.mp4": 1}
+    # Audio + garbage rows surface one error row each.
+    errs = {r["path"] for r in frames.filter(F.col("error").isNotNull()).collect()}
+    assert errs == {"a1.wav", "bad.bin"}
+    # Deterministic fake frames: same input -> same payloads.
+    a = sorted((r["path"], r["frame_index"], bytes(r["frame"])) for r in ok.collect())
+    b = sorted(
+        (r["path"], r["frame_index"], bytes(r["frame"]))
+        for r in sample_frames(df, every_ms=1000, max_frames=16)
+        .filter(F.col("error").isNull())
+        .collect()
+    )
+    assert a == b
+
+
+def test_frames_feed_dedup_pipeline(spark):
+    # Frame payloads are binary columns like any other: exact dedup via
+    # hash-groupBy works unchanged (two copies of the same video).
+    df = spark.createDataFrame(
+        [
+            ("c1.mp4", make_stub_media(3000, fps=30.0, payload=b"same")),
+            ("c2.mp4", make_stub_media(3000, fps=30.0, payload=b"same")),
+        ],
+        "path string, content binary",
+    )
+    frames = sample_frames(df, every_ms=1000).filter(F.col("error").isNull())
+    distinct_frames = frames.select(F.md5(F.col("frame")).alias("h")).distinct().count()
+    total_frames = frames.count()
+    assert total_frames == 8 and distinct_frames == 4
