@@ -103,3 +103,40 @@ def q_a8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", 0.75).alias("q75"),
         F.max("l_quantity").alias("q_max"),
     )
+
+
+@register(
+    "q_p3_above_brand_avg",
+    oracle="""
+        SELECT p_partkey, p_brand,
+               CAST(p_retailprice AS DECIMAL(18,2)) AS price
+        FROM part p
+        WHERE CAST(p_retailprice AS DECIMAL(18,2)) > (
+            SELECT CAST(CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,2)))
+                             AS DOUBLE) / COUNT(*) AS DECIMAL(18,4))
+            FROM part p2 WHERE p2.p_brand = p.p_brand
+        )
+    """,
+    doc=(
+        "Correlated-scalar-subquery semantics (parts above their brand's "
+        "average price), expressed scalably as one aggregate + broadcast "
+        "join back — the de-correlated plan Catalyst itself would target; "
+        "oracle keeps the textbook correlated form. Brand avg follows the "
+        "registry decimal-sum/double-divide determinism rule."
+    ),
+    tags=("subquery", "agg", "join"),
+)
+def q_p3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").withColumn(
+        "price", F.col("p_retailprice").cast("decimal(18,2)")
+    )
+    brand_avg = p.groupBy(F.col("p_brand").alias("b_brand")).agg(
+        (F.sum("price").cast("double") / F.count("*"))
+        .cast("decimal(18,4)")
+        .alias("avg_price")
+    )
+    return (
+        p.join(F.broadcast(brand_avg), p["p_brand"] == F.col("b_brand"))
+        .where(F.col("price") > F.col("avg_price"))
+        .select("p_partkey", "p_brand", "price")
+    )

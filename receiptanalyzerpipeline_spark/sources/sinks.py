@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def write_partitioned_by_month(
@@ -98,3 +99,69 @@ def write_bucketed(
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.saveAsTable(name)
+
+
+def upsert_by_key(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    version_col: str,
+) -> None:
+    """MERGE-style upsert into a parquet target without a table format:
+    union target + updates, keep the max-``version_col`` row per key,
+    rewrite. Equivalent to ``MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED
+    INSERT`` with last-writer-wins.
+
+    Scale posture: the rewrite is the cost — at 100 TB this targets ONE
+    partition at a time (pair with ``write_partitioned_by_month``'s layout
+    and dynamic partition overwrite) or moves to a table format with
+    file-level merge (Delta/Iceberg), which keeps this exact dedup
+    semantics but rewrites only touched files. The keep-latest dedup is
+    one hash shuffle on the key; ties on version break by the remaining
+    columns (deterministic under retry).
+    """
+    import os
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(),
+        *[F.col(c).desc() for c in updates.columns if c not in key_cols and c != version_col],
+    )
+    if os.path.exists(path):
+        current = spark.read.parquet(path)
+        merged = current.unionByName(updates.select(*current.columns))
+    else:
+        merged = updates
+    result = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # Parquet sources can't overwrite in place from a plan that reads the
+    # same path — materialize through a staging dir, then swap.
+    staging = f"{path}.__staging__"
+    result.write.mode("overwrite").parquet(staging)
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(staging, path)
+
+
+def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ``target_files`` files (coalesce — a repartition-less merge; no
+    shuffle). Streaming sinks and per-trigger appends accrete small files
+    that degrade scan parallelism bookkeeping at scale; compaction is the
+    standing housekeeping job. Returns the file count before compaction.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    before = len(_glob.glob(os.path.join(path, "*.parquet")))
+    df = spark.read.parquet(path)
+    staging = f"{path}.__staging__"
+    df.coalesce(target_files).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(staging, path)
+    return before

@@ -93,3 +93,36 @@ def test_approx_distinct_tolerance(spark, sf_dir):
     )
     assert abs(approx["approx_parts"] - exact["n_parts"]) / exact["n_parts"] < 0.05
     assert abs(approx["approx_supps"] - exact["n_supps"]) / exact["n_supps"] < 0.05
+
+
+def test_upsert_by_key_last_writer_wins(spark, tmp_path):
+    from receiptanalyzerpipeline_spark.sources.sinks import upsert_by_key
+
+    path = str(tmp_path / "target")
+    base = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b")], "k long, version long, payload string"
+    )
+    upsert_by_key(spark, base, path, ["k"], "version")
+    upd = spark.createDataFrame(
+        [(2, 2, "b2"), (3, 1, "c")], "k long, version long, payload string"
+    )
+    upsert_by_key(spark, upd, path, ["k"], "version")
+    got = {(r["k"], r["version"], r["payload"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 1, "a"), (2, 2, "b2"), (3, 1, "c")}
+    # Stale update must NOT clobber a newer row.
+    stale = spark.createDataFrame([(2, 1, "old")], "k long, version long, payload string")
+    upsert_by_key(spark, stale, path, ["k"], "version")
+    got = {(r["k"], r["payload"]) for r in spark.read.parquet(path).collect()}
+    assert (2, "b2") in got and (2, "old") not in got
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    from receiptanalyzerpipeline_spark.sources.sinks import compact
+    import glob
+
+    path = str(tmp_path / "many")
+    spark.range(1000).repartition(16).write.parquet(path)
+    before = compact(spark, path, target_files=2)
+    assert before == 16
+    assert len(glob.glob(path + "/*.parquet")) == 2
+    assert spark.read.parquet(path).count() == 1000
