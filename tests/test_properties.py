@@ -108,3 +108,60 @@ def setup_module(module):
     from receiptanalyzerpipeline_spark.session import get_spark
 
     _SPARK.append(get_spark(app_name="receiptanalyzerpipeline-tests"))
+
+
+# --- asof_join vs pandas merge_asof (independent reference implementation) ---
+
+_asof_keys = st.sampled_from(["k1", "k2", "k3"])
+_asof_ts = st.integers(min_value=0, max_value=500)  # seconds offset
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    left=st.lists(st.tuples(_asof_keys, _asof_ts), min_size=1, max_size=25),
+    right=st.lists(st.tuples(_asof_keys, _asof_ts), min_size=0, max_size=25),
+    tolerance=st.one_of(st.none(), st.integers(min_value=1, max_value=120)),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, tolerance):
+    import datetime as dt
+
+    import pandas as pd
+
+    from receiptanalyzerpipeline_spark.operators.temporal import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    # Unique (key, ts) on the right (operator contract) + a payload.
+    right_u = {(k, t): i for i, (k, t) in enumerate(right)}
+    lrows = [
+        (i, k, base + dt.timedelta(seconds=t)) for i, (k, t) in enumerate(left)
+    ]
+    rrows = [
+        (k, base + dt.timedelta(seconds=t), 1000 + i)
+        for (k, t), i in sorted(right_u.items())
+    ]
+    ldf = spark.createDataFrame(lrows, "lid long, k string, lts timestamp_ntz")
+    rdf = spark.createDataFrame(
+        rrows or [("__none__", base, -1)], "k string, rts timestamp_ntz, payload long"
+    )
+    got = {
+        r["lid"]: r["payload_matched"]
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts",
+            tolerance_seconds=tolerance,
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(lrows, columns=["lid", "k", "lts"]).sort_values("lts")
+    rpd = pd.DataFrame(
+        rrows or [("__none__", base, -1)], columns=["k", "rts", "payload"]
+    ).sort_values("rts")
+    merged = pd.merge_asof(
+        lpd, rpd, left_on="lts", right_on="rts", by="k",
+        direction="backward", allow_exact_matches=True,
+        tolerance=pd.Timedelta(seconds=tolerance) if tolerance else None,
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.payload) else int(r.payload))
+        for r in merged.itertuples()
+    }
+    assert got == want
