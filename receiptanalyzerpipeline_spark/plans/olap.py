@@ -140,3 +140,25 @@ def q_p3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("price") > F.col("avg_price"))
         .select("p_partkey", "p_brand", "price")
     )
+
+
+@register(
+    "q_a9_approx_quartiles",
+    oracle=None,  # sketch output; accuracy pinned in tests vs exact q_a8
+    doc=(
+        "approx_percentile (GK sketch) quartiles of l_quantity per "
+        "returnflag — the single-pass mergeable-sketch sibling of exact "
+        "q_a8 for 100 TB percentile queries (exact percentile buffers the "
+        "group; the sketch is bounded memory). Rows-only driver check; "
+        "tests bound the error against the exact answer."
+    ),
+    tags=("agg", "percentile", "sketch", "olap"),
+)
+def q_a9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    acc = F.lit(10000)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.25), acc).alias("q25"),
+        F.approx_percentile("l_quantity", F.lit(0.5), acc).alias("q50"),
+        F.approx_percentile("l_quantity", F.lit(0.75), acc).alias("q75"),
+    )

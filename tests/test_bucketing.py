@@ -41,3 +41,19 @@ def test_bucketed_groupby_has_no_shuffle(spark, bucketed_tables):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
     assert agg.count() == 5000
+
+
+def test_month_partition_pruning(spark, sf_dir, tmp_path):
+    """write_partitioned_by_month layout + a month filter must prune
+    partitions at the scan (PartitionFilters), not post-filter rows."""
+    from receiptanalyzerpipeline_spark.catalog import table
+    from receiptanalyzerpipeline_spark.sources.sinks import write_partitioned_by_month
+
+    path = str(tmp_path / "events_by_month")
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    write_partitioned_by_month(ev, path, ts_col="ts", mode="overwrite")
+
+    scan = spark.read.parquet(path).filter(F.col("month") == "2024-01")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(month" in plan, plan
+    assert scan.count() == ev.count()  # all synthetic events are 2024-01

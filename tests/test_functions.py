@@ -93,3 +93,22 @@ def test_pivot_last_wins(spark):
     assert acme["other_data"]["CHANGE"] == "0.56"  # duplicate label, last wins
     assert "REWARDS" not in acme["other_data"]  # empty value dropped
     assert "Total" not in acme["other_data"]  # label-Total row routed to TOTAL
+
+
+def test_approx_quartiles_near_exact(spark, sf_dir):
+    from receiptanalyzerpipeline_spark.plans import REGISTRY
+
+    exact = {
+        r["l_returnflag"]: (r["q25"], r["q50"], r["q75"])
+        for r in REGISTRY["q_a8_quartiles"].spark(spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: (r["q25"], r["q50"], r["q75"])
+        for r in REGISTRY["q_a9_approx_quartiles"].spark(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for flag, (e25, e50, e75) in exact.items():
+        a25, a50, a75 = approx[flag]
+        # GK sketch at accuracy 10000 over ~integer quantities: within 1 unit.
+        for e, a in [(e25, a25), (e50, a50), (e75, a75)]:
+            assert abs(e - a) <= 1.0, (flag, e, a)
