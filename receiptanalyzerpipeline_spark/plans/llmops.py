@@ -400,3 +400,44 @@ def q_x6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = ivf.fit_centroids(emb, n_cells=16)
     return ivf.ivf_topk(emb, probes, centroids, k=3, nprobe=4)
+
+
+@register(
+    "q_d6_crossmodal_neardup",
+    oracle=_JACCARD_SQL.replace(
+        "        SELECT id_a, id_b,",
+        """        SELECT id_a, id_b,
+               round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(eb.embedding AS DOUBLE[])), 4)
+                   AS cos_sim,""",
+    ).replace(
+        "        JOIN sizes sb ON sb.doc_id = id_b",
+        """        JOIN sizes sb ON sb.doc_id = id_b
+        JOIN embeddings ea ON ea.vec_id = id_a
+        JOIN embeddings eb ON eb.vec_id = id_b""",
+    ),
+    doc=(
+        "Cross-modal near-dup audit: exact 3-gram Jaccard pairs (>=0.5) "
+        "joined to both docs' embeddings (doc_id = vec_id) with their "
+        "cosine similarity — the 'text says dup, does the embedding "
+        "agree?' check an LLM-data pipeline runs before dropping docs. "
+        "Candidates come from the shingle inverted index; the embedding "
+        "join touches only candidate pairs, not the corpus square."
+    ),
+    tags=("dedup", "similarity", "embedding", "cross-modal"),
+)
+def q_d6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", k=3, threshold=0.5)
+    emb = _emb(spark, sf_dir)
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    return (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            S.cosine(F.col("emb_a"), F.col("emb_b")).alias("cos_sim"),
+            "jaccard",
+        )
+    )
