@@ -57,3 +57,21 @@ def test_month_partition_pruning(spark, sf_dir, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(month" in plan, plan
     assert scan.count() == ev.count()  # all synthetic events are 2024-01
+
+
+def test_corrupt_file_policy(spark, tmp_path):
+    """P6 corrupt-file policy: with ignoreCorruptFiles a scan survives a
+    garbage file in the directory (per-file error isolation at the source,
+    the batch sibling of the OCR quarantine contract)."""
+    path = tmp_path / "data"
+    spark.range(100).write.parquet(str(path))
+    (path / "junk.parquet").write_bytes(b"\x00not-a-parquet-file")
+    # Explicit schema: inference itself reads footers and would trip on the
+    # junk file before the per-file policy applies.
+    good = (
+        spark.read.schema("id long")
+        .option("ignoreCorruptFiles", "true")
+        .parquet(str(path))
+        .count()
+    )
+    assert good == 100
