@@ -256,6 +256,7 @@ def q_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "generating candidates from band-bucket collisions only (SURVEY N3)."
     ),
     tags=("dedup", "similarity", "lsh"),
+    bench=True,
 )
 def q_d3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_jaccard_pairs(
