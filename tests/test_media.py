@@ -73,3 +73,26 @@ def test_frames_feed_dedup_pipeline(spark):
     distinct_frames = frames.select(F.md5(F.col("frame")).alias("h")).distinct().count()
     total_frames = frames.count()
     assert total_frames == 8 and distinct_frames == 4
+
+
+def test_with_thumbnail_sizes_and_determinism(spark):
+    from receiptanalyzerpipeline_spark.multimodal.images import (
+        STUB_MAGIC,
+        with_thumbnail,
+    )
+
+    luma = bytes(range(64))
+    df = spark.createDataFrame(
+        [("a.png", STUB_MAGIC + luma), ("b.png", b"arbitrary-bytes")],
+        "path string, content binary",
+    )
+    t8 = {r["path"]: bytes(r["thumbnail"]) for r in with_thumbnail(df, 8).collect()}
+    assert t8["a.png"] == luma  # stub decode is the identity on the 8x8 grid
+    assert len(t8["b.png"]) == 64
+    t4 = {r["path"]: bytes(r["thumbnail"]) for r in with_thumbnail(df, 4).collect()}
+    assert len(t4["a.png"]) == 16
+    # Downscale samples the stub grid at stride 2 (nearest-neighbor).
+    assert t4["a.png"] == bytes(luma[r * 8 + c] for r in (0, 2, 4, 6) for c in (0, 2, 4, 6))
+    # Deterministic for arbitrary bytes too (md5 pseudo-luma).
+    again = {r["path"]: bytes(r["thumbnail"]) for r in with_thumbnail(df, 4).collect()}
+    assert again == t4
