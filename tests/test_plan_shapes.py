@@ -1,0 +1,110 @@
+"""Plan-shape regression tests: the physical-plan properties the 100 TB
+posture depends on (SCALE.md), frozen as assertions so a future edit
+can't silently trade them away.
+
+These don't time anything — they check WHAT Catalyst chose: pushdown
+reaching the scan, dimensions broadcast, top-k via TakeOrdered, single
+shuffles where one suffices, codegen in the hot path.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from receiptanalyzerpipeline_spark.plans import REGISTRY
+
+    return REGISTRY
+
+
+def test_q_p1_pushes_filters_and_prunes_columns(spark, registry):
+    df = registry["q_p1_filter_project"].spark(spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan
+    # Column pruning: the scan must not read all 11 lineitem columns.
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+
+def test_q_j1_broadcasts_dimensions(spark, registry):
+    plan = _executed_plan(registry["q_j1_multijoin_revenue"].spark(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q_s1_uses_take_ordered(spark, registry):
+    plan = _executed_plan(registry["q_s1_topk"].spark(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    # No global Sort node — top-k must not totally sort the input.
+    assert "\n+- Sort " not in plan
+
+
+def test_q_t3_single_shuffle(spark, registry):
+    plan = _executed_plan(registry["q_t3_sessionization"].spark(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q_as1_shuffles_and_no_nested_loop(spark, registry):
+    plan = _executed_plan(registry["q_as1_asof_attribution"].spark(spark, SF_DIR))
+    # Exactly 2: one for the purchase-dedup groupBy upstream, one for the
+    # as-of window itself. Never a nested loop.
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_operator_alone_is_single_shuffle(spark):
+    import datetime as dt
+
+    from receiptanalyzerpipeline_spark.operators.temporal import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, "k", base) for i in range(10)], "lid long, k string, lts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [("k", base, 1)], "k string, rts timestamp_ntz, payload long"
+    )
+    plan = _executed_plan(
+        asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts")
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q_a3_whole_stage_codegen(spark, registry):
+    import contextlib
+    import io
+
+    df = registry["q_a3_tpch_q1"].spark(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")  # AQE toString hides WSCG; codegen mode shows it
+    assert "WholeStageCodegen" in buf.getvalue()
+
+
+def test_q_a6_cube_is_one_expand_one_shuffle(spark, registry):
+    plan = _executed_plan(registry["q_a6_cube"].spark(spark, SF_DIR))
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_no_query_uses_python_row_udf(spark, registry):
+    """Hot-path discipline: BatchEvalPython (row-at-a-time Python UDF)
+    must appear in NO registered query; Python boundaries are Arrow
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) only."""
+    offenders = []
+    for name, q in sorted(registry.items()):
+        plan = _optimized(q.spark(spark, SF_DIR))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
