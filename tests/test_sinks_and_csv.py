@@ -126,3 +126,27 @@ def test_compact_merges_small_files(spark, tmp_path):
     assert before == 16
     assert len(glob.glob(path + "/*.parquet")) == 2
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_permissive_json_quarantines_corrupt_rows(spark, tmp_path):
+    """T5 at the batch source: PERMISSIVE JSON parse routes malformed rows
+    to a corrupt-record column instead of failing the job — the ingest
+    sibling of the OCR error column."""
+    p = tmp_path / "in.json"
+    p.write_text(
+        '{"img_id": "a", "total": 1.5}\n'
+        "this is not json\n"
+        '{"img_id": "b", "total": 2.5}\n'
+        '{"img_id": "c", "total": "NOT_A_NUMBER"}\n'
+    )
+    df = (
+        spark.read.schema("img_id string, total double, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(str(p))
+    )
+    rows = df.collect()
+    good = {r["img_id"]: r["total"] for r in rows if r["_corrupt"] is None}
+    bad = [r["_corrupt"] for r in rows if r["_corrupt"] is not None]
+    assert good == {"a": 1.5, "b": 2.5}
+    assert len(bad) == 2  # garbage line + type-mismatched row, both kept
