@@ -2,24 +2,39 @@
 
 The driver runs each ``queries()[name]`` on Spark and the matching
 ``oracle_sql()[name]`` on DuckDB (tables pre-registered as views), then
-compares row-count + schema + order-insensitive value-hash with columns
-sorted by name. This module reproduces that comparison so every query can
-be verified locally before it's claimed as done.
+compares row-count + schema + value-hash with columns sorted by name.
+
+Round-1 lesson (VERDICT.md): the driver fetches results through the
+*pandas* path, where engine-level representation differences survive even
+when the Python values are ``==``:
+
+- DuckDB DECIMAL  → float64 (``17.0``)   vs Spark DECIMAL → object ``Decimal('17.00')``
+- DuckDB HUGEINT (``SUM(BIGINT)``) → float64 (``5.0``) vs Spark BIGINT → int64 (``5``)
+- DuckDB DATE → datetime64 (``1995-01-01 00:00:00``) vs Spark DATE → object ``date`` (``1995-01-01``)
+- NULL in a numeric column → NaN (float64) vs None (object)
+
+So this comparator is deliberately *stricter* than round 1's: it fetches
+both sides as pandas, requires dtype compatibility per column, and
+compares every cell as ``(type_name, str(value))`` with rows sorted —
+no value canonicalization that could hide representation skew. The
+repo-wide output-type contract that makes queries pass this gate:
+
+    final projections contain ONLY BIGINT, DOUBLE, STRING, BOOLEAN,
+    TIMESTAMP (naive micros) and arrays/structs thereof — never DECIMAL,
+    DATE, or (DuckDB-side) HUGEINT. Aggregate in DECIMAL for exactness,
+    then cast the final column to DOUBLE on BOTH engines.
 """
 
 from __future__ import annotations
 
-import datetime as _dt
-import decimal
 import math
 from dataclasses import dataclass, field
 
 import duckdb
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from receiptanalyzerpipeline_spark.catalog import TABLES
-
-Canon = tuple
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -32,39 +47,44 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def canon_value(v: object) -> object:
-    """Engine-neutral canonical form for one cell."""
-    if v is None:
-        return ("0null",)  # tuple-shaped so mixed null/non-null columns sort stably
-    if isinstance(v, bool):
-        return ("bool", v)
-    if isinstance(v, decimal.Decimal):
-        return ("num", str(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("float", "nan")
-        return ("float", repr(v))
-    if isinstance(v, int):
-        return ("int", v)
-    if isinstance(v, _dt.datetime):
-        return ("ts", v.isoformat())
-    if isinstance(v, _dt.date):
-        return ("date", v.isoformat())
-    if isinstance(v, (list, tuple)):
-        return ("arr", tuple(canon_value(x) for x in v))
+def _canon_dtype(dt: object) -> str:
+    """Dtype name with datetime64 units collapsed (ns-vs-us carries no value
+    skew once both engines emit micro-aligned timestamps; str() comparison
+    below still catches any sub-microsecond difference)."""
+    s = str(dt)
+    if s.startswith("datetime64"):
+        return "datetime64"
+    return s
+
+
+def canon_cell(v: object) -> tuple[str, str]:
+    """Strict cell form: exact runtime type name + str(value).
+
+    float NaN is normalized to one spelling so NaN==NaN, but float-vs-int,
+    float-vs-Decimal, None-vs-NaN, date-vs-Timestamp all stay DISTINCT —
+    that distinction is precisely what the driver's hash sees.
+    """
+    if isinstance(v, float) and math.isnan(v):
+        return ("float", "nan")
+    if v is pd.NaT:
+        return ("NaT", "NaT")
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return ("array", str([canon_cell(x) for x in v]))
     if isinstance(v, dict):
-        return ("map", tuple(sorted((str(k), canon_value(x)) for k, x in v.items())))
-    if isinstance(v, (bytes, bytearray)):
-        return ("bin", bytes(v).hex())
-    return ("str", str(v))
+        return ("map", str(sorted((str(k), canon_cell(x)) for k, x in v.items())))
+    return (type(v).__name__, str(v))
 
 
-def canon_rows(columns: list[str], rows: list[tuple]) -> list[Canon]:
-    """Sort columns by name, canonicalize cells, sort rows."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = [tuple(canon_value(row[i]) for i in order) for row in rows]
-    out.sort()
-    return out
+def canon_frame(df: pd.DataFrame) -> tuple[list[tuple[str, str]], list[tuple]]:
+    """(sorted (col, dtype) pairs, row tuples of canon cells sorted)."""
+    cols = sorted(df.columns)
+    dtypes = [(c, _canon_dtype(df[c].dtype)) for c in cols]
+    rows = [
+        tuple(canon_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    return dtypes, rows
 
 
 @dataclass
@@ -78,7 +98,7 @@ class CompareResult:
     def __str__(self) -> str:
         status = "OK " if self.ok else "FAIL"
         msg = f"[{status}] {self.name}: spark={self.spark_rows} oracle={self.oracle_rows}"
-        for m in self.mismatches[:5]:
+        for m in self.mismatches[:6]:
             msg += f"\n    {m}"
         return msg
 
@@ -89,37 +109,41 @@ def compare(
     oracle_sql: str,
     con: duckdb.DuckDBPyConnection,
 ) -> CompareResult:
-    """Run both engines and compare canonicalized results."""
-    spark_cols = spark_df.columns
-    spark_rows = [tuple(r) for r in spark_df.collect()]
+    """Run both engines through the pandas fetch path and compare strictly."""
+    sp = spark_df.toPandas()
+    op = con.execute(oracle_sql).df()
 
-    cur = con.execute(oracle_sql)
-    oracle_cols = [d[0] for d in cur.description]
-    oracle_rows = cur.fetchall()
+    res = CompareResult(name, True, len(sp), len(op))
 
-    res = CompareResult(name, True, len(spark_rows), len(oracle_rows))
-
-    if sorted(spark_cols) != sorted(oracle_cols):
+    if sorted(sp.columns) != sorted(op.columns):
         res.ok = False
-        res.mismatches.append(f"columns differ: spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}")
+        res.mismatches.append(
+            f"columns differ: spark={sorted(sp.columns)} oracle={sorted(op.columns)}"
+        )
         return res
-    if len(spark_rows) != len(oracle_rows):
+    if len(sp) != len(op):
         res.ok = False
         res.mismatches.append("row counts differ")
 
-    s = canon_rows(spark_cols, spark_rows)
-    o = canon_rows(oracle_cols, oracle_rows)
-    if s != o:
+    s_dtypes, s_rows = canon_frame(sp)
+    o_dtypes, o_rows = canon_frame(op)
+
+    for (c, sd), (_, od) in zip(s_dtypes, o_dtypes):
+        if sd != od:
+            res.ok = False
+            res.mismatches.append(f"dtype[{c}]: spark={sd} oracle={od}")
+
+    if s_rows != o_rows:
         res.ok = False
         shown = 0
-        for i, (a, b) in enumerate(zip(s, o)):
+        for i, (a, b) in enumerate(zip(s_rows, o_rows)):
             if a != b:
                 res.mismatches.append(f"row {i}: spark={a!r} oracle={b!r}")
                 shown += 1
                 if shown >= 3:
                     break
-        if len(s) != len(o):
-            res.mismatches.append(f"len(spark)={len(s)} len(oracle)={len(o)}")
+        if len(s_rows) != len(o_rows):
+            res.mismatches.append(f"len(spark)={len(s_rows)} len(oracle)={len(o_rows)}")
     return res
 
 

@@ -27,7 +27,7 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, in microseconds
     oracle="""
         SELECT event_type,
                COUNT(*) AS n,
-               SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
                MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
                MAX(CAST(props->>'k' AS BIGINT)) AS max_k
         FROM events
@@ -59,11 +59,11 @@ def q_f3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_t1_tumbling_window",
     oracle="""
-        SELECT date_trunc('hour', ts) AS window_start,
-               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
                event_type,
                COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1, 2, 3
         ORDER BY window_start, event_type
@@ -82,7 +82,7 @@ def q_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(win.alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -111,9 +111,10 @@ def q_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
                window_start + INTERVAL 1 HOUR AS window_end,
                event_type,
                COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM assigned
         GROUP BY 1, 2, 3
+        ORDER BY window_start, event_type
     """,
     doc=(
         "Sliding event-time window (1 h window, 30 min slide): each event in "
@@ -129,7 +130,7 @@ def q_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(win.alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -138,19 +139,21 @@ def q_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "sum_value",
         )
+        .orderBy("window_start", "event_type")
     )
 
 
 @register(
     "q_t2_dedup",
     oracle="""
-        SELECT event_id, ts, user_id, event_type, value
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
         FROM (
             SELECT event_id, ts, user_id, event_type, value,
                    ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
             FROM events
         ) t
         WHERE rn = 1
+        ORDER BY event_id
     """,
     doc=(
         "Keyed dedup with a deterministic survivor (first by ts) — the engine form of "
@@ -166,6 +169,7 @@ def q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .drop("rn")
+        .orderBy("event_id")
     )
 
 
@@ -173,7 +177,7 @@ def q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_t4_session_window",
     oracle=f"""
         WITH flagged AS (
-            SELECT user_id, ts,
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
                    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
                         WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= {SESSION_GAP_US}
                         THEN 1 ELSE 0 END AS new_session
@@ -193,6 +197,7 @@ def q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_events
         FROM sessions
         GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
     """,
     doc=(
         "Native session windows: session_window(ts, '30 minutes') — Spark's "
@@ -213,6 +218,7 @@ def q_t4(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.end").alias("session_end"),
             "n_events",
         )
+        .orderBy("user_id", "session_start")
     )
 
 
@@ -220,7 +226,7 @@ def q_t4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_t3_sessionization",
     oracle=f"""
         WITH flagged AS (
-            SELECT user_id, ts, event_id,
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
                    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
                             OVER (PARTITION BY user_id ORDER BY ts, event_id)
                             > {SESSION_GAP_US}
@@ -238,12 +244,13 @@ def q_t4(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS session_id
             FROM flagged
         )
-        SELECT user_id, session_id,
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                COUNT(*) AS n_events,
                MIN(ts) AS session_start,
                MAX(ts) AS session_end
         FROM sessions
         GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
     """,
     doc="Gap-based sessionization (30-min gaps) via lag + cumulative sum (SURVEY Q-T3).",
     tags=("window", "sessionization", "streaming-equivalent"),
@@ -269,4 +276,5 @@ def q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
         )
+        .orderBy("user_id", "session_id")
     )

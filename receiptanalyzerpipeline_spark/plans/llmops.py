@@ -60,7 +60,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_n1_doc_stats",
     oracle="""
         SELECT lang, COUNT(*) AS n_docs,
-               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
         FROM documents GROUP BY lang ORDER BY lang
     """,
@@ -159,8 +159,8 @@ def q_x2(spark: SparkSession, sf_dir: str) -> DataFrame:
     text = F.col("text")
     return _docs(spark, sf_dir).select(
         "doc_id",
-        T.token_count_ws(text).alias("n_tokens"),
-        T.punct_count(text).alias("punct_cnt"),
+        T.token_count_ws(text).cast("long").alias("n_tokens"),
+        T.punct_count(text).cast("long").alias("punct_cnt"),
         T.stopword_ratio(text).alias("stop_ratio"),
         T.quality_class(text).alias("quality"),
     )
@@ -181,8 +181,8 @@ def q_x3(spark: SparkSession, sf_dir: str) -> DataFrame:
     text = F.col("text")
     return _docs(spark, sf_dir).select(
         "doc_id",
-        T.token_count_ws(text).alias("ws_tokens"),
-        T.token_count_bpe(text).alias("bpe_tokens"),
+        T.token_count_ws(text).cast("long").alias("ws_tokens"),
+        T.token_count_bpe(text).cast("long").alias("bpe_tokens"),
     )
 
 
@@ -290,7 +290,7 @@ def q_d3(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM votes GROUP BY doc_id
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               bit_count(xor(a.simhash, b.simhash)) AS hamming
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
@@ -303,7 +303,8 @@ def q_d3(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = D.simhash_signatures(_docs(spark, sf_dir), "doc_id", "text")
-    return D.simhash_pairs(sigs, max_hamming=3)
+    pairs = D.simhash_pairs(sigs, max_hamming=3)
+    return pairs.withColumn("hamming", F.col("hamming").cast("long"))
 
 
 @register(
@@ -357,7 +358,8 @@ def q_n2(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    return S.brute_force_topk(emb, probes, k=5)
+    topk = S.brute_force_topk(emb, probes, k=5)
+    return topk.withColumn("rank", F.col("rank").cast("long"))
 
 
 @register(

@@ -29,9 +29,10 @@ from receiptanalyzerpipeline_spark.plans.registry import register
     oracle="""
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
     doc=(
         "CUBE over (returnflag, linestatus): all 4 grouping sets in one "
@@ -41,11 +42,15 @@ from receiptanalyzerpipeline_spark.plans.registry import register
 )
 def q_a6(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
-        .alias("sum_qty"),
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
     )
 
 
@@ -54,10 +59,11 @@ def q_a6(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                    AS sum_price
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
     doc=(
         "Explicit GROUPING SETS ((returnflag),(linestatus)) — disjoint "
@@ -67,13 +73,15 @@ def q_a6(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_a7(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    return li.groupingSets(
-        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
-    ).agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
-        .alias("sum_price"),
+    return (
+        li.groupingSets([["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
     )
 
 
@@ -109,13 +117,14 @@ def q_a8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_p3_above_brand_avg",
     oracle="""
         SELECT p_partkey, p_brand,
-               CAST(p_retailprice AS DECIMAL(18,2)) AS price
+               CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         FROM part p
         WHERE CAST(p_retailprice AS DECIMAL(18,2)) > (
             SELECT CAST(CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,2)))
                              AS DOUBLE) / COUNT(*) AS DECIMAL(18,4))
             FROM part p2 WHERE p2.p_brand = p.p_brand
         )
+        ORDER BY p_partkey
     """,
     doc=(
         "Correlated-scalar-subquery semantics (parts above their brand's "
@@ -138,7 +147,8 @@ def q_p3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p.join(F.broadcast(brand_avg), p["p_brand"] == F.col("b_brand"))
         .where(F.col("price") > F.col("avg_price"))
-        .select("p_partkey", "p_brand", "price")
+        .select("p_partkey", "p_brand", F.col("price").cast("double").alias("price"))
+        .orderBy("p_partkey")
     )
 
 

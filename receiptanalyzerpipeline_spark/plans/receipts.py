@@ -48,19 +48,20 @@ def other_repr(map_col) -> F.Column:
     oracle="""
         SELECT * FROM (VALUES
             ('0f1e2d3c4b5a6978', 'CORNER CAFE', '12 High Street, London',
-             TIMESTAMP '2023-11-02 00:00:00', CAST(18.20 AS DECIMAL(18,2)),
-             CAST(17.00 AS DECIMAL(18,2)), CAST(1.20 AS DECIMAL(18,2)),
+             TIMESTAMP '2023-11-02 00:00:00', CAST(18.20 AS DOUBLE),
+             CAST(17.00 AS DOUBLE), CAST(1.20 AS DOUBLE),
              'Pound Sterling', 'TABLE=7'),
             ('a1b2c3d4e5f60718', 'ACME MART #42', NULL,
-             TIMESTAMP '2023-03-05 14:07:00', CAST(25.00 AS DECIMAL(18,2)),
-             CAST(23.45 AS DECIMAL(18,2)), CAST(1.55 AS DECIMAL(18,2)),
+             TIMESTAMP '2023-03-05 14:07:00', CAST(25.00 AS DOUBLE),
+             CAST(23.45 AS DOUBLE), CAST(1.55 AS DOUBLE),
              'US Dollars', 'CASH=$26.00;CHANGE=0.56'),
             ('deadbeef00000000', 'Unknown', NULL,
-             NULL, CAST(0.00 AS DECIMAL(18,2)),
-             CAST(0.00 AS DECIMAL(18,2)), CAST(0.00 AS DECIMAL(18,2)),
+             CAST(NULL AS TIMESTAMP), CAST(0.00 AS DOUBLE),
+             CAST(0.00 AS DOUBLE), CAST(0.00 AS DOUBLE),
              'US Dollars', '')
         ) AS t(img_id, vendor_name, receiver_address, receipt_date,
                total, sub_total, tax_amount, currency, other_repr)
+        ORDER BY img_id
     """,
     doc=(
         "End-to-end receipt slice: nested AnalyzeExpense docs → flatten (P1) → "
@@ -75,9 +76,9 @@ def q_e1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vendor_name",
         "receiver_address",
         "receipt_date",
-        "total",
-        "sub_total",
-        "tax_amount",
+        F.col("total").cast("double").alias("total"),
+        F.col("sub_total").cast("double").alias("sub_total"),
+        F.col("tax_amount").cast("double").alias("tax_amount"),
         "currency",
         other_repr(F.col("other_data")).alias("other_repr"),
     ).orderBy("img_id")
@@ -87,9 +88,10 @@ def q_e1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_e2_receipt_line_items",
     oracle="""
         SELECT * FROM (VALUES
-            ('a1b2c3d4e5f60718', 1, 'COFFEE BEANS', CAST(12.99 AS DECIMAL(18,2)), 1),
-            ('a1b2c3d4e5f60718', 2, 'OAT MILK', CAST(3.49 AS DECIMAL(18,2)), 1)
+            ('a1b2c3d4e5f60718', 1, 'COFFEE BEANS', CAST(12.99 AS DOUBLE), 1),
+            ('a1b2c3d4e5f60718', 2, 'OAT MILK', CAST(3.49 AS DOUBLE), 1)
         ) AS t(img_id, line_no, item_name, price, quantity)
+        ORDER BY img_id, line_no
     """,
     doc=(
         "Line items natively from LineItemGroups (replaces the reference's "
@@ -101,7 +103,11 @@ def q_e1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_e2(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = extract_line_items(fixture_df(spark))
     return items.select(
-        "img_id", F.col("line_no").cast("int"), "item_name", "price", "quantity"
+        "img_id",
+        F.col("line_no").cast("int"),
+        "item_name",
+        F.col("price").cast("double").alias("price"),
+        "quantity",
     ).orderBy("img_id", "line_no")
 
 
@@ -119,10 +125,10 @@ def q_e2(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM part
         )
         SELECT p_partkey, money_str,
-               CAST(regexp_replace(
+               CAST(CAST(regexp_replace(
                     regexp_extract(money_str,
                         '^\\s*([£$€])?\\s*([0-9][0-9,]*\\.?[0-9]*)\\s*$', 2),
-                    ',', '') AS DECIMAL(18,2)) AS amount,
+                    ',', '') AS DECIMAL(18,2)) AS DOUBLE) AS amount,
                CASE regexp_extract(money_str,
                         '^\\s*([£$€])?\\s*([0-9][0-9,]*\\.?[0-9]*)\\s*$', 1)
                     WHEN '$' THEN 'US Dollars'
@@ -131,6 +137,7 @@ def q_e2(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 'US Dollars'
                END AS currency
         FROM tagged
+        ORDER BY p_partkey
     """,
     doc=(
         "Money-parser roundtrip over the synthetic tables: format a decimal "
@@ -153,9 +160,13 @@ def q_f4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("p_partkey") % 4 == 2, F.concat(F.lit("€ "), dec_str))
         .otherwise(dec_str)
     )
-    return p.select("p_partkey", money_str.alias("money_str")).select(
-        "p_partkey",
-        "money_str",
-        money_amount(F.col("money_str")).alias("amount"),
-        money_currency_name(F.col("money_str")).alias("currency"),
+    return (
+        p.select("p_partkey", money_str.alias("money_str"))
+        .select(
+            "p_partkey",
+            "money_str",
+            money_amount(F.col("money_str")).cast("double").alias("amount"),
+            money_currency_name(F.col("money_str")).alias("currency"),
+        )
+        .orderBy("p_partkey")
     )

@@ -6,12 +6,23 @@ DuckDB runs on the same parquet tables. The driver's correctness gate
 value-hash between the two, with columns sorted by name — so every
 computed column is aliased identically on both sides.
 
-Determinism rules baked into every entry (SURVEY.md §7.3.1):
+Determinism rules baked into every entry (SURVEY.md §7.3.1, tightened
+after round 1 — VERDICT.md found the driver compares through the pandas
+fetch path, where DuckDB DECIMAL/HUGEINT/DATE all collapse to float64 /
+datetime64 while Spark keeps Decimal objects / int64 / date objects):
 
+- **Output-type contract**: final projections contain ONLY BIGINT,
+  DOUBLE, STRING, BOOLEAN, TIMESTAMP (naive micros), or arrays thereof.
+  Never DECIMAL (Spark pandas: ``Decimal('17.00')`` vs DuckDB ``17.0``),
+  never DATE (``date`` object vs ``datetime64`` midnight), never a
+  DuckDB-side integer SUM left un-cast (HUGEINT → float64 ``5.0``).
 - Money math happens in DECIMAL: inputs cast to DECIMAL(18,2) *before*
   aggregation (decimal sums are exact ⇒ shuffle/partition order can't
-  change the result), final aggregates cast to a fixed scale so both
-  engines report the same type and string form.
+  change the result); the FINAL column is cast DECIMAL→DOUBLE on both
+  engines — one exact decimal value → one identical IEEE double.
+- Every query carries a total ORDER BY with a unique tiebreaker on both
+  sides, so output order is deterministic even though the driver's hash
+  sorts rows.
 - Averages of decimals are computed as CAST(decimal_sum AS DOUBLE)/count:
   one IEEE division of identical operands — identical bits in both
   engines — instead of engine-specific decimal-division scale rules.

@@ -59,8 +59,9 @@ def q_p1(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderkey,
                CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS size_class,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec
         FROM orders
+        ORDER BY o_orderkey
     """,
     doc="CASE/WHEN dispatch + decimal money cast (SURVEY P3, F1).",
     tags=("projection", "case"),
@@ -70,8 +71,8 @@ def q_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.when(F.col("o_totalprice") > 100000, "big").otherwise("small").alias("size_class"),
-        dec2("o_totalprice").alias("price_dec"),
-    )
+        dec2("o_totalprice").cast("double").alias("price_dec"),
+    ).orderBy("o_orderkey")
 
 
 # ---------------------------------------------------------------------------
@@ -83,15 +84,16 @@ def q_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_a1_conditional_pivot",
     oracle="""
         SELECT o_custkey,
-               MAX(CASE WHEN o_orderpriority = '1-URGENT'
-                   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS urgent_max,
-               MAX(CASE WHEN o_orderpriority = '2-HIGH'
-                   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS high_max,
-               MAX(CASE WHEN o_orderpriority = '5-LOW'
-                   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS low_max,
+               CAST(MAX(CASE WHEN o_orderpriority = '1-URGENT'
+                   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent_max,
+               CAST(MAX(CASE WHEN o_orderpriority = '2-HIGH'
+                   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS high_max,
+               CAST(MAX(CASE WHEN o_orderpriority = '5-LOW'
+                   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS low_max,
                COUNT(*) AS n_orders
         FROM orders
         GROUP BY o_custkey
+        ORDER BY o_custkey
     """,
     doc=(
         "KV-rows→wide-row pivot by conditional aggregation — the Spark form of the "
@@ -108,11 +110,12 @@ def q_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("o_custkey")
         .agg(
-            bucket("1-URGENT").alias("urgent_max"),
-            bucket("2-HIGH").alias("high_max"),
-            bucket("5-LOW").alias("low_max"),
+            bucket("1-URGENT").cast("double").alias("urgent_max"),
+            bucket("2-HIGH").cast("double").alias("high_max"),
+            bucket("5-LOW").cast("double").alias("low_max"),
             F.count("*").alias("n_orders"),
         )
+        .orderBy("o_custkey")
     )
 
 
@@ -140,10 +143,10 @@ def q_a2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_a3_tpch_q1",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
                COUNT(*) AS count_order
         FROM lineitem
@@ -162,10 +165,10 @@ def q_a3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            sum_qty.cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(dec2("l_extendedprice")).cast("decimal(18,2)").alias("sum_base"),
+            sum_qty.cast("double").alias("sum_qty"),
+            F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base"),
             F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("sum_disc_price"),
             avg_via_decimal(sum_qty, F.count("*")).alias("avg_qty"),
             F.count("*").alias("count_order"),
@@ -199,7 +202,7 @@ def q_a5(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT r_name, n_name,
                COUNT(*) AS n_cust,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         FROM region
         JOIN nation ON n_regionkey = r_regionkey
         JOIN customer ON c_nationkey = n_nationkey
@@ -218,7 +221,7 @@ def q_a4(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("r_name", "n_name")
         .agg(
             F.count("*").alias("n_cust"),
-            F.sum(dec2("c_acctbal")).cast("decimal(18,2)").alias("sum_bal"),
+            F.sum(dec2("c_acctbal")).cast("double").alias("sum_bal"),
         )
         .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
     )
@@ -234,7 +237,7 @@ def q_a4(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT n_name,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -273,7 +276,7 @@ def q_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("revenue")
         )
         .orderBy("n_name")
@@ -284,15 +287,16 @@ def q_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_j2_reconciliation",
     oracle="""
         SELECT o_orderkey,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS header_total,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS header_total,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS line_total,
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS line_total,
                (ABS(CAST(o_totalprice AS DECIMAL(18,2))
                     - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4))) > 1.0)
                  AS mismatch
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         GROUP BY o_orderkey, o_totalprice
+        ORDER BY o_orderkey
     """,
     doc=(
         "Header-vs-Σ(line items) reconciliation — receipt_summary.total vs "
@@ -313,13 +317,19 @@ def q_j2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side arrives already hash-partitioned by key from its groupBy, so
     # the join adds no extra exchange for it.
     per_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
-        line_total.alias("line_total")
+        line_total.alias("line_total_dec")
     )
-    return o.join(per_order, "o_orderkey").select(
-        "o_orderkey",
-        dec2("o_totalprice").alias("header_total"),
-        "line_total",
-        (F.abs(dec2("o_totalprice") - F.col("line_total")) > 1.0).alias("mismatch"),
+    return (
+        o.join(per_order, "o_orderkey")
+        .select(
+            "o_orderkey",
+            dec2("o_totalprice").cast("double").alias("header_total"),
+            F.col("line_total_dec").cast("double").alias("line_total"),
+            # mismatch is decided in exact DECIMAL on both engines; only the
+            # reported columns are cast to DOUBLE (pandas-path hash contract).
+            (F.abs(dec2("o_totalprice") - F.col("line_total_dec")) > 1.0).alias("mismatch"),
+        )
+        .orderBy("o_orderkey")
     )
 
 
@@ -403,9 +413,9 @@ def q_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
             "c_custkey",
             "c_acctbal",
-            F.row_number().over(w_unique).alias("rn"),
-            F.rank().over(w_rank).alias("rnk"),
-            F.dense_rank().over(w_rank).alias("drnk"),
+            F.row_number().over(w_unique).cast("long").alias("rn"),
+            F.rank().over(w_rank).cast("long").alias("rnk"),
+            F.dense_rank().over(w_rank).cast("long").alias("drnk"),
         )
         .where(F.col("rn") <= 3)
         .orderBy("c_mktsegment", "rn")
@@ -416,13 +426,15 @@ def q_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_w2_lag_running",
     oracle="""
         SELECT o_custkey, o_orderkey,
-               LAG(CAST(o_totalprice AS DECIMAL(18,2)))
-                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+               CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2)))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+                   AS prev_price,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS DECIMAL(18,2)) AS running_total
+                   AS DOUBLE) AS running_total
         FROM orders
+        ORDER BY o_orderkey
     """,
     doc="Analytic lag + running-frame sum per customer (SURVEY Q-W2).",
     tags=("window",),
@@ -436,12 +448,12 @@ def q_w2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.lag(dec2("o_totalprice")).over(w).alias("prev_price"),
+        F.lag(dec2("o_totalprice")).over(w).cast("double").alias("prev_price"),
         F.sum(dec2("o_totalprice"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("running_total"),
-    )
+    ).orderBy("o_orderkey")
 
 
 # ---------------------------------------------------------------------------
@@ -454,7 +466,7 @@ def q_w2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT p.p_partkey, p.p_name,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_partkey, p.p_name
         ORDER BY revenue DESC, p_partkey
@@ -472,7 +484,7 @@ def q_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey", "p_name")
         .agg(
             F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("p_partkey"))
@@ -562,17 +574,17 @@ def q_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(F.col("p_brand"), "([0-9]+)", 1).alias("brand_num"),
         F.regexp_replace(F.col("p_type"), "[AEIOU]", "_").alias("type_masked"),
         F.upper(F.col("p_name")).alias("name_upper"),
-        F.length(F.col("p_name")).alias("name_len"),
+        F.length(F.col("p_name")).cast("long").alias("name_len"),
     )
 
 
 @register(
     "q_f2_date_ops",
     oracle="""
-        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
-               CAST(year(o_orderdate) AS INT) AS order_year,
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+               CAST(year(o_orderdate) AS BIGINT) AS order_year,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS month_total
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_total
         FROM orders
         GROUP BY 1, 2
         ORDER BY 1
@@ -585,13 +597,16 @@ def q_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy(
             # trunc() yields DateType — zone-independent, unlike date_trunc()
-            # which promotes NTZ inputs to session-zone timestamps.
-            F.trunc(F.col("o_orderdate"), "month").alias("order_month"),
-            F.year("o_orderdate").cast("int").alias("order_year"),
+            # which promotes NTZ inputs to session-zone timestamps. The final
+            # NTZ cast re-widens date → midnight timestamp (still zone-free)
+            # because DATE surfaces as `datetime.date` on the Spark pandas
+            # path but `datetime64` on DuckDB's — a guaranteed hash mismatch.
+            F.trunc(F.col("o_orderdate"), "month").cast("timestamp_ntz").alias("order_month"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
         )
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(dec2("o_totalprice")).cast("decimal(18,2)").alias("month_total"),
+            F.sum(dec2("o_totalprice")).cast("double").alias("month_total"),
         )
         .orderBy("order_month")
     )

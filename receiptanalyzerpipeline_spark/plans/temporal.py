@@ -88,12 +88,13 @@ def q_as1(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p.purchase_id, p.user_id, p.pts,
                COUNT(v.vts) AS n_views_1h,
                CAST(COALESCE(SUM(CAST(v.value AS DECIMAL(18,6))), 0)
-                    AS DECIMAL(18,6)) AS sum_view_value
+                    AS DOUBLE) AS sum_view_value
         FROM p LEFT JOIN v
           ON v.user_id = p.user_id
          AND v.vts <= p.pts
          AND v.vts >= p.pts - INTERVAL 1 HOUR
         GROUP BY 1, 2, 3
+        ORDER BY purchase_id
     """,
     doc=(
         "Bounded time-range join: views in the hour before each purchase, "
@@ -113,13 +114,17 @@ def q_as2(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = time_range_join(
         p, v, on=["user_id"], left_ts="pts", right_ts="vts", window_seconds=3600, how="left"
     )
-    return j.groupBy("purchase_id", "user_id", "pts").agg(
-        F.count("vts").alias("n_views_1h"),
-        F.coalesce(
-            F.sum(F.col("value").cast("decimal(18,6)")), F.lit(0).cast("decimal(18,6)")
+    return (
+        j.groupBy("purchase_id", "user_id", "pts")
+        .agg(
+            F.count("vts").alias("n_views_1h"),
+            F.coalesce(
+                F.sum(F.col("value").cast("decimal(18,6)")), F.lit(0).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("sum_view_value"),
         )
-        .cast("decimal(18,6)")
-        .alias("sum_view_value"),
+        .orderBy("purchase_id")
     )
 
 
