@@ -61,7 +61,13 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from receiptanalyzerpipeline_spark.session import prepare_session
+
+        # Deliberate session prep, not a hidden read side effect: the driver
+        # invokes queries on a vanilla SparkSession, so the catalog is the
+        # last place that can guarantee the nanos flag before an events scan.
+        # See prepare_session for why the flag must outlive this call.
+        prepare_session(spark)
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             # NTZ, built by exact integer micro-addition: wall-clock identical

@@ -135,8 +135,14 @@ def ocr_with_cache(
         cache = spark.createDataFrame([], OCR_RESULT_SCHEMA)
 
     misses = distinct_imgs.join(cache.select("ahash"), "ahash", "left_anti")
-    fresh = ocr_expense(misses, backend)
-    if fresh.limit(1).count() > 0:
-        fresh.write.mode("append").parquet(cache_path)
-    cache_now = spark.read.parquet(cache_path)
+    # Probe MISSES (a plain anti-join) for emptiness, never the OCR output:
+    # probing `fresh` would invoke the backend once for the probe and again
+    # for the write — two paid calls per miss. The single `fresh.write` job
+    # below is the only execution of the OCR stage.
+    if misses.limit(1).count() > 0:
+        ocr_expense(misses, backend).write.mode("append").parquet(cache_path)
+    try:
+        cache_now = spark.read.parquet(cache_path)
+    except Exception:  # nothing cached and nothing missed: empty input
+        return spark.createDataFrame([], OCR_RESULT_SCHEMA)
     return cache_now.join(distinct_imgs.select("ahash"), "ahash", "left_semi")

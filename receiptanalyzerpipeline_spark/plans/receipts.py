@@ -54,7 +54,7 @@ def other_repr(map_col) -> F.Column:
             ('a1b2c3d4e5f60718', 'ACME MART #42', NULL,
              TIMESTAMP '2023-03-05 14:07:00', CAST(25.00 AS DOUBLE),
              CAST(23.45 AS DOUBLE), CAST(1.55 AS DOUBLE),
-             'US Dollars', 'CASH=$26.00;CHANGE=0.56'),
+             'US Dollars', 'CASH=$26.00;CHANGE=0.56;Total=$25.00'),
             ('deadbeef00000000', 'Unknown', NULL,
              CAST(NULL AS TIMESTAMP), CAST(0.00 AS DOUBLE),
              CAST(0.00 AS DOUBLE), CAST(0.00 AS DOUBLE),

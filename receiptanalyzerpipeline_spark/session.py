@@ -71,4 +71,25 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    prepare_session(spark)
+    return spark
+
+
+def prepare_session(spark: SparkSession) -> SparkSession:
+    """Pin the runtime-settable session invariants the engine relies on.
+
+    Called by ``get_spark`` and safe (idempotent) on any externally-built
+    session — e.g. the driver's vanilla SparkSession.
+
+    - ``spark.sql.legacy.parquet.nanosAsLong=true``: the ``events`` table is
+      parquet TIMESTAMP(NANOS), which Spark 4 otherwise refuses to scan at
+      all. With the flag, nanos arrive as raw INT64 and ``catalog.table``
+      rebuilds an exact NTZ microsecond timestamp. The flag must live for
+      the whole session: scans *execute* under it, so save-set-restore
+      breaks any already-built events plan (verified). Session-wide effect
+      on other datasets: parquet nano columns read as bigint instead of
+      erroring — no silent value change for non-nano data.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark

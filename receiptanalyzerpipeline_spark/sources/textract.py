@@ -185,18 +185,24 @@ def pivot_receipt_summary(kv: DataFrame) -> DataFrame:
     def last_wins(cond, value):
         return F.max_by(F.when(cond, value), F.when(cond, F.col("pos")))
 
+    # Reference dispatch iterates the elif chain once per (key, value) PAIR
+    # of each field dict (anarcptlib.py:48-49: ``for key, value in
+    # rcpt_dict.items()``) — the TypeText pair and the LabelText pair
+    # dispatch independently. So a row with LabelText == 'Total' sets
+    # ``total`` REGARDLESS of its TypeText (which additionally feeds its own
+    # branch: SUBTOTAL also sets sub_total, OTHER also folds into
+    # other_data). The disjunction below reproduces that exactly.
     is_total = (F.col("TypeText") == "TOTAL") | (F.col("LabelText") == "Total")
     money_cols = {
         "total": is_total,
         "sub_total": F.col("TypeText") == "SUBTOTAL",
         "tax_amount": F.col("TypeText") == "TAX",
     }
-    # Reference dispatch is an elif chain: a row with LabelText 'Total' hits
-    # the TOTAL branch first, never OTHER. Null labels can't key the map.
+    # Null labels can't key a Spark map (reference would key a Python dict
+    # with None — documented divergence, SURVEY §7.4).
     is_other = (
         (F.col("TypeText") == "OTHER")
         & F.col("LabelText").isNotNull()
-        & (F.col("LabelText") != "Total")
         & F.col("ValueText").isNotNull()
         & (F.col("ValueText") != "")
     )

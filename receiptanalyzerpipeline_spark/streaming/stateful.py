@@ -83,19 +83,30 @@ def _session_fn(gap_seconds: int):
             )
             return
 
-        closed: list[tuple[int, int, int, float]] = []
-        cur = state.get if state.exists else None
+        # Interval-merge fold: the open session from state and every batch
+        # event are intervals; sort by start and merge neighbors within the
+        # gap. This gives exact parity with the batch sessionizer (lag +
+        # cumulative sum over globally sorted events) even when a
+        # cross-batch event arrives under the watermark with ts EARLIER
+        # than the open session's recorded start — membership is decided
+        # against both ends and session_start becomes the min (ADVICE r1).
+        gap_us = gap_seconds * 1_000_000
+        intervals: list[tuple[int, int, int, float]] = []
+        if state.exists:
+            intervals.append(tuple(state.get))
         for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
             for ts, value in zip(pdf["ts"], pdf["value"]):
                 ts_us = int(pd.Timestamp(ts).value // 1000)
-                if cur is None:
-                    cur = (ts_us, ts_us, 1, float(value))
-                elif ts_us - cur[1] <= gap_seconds * 1_000_000:
-                    cur = (cur[0], max(cur[1], ts_us), cur[2] + 1, cur[3] + float(value))
-                else:
-                    closed.append(cur)
-                    cur = (ts_us, ts_us, 1, float(value))
+                intervals.append((ts_us, ts_us, 1, float(value)))
+        intervals.sort(key=lambda iv: (iv[0], iv[1]))
+        merged: list[tuple[int, int, int, float]] = []
+        for iv in intervals:
+            if merged and iv[0] - merged[-1][1] <= gap_us:
+                s, e, n, v = merged[-1]
+                merged[-1] = (s, max(e, iv[1]), n + iv[2], v + iv[3])
+            else:
+                merged.append(iv)
+        closed, cur = merged[:-1], (merged[-1] if merged else None)
         if cur is not None:
             state.update(cur)
             # Close when the watermark passes session end + gap.
@@ -123,8 +134,11 @@ def sessionize_stream(
     (user_id, ts, value). One output row per closed session; sessions
     close via event-time timeout once the watermark passes last-event+gap.
 
-    Within a micro-batch, events are sorted by event time per key before
-    folding, so intra-batch disorder under the watermark is tolerated.
+    Events are folded by interval-merging (state ∪ batch events, sorted,
+    neighbors within the gap merged), so disorder under the watermark is
+    tolerated both within a micro-batch and across batches: an event older
+    than the open session's start extends it backwards (start = min),
+    exactly as the batch sessionizer over globally sorted events would.
     """
     return (
         events.withWatermark("ts", watermark)

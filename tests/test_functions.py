@@ -92,7 +92,10 @@ def test_pivot_last_wins(spark):
     assert acme["total"] == Decimal("25.00")  # not the earlier 24.99
     assert acme["other_data"]["CHANGE"] == "0.56"  # duplicate label, last wins
     assert "REWARDS" not in acme["other_data"]  # empty value dropped
-    assert "Total" not in acme["other_data"]  # label-Total row routed to TOTAL
+    # Reference dispatches TypeText and LabelText pairs independently
+    # (anarcptlib.py:48-49): an OTHER row labeled 'Total' BOTH sets total
+    # and folds into other_data.
+    assert acme["other_data"]["Total"] == "$25.00"
 
 
 def test_approx_quartiles_near_exact(spark, sf_dir):

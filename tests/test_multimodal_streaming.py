@@ -126,3 +126,55 @@ def test_streaming_ingest_idempotent(spark, stream_dirs):
         r["vendor_name"] for r in spark.read.parquet(d["summary"]).collect()
     }
     assert all(v.startswith("STUB VENDOR ") for v in vendors)
+
+
+def test_ocr_with_cache_single_invocation(spark, tmp_path):
+    """Regression (ADVICE r1): the cache probe must not execute the OCR
+    stage — each distinct image is analyzed exactly ONCE across repeated
+    ocr_with_cache calls, and an empty input with no cache yet returns an
+    empty frame instead of raising."""
+    from receiptanalyzerpipeline_spark.multimodal.images import with_ahash
+    from receiptanalyzerpipeline_spark.multimodal.ocr import ocr_with_cache
+
+    class _LoggingBackend:
+        """Appends one line per analyze() call to a shared file — visible
+        across Python worker processes, so the test can count exactly how
+        many times the paid OCR call ran. (Defined inside the test so
+        cloudpickle ships it by value to the workers.)"""
+
+        def __init__(self, log_path: str):
+            self.log_path = log_path
+
+        def analyze(self, content: bytes, ahash: str) -> dict:
+            with open(self.log_path, "a") as f:
+                f.write(ahash + "\n")
+            from receiptanalyzerpipeline_spark.multimodal.ocr import StubBackend
+
+            return StubBackend().analyze(content, ahash)
+
+    log = tmp_path / "calls.log"
+    cache = str(tmp_path / "ocr_cache")
+    backend = _LoggingBackend(str(log))
+
+    imgs = with_ahash(images_df(spark, {"a": IMG_A, "a2": IMG_A2, "c": IMG_C}))
+    out1 = ocr_with_cache(spark, imgs, cache, backend)
+    assert out1.count() == 2  # a==a2 collapse
+    calls = log.read_text().splitlines()
+    assert len(calls) == 2, f"each distinct ahash OCR'd exactly once, got {calls}"
+
+    # Re-run with the same inputs: all hits, zero new backend calls.
+    out2 = ocr_with_cache(spark, imgs, cache, backend)
+    assert out2.count() == 2
+    assert len(log.read_text().splitlines()) == 2
+
+    # One genuinely new image → exactly one more call.
+    more = with_ahash(images_df(spark, {"a": IMG_A, "b": IMG_B}))
+    out3 = ocr_with_cache(spark, more, cache, backend)
+    assert out3.count() == 2
+    assert len(log.read_text().splitlines()) == 3
+
+    # Empty input against a cache path that was never created: empty result.
+    empty = with_ahash(images_df(spark, {"a": IMG_A})).limit(0)
+    out4 = ocr_with_cache(spark, empty, str(tmp_path / "never_written"), backend)
+    assert out4.count() == 0
+    assert len(log.read_text().splitlines()) == 3

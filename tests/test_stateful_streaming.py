@@ -161,3 +161,60 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     q.awaitTermination(timeout=300)
     got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dd_wm").collect())
     assert got == [1, 2, 3], got
+
+
+def test_out_of_order_event_extends_session_backwards(spark, tmp_path):
+    """Regression (ADVICE r1): a cross-batch event arriving under the
+    watermark with ts EARLIER than the open session's recorded start must
+    extend the session backwards (start = min), matching the batch
+    sessionizer over globally sorted events."""
+    import json as _json
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # Batch 1: session opens at 10:00. Watermark after batch 1: 09:30.
+    with open(landing / "b1.json", "w") as f:
+        f.write(
+            _json.dumps({"user_id": 7, "ts": "2024-01-01T10:00:00", "value": 1.0}) + "\n"
+        )
+    # Batch 2: 09:50 — under the watermark, earlier than the open start,
+    # within the 30-min gap of it → same session, start must become 09:50.
+    with open(landing / "b2.json", "w") as f:
+        f.write(
+            _json.dumps({"user_id": 7, "ts": "2024-01-01T09:50:00", "value": 2.0}) + "\n"
+        )
+    # Batch 3: far-later event for the same user: the fold closes the old
+    # session immediately (gap exceeded) and emits it.
+    with open(landing / "b3.json", "w") as f:
+        f.write(
+            _json.dumps({"user_id": 7, "ts": "2024-01-01T13:00:00", "value": 3.0}) + "\n"
+        )
+    # The file source orders micro-batches by modification time — pin
+    # strictly increasing mtimes so b1 → b2 → b3 is the actual replay order
+    # (same-second writes otherwise tie and can reorder).
+    import os
+
+    for i, name in enumerate(["b1.json", "b2.json", "b3.json"]):
+        os.utime(landing / name, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.schema(STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    sessions = sessionize_stream(stream, gap_seconds=GAP_S, watermark="30 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("ooo_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    rows = spark.sql("SELECT * FROM ooo_sessions").collect()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert r["session_start"].isoformat() == "2024-01-01T09:50:00"
+    assert r["session_end"].isoformat() == "2024-01-01T10:00:00"
+    assert r["n_events"] == 2
+    assert r["sum_value"] == 3.0
