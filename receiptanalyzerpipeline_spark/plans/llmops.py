@@ -364,21 +364,73 @@ def q_n2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_x5_ann_lsh",
-    oracle=None,  # approximate by design; determinism + recall pinned in tests
+    oracle="""
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        planes AS (SELECT unnest(range(16)) AS p),
+        dots AS (
+            -- Exact replay of operators/similarity.py hyperplane math:
+            -- sign(p,d) = parity of md5('p:d')'s first hex digit, and the
+            -- dot product accumulates LEFT-TO-RIGHT from 0.0 (list_reduce
+            -- with a prepended 0.0) — the same IEEE operation sequence as
+            -- Spark's F.aggregate, so bucket signs match bit-for-bit.
+            SELECT e.vec_id, p.p,
+                   list_reduce(
+                       list_prepend(0.0, list_transform(range(len(e.v)),
+                           i -> e.v[i+1] *
+                                CASE WHEN substr(md5(p.p || ':' || i), 1, 1)
+                                          IN ('1','3','5','7','9','b','d','f')
+                                     THEN 1.0 ELSE -1.0 END)),
+                       (acc, x) -> acc + x) AS dot
+            FROM emb e, planes p
+        ),
+        sigs AS (
+            SELECT vec_id, p // 4 AS tbl,
+                   SUM(CASE WHEN dot > 0 THEN 1 << (p % 4) ELSE 0 END) AS bucket
+            FROM dots GROUP BY 1, 2
+        ),
+        cands AS (
+            SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+            FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.bucket = c.bucket
+            WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+        ),
+        scored AS (
+            SELECT cd.q_id, cd.vec_id,
+                   round(list_cosine_similarity(eq.v, ec.v), 4) AS sim
+            FROM cands cd
+            JOIN emb eq ON eq.vec_id = cd.q_id
+            JOIN emb ec ON ec.vec_id = cd.vec_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM scored
+        )
+        SELECT q_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 3
+        ORDER BY q_id, rank
+    """,
     doc=(
-        "LSH-bucketed approximate top-3: hyperplane signs from md5 parity, "
-        "candidates = same-bucket corpus vectors only (SURVEY N4 scale path). "
-        "Rows-only driver check; tests/test_llmops.py pins determinism and "
-        "recall vs the brute-force baseline."
+        "LSH-bucketed ANN top-3, fully hash-checked: hyperplane signs from "
+        "md5 parity (seedless, engine-portable), candidates = corpus "
+        "vectors sharing a (table, bucket) key with the probe, exact "
+        "cosine rerank inside the candidate set (SURVEY N4 scale path — "
+        "the plan is a bucket EQUI-join, not a nested loop; "
+        "test_plan_shapes pins it). The oracle replays the identical "
+        "bucket assignment in DuckDB SQL, so the driver verifies the "
+        "whole pruned pipeline, not just row counts; recall vs brute "
+        "force is pinned in tests/test_llmops.py."
     ),
     tags=("similarity", "embedding", "ann"),
+    bench=True,
 )
 def q_x5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     probes = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    return S.lsh_bucketed_topk(emb, probes, k=3)
+    topk = S.lsh_bucketed_topk(emb, probes, k=3)
+    return topk.withColumn("rank", F.col("rank").cast("long")).orderBy("q_id", "rank")
 
 
 @register(

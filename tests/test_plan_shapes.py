@@ -108,3 +108,39 @@ def test_no_query_uses_python_row_udf(spark, registry):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_q_j2_aggregates_before_join(spark, registry):
+    """Reconciliation collapses lineitem per-order BEFORE the join, so the
+    join shuffle moves |orders| rows, not |lineitem| (SCALE.md). In the
+    optimized tree the Aggregate must sit BELOW the Join (printed after)."""
+    plan = _optimized(registry["q_j2_reconciliation"].spark(spark, SF_DIR))
+    assert "Join" in plan and "Aggregate" in plan
+    assert plan.index("Join") < plan.index("Aggregate"), (
+        "Aggregate must be a child of the Join (aggregate-before-join)"
+    )
+
+
+def test_q_d3_minhash_banded_join_no_cartesian(spark, registry):
+    """MinHash-LSH candidates come from a band-bucket EQUI-join; the plan
+    must never fall back to a cartesian/nested-loop doc x doc pairing."""
+    plan = _executed_plan(registry["q_d3_minhash_lsh"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q_d5_blocked_allpairs_is_equi_join(spark, registry):
+    """Exact cosine near-dup distributes its O(n^2) work via block-pair
+    equi-join keys - never a BroadcastNestedLoop of the whole corpus
+    (round-1 verdict scale-killer, fixed in round 2)."""
+    plan = _executed_plan(registry["q_d5_cosine_neardup"].spark(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q_x5_ann_is_bucket_equi_join(spark, registry):
+    """The ANN flagship prunes via (table, bucket) equi-join; corpus is
+    never nested-looped against probes."""
+    plan = _executed_plan(registry["q_x5_ann_lsh"].spark(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
