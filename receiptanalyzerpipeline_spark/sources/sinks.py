@@ -64,10 +64,13 @@ def read_evolved(spark: SparkSession, path: str) -> DataFrame:
 
 def write_jdbc(
     df: DataFrame, url: str, table: str, mode: str = "append", **options: str
-) -> None:  # pragma: no cover - no JDBC endpoint in this environment
-    """K1 parity sink: batch JDBC write (e.g. to the reference's SQLite via a
-    JDBC URL, or any warehouse). Untested here — no JDBC endpoint in the
-    container; the call shape is the standard DataFrameWriter JDBC path."""
+) -> None:
+    """K1 parity sink: batch JDBC write — the engine form of the reference's
+    SQLModel insert into SQLite (/root/reference/anarcpt/db.py:9-13).
+    Executed in tests against embedded Derby (jdbc:derby:<path>;create=true,
+    the in-process JDBC engine Spark ships for its metastore), proving the
+    full write+readback path; any other warehouse is the same call with its
+    URL/driver."""
     df.write.format("jdbc").option("url", url).option("dbtable", table).options(
         **options
     ).mode(mode).save()

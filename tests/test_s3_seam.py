@@ -1,0 +1,97 @@
+"""S2/S4 seam test: the image reader, parquet sinks, and the streaming
+ingest accept ``s3a://`` URIs with NO code change.
+
+There is no S3 (or hadoop-aws jar) in this environment, so the s3a scheme
+is served by a 30-line Hadoop FileSystem subclass over the local disk
+(tests/fixtures/FakeS3AFileSystem.java, compiled here at test time). That
+proves the engine passes s3a URIs cleanly through every path-handling
+layer — reader, glob filter, streaming file source, checkpoint, sink —
+which is the seam the reference crosses via boto3
+(/root/reference/anarcpt/anarcptlib.py:126-133, aws_lambda_fn.py:4-17).
+Real S3A semantics (credentials, listing consistency, committers) are
+cluster concerns outside this repo's scope.
+
+The probe runs in a SUBPROCESS because extraClassPath must be set before
+the shared test JVM starts.
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+PROBE = r'''
+import sys, tempfile
+from pathlib import Path
+from pyspark.sql import SparkSession
+
+classdir = sys.argv[1]
+spark = (SparkSession.builder.master("local[4]").appName("s3a-seam")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.extraClassPath", classdir)
+         .config("spark.hadoop.fs.s3a.impl", "FakeS3AFileSystem")
+         .config("spark.sql.shuffle.partitions", "4")
+         .getOrCreate())
+
+from receiptanalyzerpipeline_spark.multimodal.images import STUB_MAGIC, read_images, with_ahash
+from receiptanalyzerpipeline_spark.multimodal.ocr import StubBackend
+from receiptanalyzerpipeline_spark.streaming.ingest import run_ingest
+
+root = Path(tempfile.mkdtemp())
+landing = root / "landing"; landing.mkdir()
+img = STUB_MAGIC + bytes([10] * 32 + [200] * 32)
+(landing / "scan_001.png").write_bytes(img)
+(landing / "notes.txt").write_bytes(b"not an image")
+
+# S1-over-S3 (S2): batch image scan via s3a URI, glob filter intact.
+df = with_ahash(read_images(spark, f"s3a://{landing}"))
+rows = df.collect()
+assert len(rows) == 1, rows
+assert rows[0]["ahash"], "ahash computed through the s3a reader"
+
+# K4: parquet sink writes through s3a, reads back via file://.
+out = f"s3a://{root}/curated"
+df.select("path", "ahash").write.mode("overwrite").parquet(out)
+assert spark.read.parquet(f"file://{root}/curated").count() == 1
+
+# S4: the streaming source drains an s3a landing dir. The CHECKPOINT stays
+# on file:// — Spark's checkpoint manager goes through the FileContext
+# (AbstractFileSystem) API, a separate seam; production checkpoints live on
+# HDFS-like storage regardless.
+run_ingest(spark,
+           f"s3a://{landing}", f"file://{root}/ckpt", f"s3a://{root}/raw",
+           f"s3a://{root}/summary", f"s3a://{root}/items",
+           StubBackend(), available_now=True)
+n = spark.read.parquet(f"file://{root}/summary").count()
+assert n == 1, f"streaming ingest through s3a produced {n} summary rows"
+print("S3A-SEAM-OK")
+'''
+
+
+def test_s3a_seam_reader_sink_and_stream(tmp_path):
+    javac = shutil.which("javac")
+    if javac is None:
+        pytest.skip("no javac in environment")
+    classdir = tmp_path / "classes"
+    classdir.mkdir()
+    import glob as _glob
+
+    spark_jars = "/opt/spark/jars/*"
+    compile_ = subprocess.run(
+        [javac, "-cp", spark_jars, "-d", str(classdir),
+         str(FIXTURES / "FakeS3AFileSystem.java")],
+        capture_output=True, text=True,
+    )
+    assert compile_.returncode == 0, compile_.stderr
+    probe = subprocess.run(
+        [sys.executable, "-c", PROBE, str(classdir)],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert probe.returncode == 0, probe.stderr[-3000:]
+    assert "S3A-SEAM-OK" in probe.stdout
