@@ -1,0 +1,91 @@
+"""Connected components over near-dup pair edges (SURVEY N1-N3 closure).
+
+Pairwise near-dup detection (MinHash/SimHash/aHash/cosine) yields EDGES;
+deduplication must act on their transitive closure — if A~B and B~C, the
+three documents are one cluster even when A~C was never emitted, and a
+train/test split that keeps A in train and C in test leaks. This operator
+resolves edges into clusters with a deterministic label (the minimum
+member id), the standard final stage of a training-data dedup pipeline.
+
+Algorithm: iterative min-label propagation. Each round, every node takes
+the minimum label among itself and its neighbors — one shuffle (groupBy)
+per round, converging in O(graph diameter) rounds. Near-dup graphs are
+piles of small dense clusters (diameter 2-4), so 3-5 rounds is typical;
+``max_iter`` bounds pathological chains. Lineage is truncated every round
+with ``localCheckpoint`` so the plan does not grow with iterations.
+
+Scale notes (100 TB): each round is one self-contained shuffle on node
+id — the same cost class as a groupBy over the edge list; no state is
+driver-resident (the driver only reads the converged flag, one count per
+round). For adversarial long-chain graphs, swap the propagation body for
+the large-star/small-star rounds of Kiveris et al. (2014), which contract
+paths exponentially and converge in O(log n) rounds; the operator
+contract (edges in, min-labeled nodes out) is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve undirected edges into components.
+
+    Returns one row per node appearing in ``edges``: (id, component),
+    where component is the minimum node id in the cluster — deterministic
+    regardless of partitioning or iteration order.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors(
+    corpus: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-aware dedup decision: keep the minimum-id member of every
+    near-dup cluster, plus every document that appears in no cluster.
+    ``labels`` is the output of :func:`connected_components`."""
+    losers = labels.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return corpus.join(losers, id_col, "left_anti")

@@ -130,3 +130,28 @@ def winnow_fingerprints(c: str | Column, k: int = 5, window: int = 4) -> Column:
         return texts.map(fp)
 
     return _winnow(_as_col(c))
+
+
+# PII redaction (training-data hygiene). Regexes restricted to syntax valid
+# in both Java regex (Spark) and RE2 (DuckDB oracle): no backrefs, no
+# lookaround — so the oracle replays the exact transformation.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9 ()\-]{6,}[0-9]"
+
+
+def count_emails(c: str | Column) -> Column:
+    return F.size(F.regexp_extract_all(_as_col(c), F.lit(EMAIL_RE), 0)).cast("long")
+
+
+def count_phones(c: str | Column) -> Column:
+    return F.size(F.regexp_extract_all(_as_col(c), F.lit(PHONE_RE), 0)).cast("long")
+
+
+def redact_pii(c: str | Column) -> Column:
+    """Replace emails then phone-shaped digit runs with typed placeholders.
+
+    Order matters (and is part of the operator contract): emails first so
+    their digits can't be half-eaten by the phone pattern. One JVM-side
+    regexp_replace chain — no UDF, codegen-friendly, linear per row."""
+    no_email = F.regexp_replace(_as_col(c), EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_RE, "<PHONE>")

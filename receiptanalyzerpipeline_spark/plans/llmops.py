@@ -265,6 +265,61 @@ def q_d3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_d7_dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE
+        {_SHINGLES_CTE},
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        ),
+        sym AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM sym) t
+            UNION
+            SELECT s.a, r.r FROM sym s JOIN reach r ON r.id = s.b
+        )
+        SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY id
+        ORDER BY doc_id
+    """,
+    doc=(
+        "Near-dup CLUSTER resolution: MinHash-LSH pairs (q_d3's edges) "
+        "closed into connected components with a deterministic min-id "
+        "label — the transitive-closure step a leakage-safe dedup/split "
+        "needs (A~B, B~C ⇒ {A,B,C} one cluster even though A~C was never "
+        "emitted). Spark side is iterative min-label propagation, one "
+        "shuffle per round, O(cluster diameter) rounds "
+        "(operators/components.py); oracle is a recursive-CTE reachability "
+        "closure over the exhaustive exact-Jaccard pairs."
+    ),
+    tags=("dedup", "graph", "components"),
+)
+def q_d7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from receiptanalyzerpipeline_spark.operators.components import connected_components
+
+    pairs = D.minhash_lsh_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", k=3, threshold=0.5, n_hashes=32, rows_per_band=2
+    )
+    labels = connected_components(pairs.select("id_a", "id_b"))
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+@register(
     "q_d4_simhash",
     oracle="""
         WITH tok AS (
@@ -305,6 +360,147 @@ def q_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = D.simhash_signatures(_docs(spark, sf_dir), "doc_id", "text")
     pairs = D.simhash_pairs(sigs, max_hamming=3)
     return pairs.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+@register(
+    "q_x7_leakage_safe_split",
+    oracle=f"""
+        WITH RECURSIVE
+        {_SHINGLES_CTE},
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        ),
+        sym AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM sym) t
+            UNION
+            SELECT s.a, r.r FROM sym s JOIN reach r ON r.id = s.b
+        ),
+        clusters AS (
+            SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+        ),
+        keyed AS (
+            SELECT d.doc_id,
+                   COALESCE(c.cluster_id, d.doc_id) AS split_key
+            FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+        )
+        SELECT doc_id,
+               CAST(split_key AS BIGINT) AS split_key,
+               CASE WHEN CAST(('0x' || substr(md5('split:' || split_key), 1, 4))
+                         AS BIGINT) < 58982 THEN 'train'
+                    WHEN CAST(('0x' || substr(md5('split:' || split_key), 1, 4))
+                         AS BIGINT) < 62259 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM keyed
+        ORDER BY doc_id
+    """,
+    doc=(
+        "Leakage-safe deterministic train/valid/test split (90/5/5): the "
+        "split key is the near-dup CLUSTER label (q_d7), so near-duplicate "
+        "documents always land in the same split; membership comes from "
+        "md5('split:'||key) buckets — seedless, partition-independent, "
+        "rerun-stable (operators/sampling.py). Oracle replays cluster "
+        "closure + the md5 bucket math exactly."
+    ),
+    tags=("sampling", "split", "dedup", "north-star"),
+)
+def q_x7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from receiptanalyzerpipeline_spark.operators.components import connected_components
+    from receiptanalyzerpipeline_spark.operators.sampling import deterministic_split
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5, n_hashes=32, rows_per_band=2
+    )
+    clusters = connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    keyed = docs.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("split_key"),
+    )
+    return keyed.select(
+        "doc_id",
+        "split_key",
+        deterministic_split(
+            F.col("split_key"), {"train": 0.90, "valid": 0.05, "test": 0.05}
+        ).alias("split"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_x8_pii_redaction",
+    oracle=r"""
+        WITH seeded AS (
+            -- Deterministically inject PII into every 7th document so the
+            -- redaction path is exercised on known positives AND the
+            -- untouched majority.
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' contact: user' || doc_id
+                             || '@example.com or +1 (555) 010-'
+                             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE text END AS txt
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(txt,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(txt,
+                   '\+?[0-9][0-9 ()\-]{6,}[0-9]')) AS BIGINT) AS n_phones,
+               regexp_replace(
+                   regexp_replace(txt,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\+?[0-9][0-9 ()\-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+        FROM seeded
+        ORDER BY doc_id
+    """,
+    doc=(
+        "PII scrubbing (training-data hygiene, SURVEY N6 family): emails "
+        "then phone-shaped digit runs replaced by typed placeholders, one "
+        "JVM-side regexp_replace chain (no UDF). Regex subset is valid in "
+        "both Java regex and RE2 so the oracle replays the exact "
+        "transformation; counts verified alongside the redacted text."
+    ),
+    tags=("text", "pii", "redaction"),
+)
+def q_x8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    return (
+        docs.select("doc_id", injected.alias("txt"))
+        .select(
+            "doc_id",
+            T.count_emails(F.col("txt")).alias("n_emails"),
+            T.count_phones(F.col("txt")).alias("n_phones"),
+            T.redact_pii(F.col("txt")).alias("redacted"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(

@@ -63,10 +63,11 @@ def q_m1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_m2_image_neardup",
     oracle="""
         SELECT * FROM (VALUES
-            ('scan_a', 'scan_a_copy', 0),
-            ('scan_a', 'scan_b', 1),
-            ('scan_a_copy', 'scan_b', 1)
+            ('scan_a', 'scan_a_copy', CAST(0 AS BIGINT)),
+            ('scan_a', 'scan_b', CAST(1 AS BIGINT)),
+            ('scan_a_copy', 'scan_b', CAST(1 AS BIGINT))
         ) AS t(id_a, id_b, hamming)
+        ORDER BY id_a, id_b
     """,
     doc=(
         "Near-duplicate images by aHash Hamming ≤ 2 via pigeonhole-banded "
@@ -76,4 +77,9 @@ def q_m1(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "dedup", "golden"),
 )
 def q_m2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ahash_neardup_pairs(with_ahash(images_df(spark)), max_hamming=2)
+    from pyspark.sql import functions as F
+
+    pairs = ahash_neardup_pairs(with_ahash(images_df(spark)), max_hamming=2)
+    return pairs.withColumn("hamming", F.col("hamming").cast("long")).orderBy(
+        "id_a", "id_b"
+    )

@@ -88,8 +88,8 @@ def q_e1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_e2_receipt_line_items",
     oracle="""
         SELECT * FROM (VALUES
-            ('a1b2c3d4e5f60718', 1, 'COFFEE BEANS', CAST(12.99 AS DOUBLE), 1),
-            ('a1b2c3d4e5f60718', 2, 'OAT MILK', CAST(3.49 AS DOUBLE), 1)
+            ('a1b2c3d4e5f60718', CAST(1 AS BIGINT), 'COFFEE BEANS', CAST(12.99 AS DOUBLE), CAST(1 AS BIGINT)),
+            ('a1b2c3d4e5f60718', CAST(2 AS BIGINT), 'OAT MILK', CAST(3.49 AS DOUBLE), CAST(1 AS BIGINT))
         ) AS t(img_id, line_no, item_name, price, quantity)
         ORDER BY img_id, line_no
     """,
@@ -104,10 +104,10 @@ def q_e2(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = extract_line_items(fixture_df(spark))
     return items.select(
         "img_id",
-        F.col("line_no").cast("int"),
+        F.col("line_no").cast("long").alias("line_no"),
         "item_name",
         F.col("price").cast("double").alias("price"),
-        "quantity",
+        F.col("quantity").cast("long").alias("quantity"),
     ).orderBy("img_id", "line_no")
 
 

@@ -500,17 +500,21 @@ def q_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_u1_except",
     oracle="""
-        SELECT c_nationkey AS nationkey FROM customer
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
         EXCEPT
-        SELECT s_nationkey AS nationkey FROM supplier
+        SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
         ORDER BY nationkey
     """,
     doc="EXCEPT (distinct) — nations with customers but no suppliers (SURVEY Q-U1).",
     tags=("setop",),
 )
 def q_u1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
     return c.subtract(s).orderBy("nationkey")
 
 
@@ -518,11 +522,12 @@ def q_u1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_u2_union_intersect",
     oracle="""
         SELECT nationkey, src FROM (
-            SELECT c_nationkey AS nationkey, 'both' AS src FROM customer
+            SELECT CAST(c_nationkey AS BIGINT) AS nationkey, 'both' AS src FROM customer
             INTERSECT
-            SELECT s_nationkey AS nationkey, 'both' AS src FROM supplier
+            SELECT CAST(s_nationkey AS BIGINT) AS nationkey, 'both' AS src FROM supplier
             UNION
-            SELECT DISTINCT c_nationkey AS nationkey, 'customer' AS src FROM customer
+            SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey, 'customer' AS src
+            FROM customer
         ) t
         ORDER BY nationkey, src
     """,
@@ -531,14 +536,14 @@ def q_u1(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey"), F.lit("both").alias("src")
+        F.col("c_nationkey").cast("long").alias("nationkey"), F.lit("both").alias("src")
     )
     s = table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey"), F.lit("both").alias("src")
+        F.col("s_nationkey").cast("long").alias("nationkey"), F.lit("both").alias("src")
     )
     cust = (
         table(spark, sf_dir, "customer")
-        .select(F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("src"))
+        .select(F.col("c_nationkey").cast("long").alias("nationkey"), F.lit("customer").alias("src"))
         .distinct()
     )
     return c.intersect(s).unionByName(cust).distinct().orderBy("nationkey", "src")

@@ -131,3 +131,99 @@ def test_ivf_cells_partition_corpus(spark, sf_dir):
     }
     assert sum(counts.values()) == emb.count()
     assert all(0 <= c < 8 for c in counts)
+
+
+def test_connected_components_transitive_chain(spark):
+    """A-B, B-C, C-D chain collapses to one min-labeled cluster even though
+    most pairs were never emitted; disjoint pair stays separate."""
+    from receiptanalyzerpipeline_spark.operators.components import (
+        connected_components,
+        dedup_survivors,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (9, 8)], "id_a long, id_b long"
+    )
+    labels = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
+
+    corpus = spark.createDataFrame([(i, f"d{i}") for i in [1, 2, 3, 4, 7, 8, 9]],
+                                   "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup_survivors(corpus, connected_components(edges)).collect())
+    # min of each cluster survives; 7 has no edges and survives untouched.
+    assert kept == [1, 7, 8]
+
+
+def test_q_d7_matches_recursive_cte_oracle(spark, sf_dir, oracle_con):
+    from receiptanalyzerpipeline_spark.oracle import compare
+    from receiptanalyzerpipeline_spark.plans import REGISTRY
+
+    q = REGISTRY["q_d7_dedup_clusters"]
+    res = compare("q_d7", q.spark(spark, sf_dir), q.oracle, oracle_con)
+    assert res.ok, str(res)
+
+
+def test_deterministic_split_stability_and_weights(spark):
+    """Same key → same split under any partitioning/rerun; observed
+    fractions near the 90/5/5 request; leakage guard: cluster members
+    share a split."""
+    from pyspark.sql import functions as F
+
+    from receiptanalyzerpipeline_spark.operators.sampling import (
+        deterministic_split,
+        hash_sample,
+    )
+
+    keys = spark.range(0, 20000).select(F.col("id").alias("k"))
+    split_col = deterministic_split(F.col("k"), {"train": 0.9, "valid": 0.05, "test": 0.05})
+    once = {r["k"]: r["s"] for r in keys.select("k", split_col.alias("s")).collect()}
+    again = {
+        r["k"]: r["s"]
+        for r in keys.repartition(13).select("k", split_col.alias("s")).collect()
+    }
+    assert once == again, "split must not depend on partitioning"
+    from collections import Counter
+
+    frac = Counter(once.values())
+    assert abs(frac["train"] / 20000 - 0.90) < 0.01
+    assert abs(frac["valid"] / 20000 - 0.05) < 0.005
+    assert abs(frac["test"] / 20000 - 0.05) < 0.005
+
+    sampled = hash_sample(keys, "k", fraction=0.25)
+    n1, n2 = sampled.count(), hash_sample(keys.repartition(7), "k", 0.25).count()
+    assert n1 == n2 and abs(n1 / 20000 - 0.25) < 0.01
+
+
+def test_redact_pii_examples(spark):
+    from pyspark.sql import functions as F
+
+    from receiptanalyzerpipeline_spark.operators.textanalysis import (
+        count_emails,
+        count_phones,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+spam@mail.example.org thanks"),
+            (2, "call +1 (555) 010-7788 now"),
+            (3, "no pii here at all"),
+            (4, "two: a@b.io and c.d@e.co plus 555 010 7788 done"),
+        ],
+        "id long, t string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            count_emails("t").alias("ne"),
+            count_phones("t").alias("np"),
+            redact_pii("t").alias("red"),
+        ).collect()
+    }
+    assert rows[1]["ne"] == 1 and "<EMAIL>" in rows[1]["red"]
+    assert "jane" not in rows[1]["red"]
+    assert rows[2]["np"] == 1 and "<PHONE>" in rows[2]["red"]
+    assert "555" not in rows[2]["red"]
+    assert rows[3]["ne"] == 0 and rows[3]["np"] == 0 and rows[3]["red"] == "no pii here at all"
+    assert rows[4]["ne"] == 2 and rows[4]["np"] == 1

@@ -1,0 +1,46 @@
+"""Output-type contract guard (plans/registry.py): the driver's hash runs
+through the pandas fetch path, where DECIMAL/DATE/HUGEINT representations
+diverge between engines. Freeze the rule so no future query reintroduces
+the round-1 skew: every registered query's output schema contains only
+BIGINT / DOUBLE / STRING / BOOLEAN / TIMESTAMP (+ arrays thereof), and the
+ints are 64-bit (Spark int32 meets DuckDB int64 otherwise)."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DataType,
+    DoubleType,
+    LongType,
+    StringType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ALLOWED = (LongType, DoubleType, StringType, BooleanType, TimestampType, TimestampNTZType)
+
+
+def _ok(dt: DataType) -> bool:
+    if isinstance(dt, ArrayType):
+        return _ok(dt.elementType)
+    return isinstance(dt, ALLOWED)
+
+
+def test_all_oracle_checked_outputs_use_portable_types(spark):
+    from receiptanalyzerpipeline_spark.plans import REGISTRY
+
+    offenders = []
+    for name, q in sorted(REGISTRY.items()):
+        if q.oracle is None:
+            continue  # rows-only checks may carry approx/internal types
+        schema = q.spark(spark, SF_DIR).schema
+        for field in schema.fields:
+            if not _ok(field.dataType):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, (
+        "pandas-path-unsafe output types (see plans/registry.py contract):\n"
+        + "\n".join(offenders)
+    )
