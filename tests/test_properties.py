@@ -165,3 +165,45 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right, tolerance):
         for r in merged.itertuples()
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_connected_components_matches_union_find(spark, edges):
+    """Property: the distributed min-label propagation equals a classic
+    union-find ground truth on random graphs (including chains whose
+    diameter forces multiple propagation rounds)."""
+    from receiptanalyzerpipeline_spark.operators.components import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    # Normalize union-find roots to min-of-component labels.
+    comp_min: dict[int, int] = {}
+    for x, r in want.items():
+        comp_min[r] = min(comp_min.get(r, x), x)
+    want = {x: comp_min[r] for x, r in want.items()}
+    assert got == want

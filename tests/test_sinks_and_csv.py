@@ -183,3 +183,42 @@ def test_write_jdbc_roundtrip_embedded_derby(spark, tmp_path):
         (1, "CORNER CAFE", 18.2),
         (2, "ACME MART #42", 25.0),
     ]
+
+
+def test_upsert_by_key_last_writer_wins_and_idempotent(spark, tmp_path):
+    from receiptanalyzerpipeline_spark.sources.sinks import upsert_by_key
+
+    path = str(tmp_path / "curated")
+    base = spark.createDataFrame(
+        [("a", 1, "v1"), ("b", 1, "v1")], "img_id string, version int, payload string"
+    )
+    upsert_by_key(spark, base, path, key_cols=["img_id"], version_col="version")
+
+    updates = spark.createDataFrame(
+        [("a", 2, "v2"), ("c", 1, "v1")], "img_id string, version int, payload string"
+    )
+    upsert_by_key(spark, updates, path, key_cols=["img_id"], version_col="version")
+    rows = {r["img_id"]: (r["version"], r["payload"])
+            for r in spark.read.parquet(path).collect()}
+    assert rows == {"a": (2, "v2"), "b": (1, "v1"), "c": (1, "v1")}
+
+    # Replaying the same update batch must not change anything (idempotent
+    # under retry - the MERGE contract).
+    upsert_by_key(spark, updates, path, key_cols=["img_id"], version_col="version")
+    rows2 = {r["img_id"]: (r["version"], r["payload"])
+             for r in spark.read.parquet(path).collect()}
+    assert rows2 == rows
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    import glob
+
+    from receiptanalyzerpipeline_spark.sources.sinks import compact
+
+    path = str(tmp_path / "smallfiles")
+    spark.range(0, 1000).repartition(8).write.parquet(path)
+    before = compact(spark, path, target_files=1)
+    assert before >= 8
+    after = glob.glob(f"{path}/*.parquet")
+    assert len(after) == 1
+    assert spark.read.parquet(path).count() == 1000

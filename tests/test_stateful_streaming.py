@@ -33,7 +33,47 @@ STREAM_SCHEMA = StructType(
 )
 
 
-def test_stateful_sessionizer_matches_batch(spark, sf_dir, tmp_path: Path):
+def _sessionizer(name):
+    if name == "v2":
+        from receiptanalyzerpipeline_spark.streaming.stateful_v2 import (
+            sessionize_stream_v2,
+        )
+
+        return sessionize_stream_v2
+    return sessionize_stream
+
+
+import pytest  # noqa: E402
+
+
+def _has_protobuf() -> bool:
+    """transformWithState's Python runner speaks protobuf to the JVM; this
+    container ships no google.protobuf, so v2 STREAM runs are gated (the
+    processor logic itself is unit-tested without Spark below)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_IMPLS = [
+    "v1",
+    pytest.param(
+        "v2",
+        marks=pytest.mark.skipif(
+            not _has_protobuf(), reason="transformWithState needs google.protobuf"
+        ),
+    ),
+]
+
+
+@pytest.mark.parametrize("impl", _IMPLS)
+def test_stateful_sessionizer_matches_batch(spark, sf_dir, tmp_path: Path, impl):
+    """Both stateful APIs — applyInPandasWithState (v1) and Spark 4's
+    transformWithState (v2) — must produce the batch sessionizer's exact
+    closed sessions from the same 3-micro-batch replay."""
     from receiptanalyzerpipeline_spark.catalog import table
 
     # A few users only, chronological, unique ts per user (generator gives
@@ -70,10 +110,11 @@ def test_stateful_sessionizer_matches_batch(spark, sf_dir, tmp_path: Path):
         .option("maxFilesPerTrigger", 1)
         .json(str(landing))
     )
-    sessions = sessionize_stream(stream, gap_seconds=GAP_S, watermark="30 minutes")
+    sessions = _sessionizer(impl)(stream, gap_seconds=GAP_S, watermark="30 minutes")
+    qname = f"closed_sessions_{impl}"
     q = (
         sessions.writeStream.format("memory")
-        .queryName("closed_sessions")
+        .queryName(qname)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
@@ -81,7 +122,7 @@ def test_stateful_sessionizer_matches_batch(spark, sf_dir, tmp_path: Path):
     q.awaitTermination(timeout=300)
     got = {
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
-        for r in spark.sql("SELECT * FROM closed_sessions").collect()
+        for r in spark.sql(f"SELECT * FROM {qname}").collect()
     }
 
     # Batch truth (q_t3 semantics on the same slice), restricted to sessions
@@ -163,11 +204,12 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     assert got == [1, 2, 3], got
 
 
-def test_out_of_order_event_extends_session_backwards(spark, tmp_path):
+@pytest.mark.parametrize("impl", _IMPLS)
+def test_out_of_order_event_extends_session_backwards(spark, tmp_path, impl):
     """Regression (ADVICE r1): a cross-batch event arriving under the
     watermark with ts EARLIER than the open session's recorded start must
     extend the session backwards (start = min), matching the batch
-    sessionizer over globally sorted events."""
+    sessionizer over globally sorted events — on both stateful APIs."""
     import json as _json
 
     landing = tmp_path / "landing"
@@ -202,19 +244,104 @@ def test_out_of_order_event_extends_session_backwards(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .json(str(landing))
     )
-    sessions = sessionize_stream(stream, gap_seconds=GAP_S, watermark="30 minutes")
+    sessions = _sessionizer(impl)(stream, gap_seconds=GAP_S, watermark="30 minutes")
+    qname = f"ooo_sessions_{impl}"
     q = (
         sessions.writeStream.format("memory")
-        .queryName("ooo_sessions")
+        .queryName(qname)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(timeout=300)
-    rows = spark.sql("SELECT * FROM ooo_sessions").collect()
+    rows = spark.sql(f"SELECT * FROM {qname}").collect()
     assert len(rows) == 1, rows
     r = rows[0]
     assert r["session_start"].isoformat() == "2024-01-01T09:50:00"
     assert r["session_end"].isoformat() == "2024-01-01T10:00:00"
     assert r["n_events"] == 2
     assert r["sum_value"] == 3.0
+
+
+def test_v2_session_processor_logic_without_spark():
+    """Drive the transformWithState SessionProcessor directly with fake
+    state/timer handles (the JVM protocol needs protobuf, absent here;
+    the fold/timer logic is pure Python and fully checkable without it)."""
+    import pandas as pd
+
+    from receiptanalyzerpipeline_spark.streaming.stateful_v2 import SessionProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = tuple(v)
+
+        def clear(self):
+            self.v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+            self.timers = set()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.state
+
+        def registerTimer(self, ms):
+            self.timers.add(ms)
+
+        def deleteTimer(self, ms):
+            self.timers.discard(ms)
+
+    class FakeExpired:
+        def __init__(self, ms):
+            self.ms = ms
+
+        def getExpiryTimeInMs(self):
+            return self.ms
+
+    proc = SessionProcessor(gap_seconds=1800)
+    h = FakeHandle()
+    proc.init(h)
+
+    def batch(ts_list):
+        return iter([pd.DataFrame({"ts": [pd.Timestamp(t) for t in ts_list],
+                                   "value": [1.0] * len(ts_list)})])
+
+    # Batch 1 opens a session at 10:00; a timer lands at end+gap.
+    out = list(proc.handleInputRows((7,), batch(["2024-01-01T10:00:00"]), None))
+    assert out == [] and h.state.v is not None
+    assert len(h.timers) == 1
+
+    # Batch 2: an EARLIER event extends the session backwards; the old
+    # timer is dropped, one re-registered (same expiry: end unchanged).
+    list(proc.handleInputRows((7,), batch(["2024-01-01T09:50:00"]), None))
+    s, e, n, v = h.state.v
+    assert pd.Timestamp(s, unit="us") == pd.Timestamp("2024-01-01T09:50:00")
+    assert n == 2 and len(h.timers) == 1
+
+    # A stale timer (before end+gap) must NOT close the session.
+    stale = next(iter(h.timers)) - 60_000
+    assert list(proc.handleExpiredTimer((7,), None, FakeExpired(stale))) == []
+    assert h.state.v is not None
+
+    # The current timer closes and emits exactly the merged session.
+    [df] = list(proc.handleExpiredTimer((7,), None, FakeExpired(next(iter(h.timers)))))
+    assert h.state.v is None
+    assert df["n_events"].iloc[0] == 2
+    assert df["session_start"].iloc[0] == pd.Timestamp("2024-01-01T09:50:00")
+    assert df["session_end"].iloc[0] == pd.Timestamp("2024-01-01T10:00:00")
+
+    # A far-later batch event after reopening closes the old session inline.
+    list(proc.handleInputRows((7,), batch(["2024-01-01T11:00:00"]), None))
+    [df2] = list(proc.handleInputRows((7,), batch(["2024-01-01T14:00:00"]), None))
+    assert df2["session_start"].iloc[0] == pd.Timestamp("2024-01-01T11:00:00")
+    assert h.state.v[0] == pd.Timestamp("2024-01-01T14:00:00").value // 1000
