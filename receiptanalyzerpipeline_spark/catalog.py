@@ -41,7 +41,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    key = (id(spark), sf_dir, name)
+    # Keyed by the session OBJECT, not id(spark): after a session is
+    # garbage-collected, CPython reuses addresses, and an id-keyed cache
+    # could hand a new session a DataFrame bound to the dead one. The
+    # strong reference pins each session for the process lifetime — a few
+    # objects at most, and it makes address reuse impossible.
+    key = (spark, sf_dir, name)
     cached = _SCAN_CACHE.get(key)
     if cached is not None:
         return cached
@@ -53,7 +58,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # DataFrames are immutable lazy plans, so memoizing the scan per
 # (session, sf_dir, table) is semantics-free; it avoids re-listing files and
 # re-reading parquet footers (driver-side blocking IO) on every query build.
-_SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_SCAN_CACHE: dict[tuple[SparkSession, str, str], DataFrame] = {}
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
