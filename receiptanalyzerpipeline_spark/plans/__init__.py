@@ -13,3 +13,4 @@ from receiptanalyzerpipeline_spark.plans import receipts  # noqa: E402,F401
 from receiptanalyzerpipeline_spark.plans import multimodal_queries  # noqa: E402,F401
 from receiptanalyzerpipeline_spark.plans import temporal  # noqa: E402,F401
 from receiptanalyzerpipeline_spark.plans import olap  # noqa: E402,F401
+from receiptanalyzerpipeline_spark.plans import curation  # noqa: E402,F401

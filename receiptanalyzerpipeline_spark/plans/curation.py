@@ -1,0 +1,260 @@
+"""Training-data curation queries (corpus → training shards): the
+Gopher/C4-style repetition filter, deterministic source-mixture
+sampling, benchmark decontamination, shard packing, and per-source
+distinctive terms.
+
+These are the steps between "deduplicated corpus" (plans/llmops.py) and
+"training-set export": score repetition pathologies, mix sources at
+target rates, drop eval-set contamination, then pack into
+deterministic shards. All math is engine-portable (int/int IEEE
+divisions, md5-derived buckets) so every query is DuckDB-replayable.
+
+Output contract per registry docstring: BIGINT / DOUBLE / STRING /
+BOOLEAN only; every query ends in a total ORDER BY with a unique
+tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from receiptanalyzerpipeline_spark.catalog import table
+from receiptanalyzerpipeline_spark.operators import curation as C
+from receiptanalyzerpipeline_spark.operators import textanalysis as T
+from receiptanalyzerpipeline_spark.plans.registry import register
+
+# Repetition threshold: flags the extreme tail (p99 ≈ 0.111 at sf0.01)
+# without tripping on ordinary token reuse.
+_TOP_BIGRAM_FLAG = 0.125
+
+# Mixture: head sources kept in full, tail sources downsampled to 25% —
+# the shape of a pretraining source-weighting pass.
+_MIX_FULL = ("src0", "src1", "src2", "src3", "src4")
+_MIX_TAIL_RATE = 0.25
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "documents")
+
+
+@register(
+    "q_x9_repetition_filter",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        base AS (
+            SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+                   [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS bg
+            FROM toks WHERE len(t) >= 2
+        ),
+        e AS (SELECT doc_id, unnest(bg) AS g FROM base),
+        c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+        m AS (SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt) AS n_bigrams FROM c GROUP BY 1)
+        SELECT b.doc_id,
+               CAST(b.n_tokens AS BIGINT) AS n_tokens,
+               CAST(b.n_tokens - b.n_distinct AS DOUBLE) / b.n_tokens AS dup_token_frac,
+               CAST(m.top_cnt AS DOUBLE) / m.n_bigrams AS top_bigram_frac,
+               CAST(m.top_cnt AS DOUBLE) / m.n_bigrams >= {_TOP_BIGRAM_FLAG} AS flagged
+        FROM base b JOIN m USING (doc_id)
+        ORDER BY doc_id
+    """,
+    doc=(
+        "Gopher-style repetition-quality filter: duplicate-token fraction "
+        "and top-bigram share per document, flag the pathological tail. "
+        "Distributed as explode→count→max (linear in tokens, no per-doc "
+        "quadratic scan); fractions are int/int IEEE divisions."
+    ),
+    tags=("text", "quality", "curation"),
+)
+def q_x9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = C.repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
+    return stats.withColumn(
+        "flagged", F.col("top_bigram_frac") >= F.lit(_TOP_BIGRAM_FLAG)
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_x10_data_mixture",
+    oracle=f"""
+        WITH rated AS (
+            SELECT doc_id, source,
+                   CASE WHEN source IN {_MIX_FULL!r} THEN 65536
+                        ELSE {int(_MIX_TAIL_RATE * 65536)} END AS bound,
+                   CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                        AS BIGINT) AS bucket
+            FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS n_total,
+               CAST(SUM(CASE WHEN bucket < bound THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN bucket < bound THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS kept_frac
+        FROM rated GROUP BY source ORDER BY source
+    """,
+    doc=(
+        "Deterministic source-mixture sampling audit: head sources kept "
+        "in full, tail sources at 25%, membership from md5(doc_id) — no "
+        "RNG, stable under retries/repartitioning, replayed exactly by "
+        "the oracle. One hash + projection per row, then a tiny agg."
+    ),
+    tags=("sampling", "curation"),
+)
+def q_x10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    rates = {s: 1.0 for s in _MIX_FULL}
+    keep = C.mixture_keep(F.col("doc_id"), F.col("source"), rates, default=_MIX_TAIL_RATE)
+    return (
+        docs.withColumn("keep", keep)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            (F.sum(F.col("keep").cast("long")).cast("double") / F.count("*")).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_x11_decontamination",
+    oracle="""
+        WITH toks AS (SELECT doc_id, source, string_split(text, ' ') t FROM documents),
+        sh AS (
+            SELECT doc_id, source,
+                   list_distinct([array_to_string(t[i:i+4], ' ')
+                                  for i in range(1, len(t) - 3)]) s
+            FROM toks WHERE len(t) >= 5
+        ),
+        e AS (SELECT doc_id, source, unnest(s) AS g FROM sh),
+        ev AS (SELECT DISTINCT g FROM e WHERE source = 'src0'),
+        hits AS (
+            SELECT DISTINCT e.doc_id FROM e JOIN ev USING (g) WHERE e.source <> 'src0'
+        )
+        SELECT d.doc_id, d.source, (h.doc_id IS NOT NULL) AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.source <> 'src0'
+        ORDER BY d.doc_id
+    """,
+    doc=(
+        "Benchmark decontamination: flag training docs (source<>src0) "
+        "sharing any 5-word shingle with the eval set (src0). Inverted-"
+        "index semi-join on shingles — shuffle bounded by co-occurrence, "
+        "never train×eval; eval side reduced to DISTINCT shingles first "
+        "(broadcastable). k=5 measured discriminative: k=3 flags 84% of "
+        "this corpus, k=5 flags exactly the true near-dups."
+    ),
+    tags=("dedup", "curation", "decontamination"),
+)
+def q_x11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("source") != "src0")
+    ev = docs.where(F.col("source") == "src0")
+    hits = C.contaminated_ids(train, ev, "doc_id", "text", k=5).withColumn(
+        "contaminated", F.lit(True)
+    )
+    return (
+        train.select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id", "source", F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_x12_shard_packing",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+                   CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                        AS BIGINT) % 16 AS shard_id
+            FROM documents
+        )
+        SELECT shard_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+        FROM s GROUP BY shard_id ORDER BY shard_id
+    """,
+    doc=(
+        "Training-set shard packing audit: deterministic md5 shard "
+        "assignment (16 shards) + per-shard doc/token totals. The shard "
+        "id doubles as the write-time partition key (sinks.write_"
+        "partitioned_by_hash_prefix layout): a resumed 100 TB export "
+        "never double-writes because membership is content-derived, "
+        "not RNG- or partition-derived."
+    ),
+    tags=("sampling", "curation", "sink-layout"),
+)
+def q_x12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            C.shard_assign(F.col("doc_id"), 16).alias("shard_id"),
+            T.token_count_ws(F.col("text")).cast("long").alias("n_tok"),
+        )
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
+        .orderBy("shard_id")
+    )
+
+
+@register(
+    "q_n3_distinctive_terms",
+    oracle="""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        tf AS (SELECT source, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT tok, COUNT(DISTINCT source) AS df FROM tok GROUP BY tok),
+        ns AS (SELECT COUNT(DISTINCT source) AS n_src FROM tok),
+        scored AS (
+            SELECT f.source, f.tok, f.tf, d.df,
+                   (CAST(f.tf AS DOUBLE) * ns.n_src) / d.df AS score
+            FROM tf f JOIN df d USING (tok) CROSS JOIN ns
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY score DESC, tok) AS rk
+            FROM scored
+        )
+        SELECT source, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS n_sources,
+               score, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 3
+        ORDER BY source, rk
+    """,
+    doc=(
+        "Top-3 distinctive terms per source by rarity-weighted term "
+        "frequency tf·(N/df). Linear rarity weight instead of log-idf so "
+        "the score is pure IEEE mul/div of identical operands in both "
+        "engines (ln() is not guaranteed correctly-rounded across "
+        "libms); ranking is what matters and is deterministic with the "
+        "token tiebreaker. Distributed: explode→two aggs→broadcast df "
+        "join→per-source top-k window."
+    ),
+    tags=("text", "tfidf", "topk"),
+)
+def q_n3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("source", "tok").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("tok").agg(F.countDistinct("source").alias("df"))
+    ns = tok.agg(F.countDistinct("source").alias("n_src"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "tok",
+            "tf",
+            F.col("df").alias("n_sources"),
+            ((F.col("tf").cast("double") * F.col("n_src")) / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("source", "tok", "tf", "n_sources", "score", "rk")
+        .orderBy("source", "rk")
+    )

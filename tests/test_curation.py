@@ -1,0 +1,93 @@
+"""Training-data curation operators (operators/curation.py): repetition
+stats, decontamination, mixture sampling, shard assignment."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from receiptanalyzerpipeline_spark.operators import curation as C
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_repetition_stats_flags_pathological_repeat(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "s", "spam spam spam spam spam spam"),
+            (2, "s", "a fresh sentence with distinct tokens here"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in C.repetition_stats(df, "doc_id", "text").collect()}
+    # doc 1: all 5 bigrams are "spam spam" -> top fraction 1.0; 5/6 dup tokens
+    assert out[1]["top_bigram_frac"] == 1.0
+    assert abs(out[1]["dup_token_frac"] - 5 / 6) < 1e-12
+    # doc 2: all bigrams unique
+    assert out[2]["dup_token_frac"] == 0.0
+    assert abs(out[2]["top_bigram_frac"] - 1 / 6) < 1e-12
+
+
+def test_repetition_stats_drops_sub_bigram_docs(spark):
+    df = _docs(spark, [(1, "s", "single"), (2, "s", "two tokens")])
+    ids = [r["doc_id"] for r in C.repetition_stats(df, "doc_id", "text").collect()]
+    assert ids == [2]
+
+
+def test_contaminated_ids_exact_hit_list(spark):
+    ev = _docs(spark, [(100, "eval", "alpha beta gamma delta epsilon zeta")])
+    train = _docs(
+        spark,
+        [
+            # contains the eval 5-gram "beta gamma delta epsilon zeta"
+            (1, "t", "intro beta gamma delta epsilon zeta outro"),
+            # shares tokens but no 5-gram run
+            (2, "t", "alpha beta gamma other delta epsilon"),
+            (3, "t", "completely unrelated text about spark engines"),
+        ],
+    )
+    hits = sorted(
+        r["doc_id"] for r in C.contaminated_ids(train, ev, "doc_id", "text", k=5).collect()
+    )
+    assert hits == [1]
+
+
+def test_mixture_keep_deterministic_and_rate_shaped(spark):
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "full").otherwise("tail").alias("source"),
+    )
+    keep = C.mixture_keep(F.col("doc_id"), F.col("source"), {"full": 1.0}, default=0.25)
+    out = df.withColumn("keep", keep)
+    agg = {
+        r["source"]: (r["n"], r["k"])
+        for r in out.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum(F.col("keep").cast("long")).alias("k"))
+        .collect()
+    }
+    assert agg["full"] == (2000, 2000)  # rate 1.0 keeps everything
+    n, k = agg["tail"]
+    assert n == 2000 and 0.18 < k / n < 0.32  # ~25% with hash noise
+    # Determinism: a repartitioned rerun keeps the identical id set.
+    first = sorted(r["doc_id"] for r in out.where("keep").collect())
+    again = sorted(
+        r["doc_id"] for r in df.repartition(7).withColumn("keep", keep).where("keep").collect()
+    )
+    assert first == again
+
+
+def test_shard_assign_stable_and_in_range(spark):
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    out = df.select("doc_id", C.shard_assign(F.col("doc_id"), 16).alias("s"))
+    rows = {r["doc_id"]: r["s"] for r in out.collect()}
+    assert set(rows.values()) <= set(range(16))
+    # every shard populated at n=1000 and assignment survives repartitioning
+    assert len(set(rows.values())) == 16
+    again = {
+        r["doc_id"]: r["s"]
+        for r in df.repartition(11)
+        .select("doc_id", C.shard_assign(F.col("doc_id"), 16).alias("s"))
+        .collect()
+    }
+    assert rows == again
