@@ -198,6 +198,63 @@ def q_x12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_x13_sequence_packing",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+                   CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                        AS BIGINT) % 16 AS shard_id
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, shard_id, n_tok,
+                   COALESCE(SUM(n_tok) OVER (PARTITION BY shard_id ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+            FROM s
+        )
+        SELECT shard_id, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(off AS BIGINT) AS token_offset,
+               CAST(off // 256 AS BIGINT) AS chunk_id
+        FROM p ORDER BY shard_id, doc_id
+    """,
+    doc=(
+        "Concat-then-chunk sequence packing (the GPT-style training "
+        "layout): within each md5 shard, documents concatenate in doc_id "
+        "order; each doc's token offset is the exclusive running sum and "
+        "its chunk id is offset div 256. One window per shard partition — "
+        "a single shuffle on shard_id, O(1) state per row; offsets are "
+        "exact integer math so the oracle replays bit-for-bit."
+    ),
+    tags=("sampling", "curation", "packing"),
+)
+def q_x13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    s = docs.select(
+        "doc_id",
+        T.token_count_ws(F.col("text")).cast("long").alias("n_tok"),
+        C.shard_assign(F.col("doc_id"), 16).alias("shard_id"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        s.withColumn("token_offset", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .select(
+            "shard_id",
+            "doc_id",
+            "n_tok",
+            "token_offset",
+            F.expr("token_offset div 256").alias("chunk_id"),
+        )
+        .orderBy("shard_id", "doc_id")
+    )
+
+
+@register(
     "q_n3_distinctive_terms",
     oracle="""
         WITH tok AS (

@@ -144,3 +144,31 @@ def test_q_x5_ann_is_bucket_equi_join(spark, registry):
     plan = _executed_plan(registry["q_x5_ann_lsh"].spark(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+def test_q_x11_decontamination_semi_join_no_nested_loop(spark, registry):
+    plan = _executed_plan(registry["q_x11_decontamination"].spark(spark, SF_DIR))
+    # Shingle overlap must be a (broadcast or shuffled) hash SEMI join —
+    # cost bounded by shingle co-occurrence, never train×eval rows.
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q_n3_broadcasts_df_side(spark, registry):
+    plan = _executed_plan(registry["q_n3_distinctive_terms"].spark(spark, SF_DIR))
+    # The per-token document-frequency side and the 1-row source count
+    # are broadcast; the big tf side never shuffles for the join.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q_x13_packing_single_shuffle(spark, registry):
+    df = registry["q_x13_sequence_packing"].spark(spark, SF_DIR)
+    plan = _executed_plan(df)
+    # One hash shuffle (shard_id window); the final ORDER BY is a range
+    # exchange, not another hash shuffle.
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q_x9_repetition_no_cartesian_and_two_agg_shuffles(spark, registry):
+    plan = _executed_plan(registry["q_x9_repetition_filter"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
