@@ -65,6 +65,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quadratic scan); fractions are int/int IEEE divisions."
     ),
     tags=("text", "quality", "curation"),
+    bench=True,
 )
 def q_x9(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = C.repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
@@ -144,6 +145,7 @@ def q_x10(spark: SparkSession, sf_dir: str) -> DataFrame:
         "this corpus, k=5 flags exactly the true near-dups."
     ),
     tags=("dedup", "curation", "decontamination"),
+    bench=True,
 )
 def q_x11(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
