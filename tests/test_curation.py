@@ -91,3 +91,72 @@ def test_shard_assign_stable_and_in_range(spark):
         .collect()
     }
     assert rows == again
+
+
+# Property tests: curation math vs an independent pure-Python reference
+# on adversarial corpora (repeats, single tokens, unicode, whitespace).
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_token = st.text(alphabet="abχ金 ", min_size=1, max_size=3).map(str.strip).filter(bool)
+_doc = st.lists(_token, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_doc, min_size=1, max_size=8))
+def test_repetition_stats_match_python_reference(spark, docs):
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_token_frac"], r["top_bigram_frac"])
+        for r in C.repetition_stats(df, "doc_id", "text").collect()
+    }
+    for i, d in enumerate(docs):
+        toks = d.split()
+        if len(toks) < 2:
+            assert i not in got
+            continue
+        bigrams = Counter(zip(toks, toks[1:]))
+        exp_dup = (len(toks) - len(set(toks))) / len(toks)
+        exp_top = max(bigrams.values()) / sum(bigrams.values())
+        n, dup, top = got[i]
+        assert n == len(toks)
+        assert abs(dup - exp_dup) < 1e-12
+        assert abs(top - exp_top) < 1e-12
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+       st.integers(2, 9))
+def test_shard_and_packing_invariants(spark, ids, n_shards):
+    from receiptanalyzerpipeline_spark.operators.textanalysis import token_count_ws
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(i, "tok " * (i % 7 + 1)) for i in ids],
+                               "doc_id long, text string")
+    s = df.select(
+        "doc_id",
+        token_count_ws(F.col("text")).cast("long").alias("n_tok"),
+        C.shard_assign(F.col("doc_id"), n_shards).alias("shard_id"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    out = s.withColumn(
+        "off", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    ).collect()
+    # Offsets within each shard are the exact exclusive prefix sums in
+    # doc_id order — concatenation never leaves gaps or overlaps.
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    assert set(by_shard) <= set(range(n_shards))
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        acc = 0
+        for r in rows:
+            assert r["off"] == acc
+            acc += r["n_tok"]
