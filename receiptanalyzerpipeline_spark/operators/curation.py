@@ -45,6 +45,21 @@ def word_kgrams(c: Column, k: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _max_run(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a sorted
+    array == the count of its most frequent element. Single left fold,
+    O(d) after the sort, entirely inside one Column expression."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"), F.lit(0).cast("long").alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best"))
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
 def repetition_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document repetition-quality signals (Gopher-style filters):
 
@@ -54,31 +69,28 @@ def repetition_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
       single most frequent bigram ("batch batch batch" pathologies).
 
     Both fractions are int/int IEEE divisions — bit-identical across
-    engines. Distributed shape: explode bigrams → count per (doc, gram)
-    → max/sum per doc; linear in token count, no per-doc quadratic scan.
+    engines. Distributed shape: ZERO shuffle — the top-bigram count is
+    the longest equal-run in the per-doc sorted bigram array (sort_array
+    + one fold, O(d log d) per doc, map-side). The alternative
+    explode → groupBy(doc, gram) → groupBy(doc) shape shuffles the
+    entire corpus token stream twice — the dominant cost at 100 TB —
+    and a transform-over-distinct scan is O(d²) per doc; both rejected.
     """
-    base = docs.select(
+    toks = tokens(F.col(text_col))
+    bg = word_kgrams(F.col(text_col), 2)
+    return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(tokens(F.col(text_col)))).cast("long").alias("n_distinct"),
-        word_kgrams(F.col(text_col), 2).alias("bigrams"),
-    ).where(F.col("n_tokens") >= 2)
-    grams = base.select("doc_id", F.explode("bigrams").alias("g"))
-    per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
-    per_doc = per_gram.groupBy("doc_id").agg(
-        F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_bigrams")
-    )
-    return (
-        base.drop("bigrams")
-        .join(per_doc, "doc_id")
-        .select(
-            "doc_id",
-            "n_tokens",
-            ((F.col("n_tokens") - F.col("n_distinct")).cast("double") / F.col("n_tokens")).alias(
-                "dup_token_frac"
-            ),
-            (F.col("top_cnt").cast("double") / F.col("n_bigrams")).alias("top_bigram_frac"),
-        )
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        _max_run(F.sort_array(bg)).alias("top_cnt"),
+        F.size(bg).cast("long").alias("n_bigrams"),
+    ).where(F.col("n_tokens") >= 2).select(
+        "doc_id",
+        "n_tokens",
+        ((F.col("n_tokens") - F.col("n_distinct")).cast("double") / F.col("n_tokens")).alias(
+            "dup_token_frac"
+        ),
+        (F.col("top_cnt").cast("double") / F.col("n_bigrams")).alias("top_bigram_frac"),
     )
 
 

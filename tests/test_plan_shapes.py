@@ -169,6 +169,10 @@ def test_q_x13_packing_single_shuffle(spark, registry):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_q_x9_repetition_no_cartesian_and_two_agg_shuffles(spark, registry):
+def test_q_x9_repetition_is_zero_shuffle(spark, registry):
+    # Top-bigram count is a map-side sorted-run fold: the whole corpus
+    # token stream must NOT be shuffled (only the final ORDER BY range
+    # exchange remains).
     plan = _executed_plan(registry["q_x9_repetition_filter"].spark(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 0
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
