@@ -168,3 +168,53 @@ def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
     shutil.rmtree(path, ignore_errors=True)
     os.replace(staging, path)
     return before
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+    chunk_tokens: int = 256,
+    mode: str = "error",
+) -> DataFrame:
+    """Export a curated corpus as training shards and return the manifest.
+
+    Layout: ``<path>/shard_id=K/part-*.parquet``, each row carrying its
+    concat-then-chunk position (`token_offset`, `chunk_id` — the q_x13
+    packing). Shard membership is md5-derived (operators/curation.py):
+    reruns, retries, and cluster resizes reproduce identical membership,
+    so a resumed export never double-writes a document and a trainer can
+    address any chunk deterministically. One window shuffle on shard_id;
+    the write itself is partition-local. Returns the per-shard manifest
+    (n_docs, total_tokens) the trainer uses to size epochs — computed
+    from the written files, not the input, so it doubles as a write
+    audit.
+    """
+    from pyspark.sql import Window
+
+    from receiptanalyzerpipeline_spark.operators.curation import shard_assign
+    from receiptanalyzerpipeline_spark.operators.textanalysis import token_count_ws
+
+    spark = df.sparkSession
+    staged = df.select(
+        "*",
+        token_count_ws(F.col(text_col)).cast("long").alias("n_tok"),
+        shard_assign(F.col(id_col), n_shards).alias("shard_id"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = staged.withColumn(
+        "token_offset", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    ).withColumn("chunk_id", F.expr(f"token_offset div {int(chunk_tokens)}"))
+    packed.write.partitionBy("shard_id").mode(mode).parquet(path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
+        .orderBy("shard_id")
+    )
