@@ -61,8 +61,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Gopher-style repetition-quality filter: duplicate-token fraction "
         "and top-bigram share per document, flag the pathological tail. "
-        "Distributed as explode→count→max (linear in tokens, no per-doc "
-        "quadratic scan); fractions are int/int IEEE divisions."
+        "Zero-shuffle: the top-bigram count is a map-side sorted-run fold "
+        "(operators/curation.py); fractions are int/int IEEE divisions. "
+        "The oracle computes the same counts via explode+groupBy."
     ),
     tags=("text", "quality", "curation"),
     bench=True,
@@ -316,4 +317,54 @@ def q_n3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("source", "tok", "tf", "n_sources", "score", "rk")
         .orderBy("source", "rk")
+    )
+
+
+@register(
+    "q_er1_fuzzy_match",
+    oracle="""
+        SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+               a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+        ORDER BY key_a, key_b
+    """,
+    doc=(
+        "Blocked fuzzy matching (entity resolution): candidate pairs come "
+        "from a blocking-key EQUI-join (p_brand), then exact Levenshtein "
+        "<= 2 scores each candidate — the vendor-string dedup shape for "
+        "OCR'd text (the reference's vendor names, anarcptlib.py:44-50, "
+        "arrive with exactly these 1-2 character OCR edits). Cost is "
+        "sum(block^2), never corpus^2; blocks shuffle on the blocking "
+        "key. Both engines implement classic Levenshtein on ints — "
+        "engine-portable with no rounding concerns."
+    ),
+    tags=("dedup", "entity-resolution", "fuzzy"),
+)
+def q_er1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+    )
+    return (
+        a.join(b, "brand")
+        .where(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 2)
+        .orderBy("key_a", "key_b")
     )

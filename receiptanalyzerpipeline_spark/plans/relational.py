@@ -615,3 +615,47 @@ def q_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month")
     )
+
+
+@register(
+    "q_p4_unpivot",
+    oracle="""
+        WITH m AS (
+            SELECT 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+            UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+            UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+        )
+        SELECT measure, COUNT(*) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS total,
+               MIN(v) AS vmin, MAX(v) AS vmax
+        FROM m GROUP BY measure ORDER BY measure
+    """,
+    doc=(
+        "UNPIVOT/melt: lineitem's four numeric measures into long form, "
+        "then per-measure profile stats (the wide→long reshape every "
+        "profiling/quality pass needs). Sums go through DECIMAL so the "
+        "result is partition-order-independent; min/max of doubles are "
+        "order-free already. Spark's unpivot is an Expand node — "
+        "map-side, no join, one agg shuffle on the 4-row measure key."
+    ),
+    tags=("reshape", "unpivot", "agg"),
+)
+def q_p4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="v",
+    )
+    return (
+        melted.groupBy("measure")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("total"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+        .orderBy("measure")
+    )
