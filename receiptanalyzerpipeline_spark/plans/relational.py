@@ -659,3 +659,48 @@ def q_p4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("measure")
     )
+
+
+@register(
+    "q_w3_range_frame",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY date_diff('second', TIMESTAMP '1990-01-01 00:00:00',
+                                      o_orderdate)
+                   RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS trail7d_total
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+    doc=(
+        "Trailing 7-day revenue per customer via a RANGE window frame — "
+        "the value-based frame (peers included, frame bounds from the "
+        "ORDER BY value, not row offsets) that rows-frames can't express. "
+        "The ordering key is seconds from a fixed NTZ epoch via "
+        "timestampdiff, so it is session-zone-free in both engines; sums "
+        "aggregate in DECIMAL (order-independent) with a DOUBLE final "
+        "cast. One shuffle on o_custkey."
+    ),
+    tags=("window", "range-frame", "time"),
+)
+def q_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    epoch_s = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1990-01-01 00:00:00', o_orderdate)"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_s)
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+        F.sum(dec2("o_totalprice")).over(w).cast("double").alias("trail7d_total"),
+    ).orderBy("o_orderkey")
