@@ -368,3 +368,61 @@ def q_er1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("edit_dist") <= 2)
         .orderBy("key_a", "key_b")
     )
+
+
+@register(
+    "q_x14_quantile_filter",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id, lang,
+                   CASE WHEN len(string_split(text,' ')) > 0
+                        THEN CAST(len(list_filter(string_split(text,' '),
+                                 x -> x IN ('the','a','of','and','to','in')))
+                             AS DOUBLE) / len(string_split(text,' '))
+                        ELSE 0.0 END AS stop_ratio
+            FROM documents
+        ), r AS (
+            SELECT doc_id, lang, stop_ratio,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY stop_ratio DESC, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS cnt
+            FROM m
+        )
+        SELECT doc_id, lang, stop_ratio, rn, cnt
+        FROM r WHERE rn * 4 <= cnt
+        ORDER BY doc_id
+    """,
+    doc=(
+        "Group-relative quantile filter: keep each language's top quartile "
+        "by stopword ratio (Gopher-style 'natural prose has stopwords' "
+        "signal). Fraction-of-group selection = row_number + count over the "
+        "same window partition — one shuffle on lang, and the rn*4<=cnt "
+        "comparison is pure integer math, so the kept set is exact and "
+        "engine-portable (no float percentile interpolation). At 100 TB "
+        "per-language windows skew (en dominates); the scale path swaps the "
+        "exact rank for a two-pass approx_percentile threshold + filter — "
+        "same selection semantics at the boundary modulo sketch error — or "
+        "salts the window partition. Exact-rank form kept here because it "
+        "is the oracle-replayable ground truth the sketch is graded against."
+    ),
+    tags=("text", "quality", "curation", "window"),
+)
+def q_x14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    m = _docs(spark, sf_dir).select(
+        "doc_id", "lang", T.stopword_ratio(F.col("text")).alias("stop_ratio")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("stop_ratio"), "doc_id")
+    wc = Window.partitionBy("lang")
+    return (
+        m.select(
+            "doc_id",
+            "lang",
+            "stop_ratio",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count("*").over(wc).alias("cnt"),
+        )
+        .where(F.col("rn") * 4 <= F.col("cnt"))
+        .orderBy("doc_id")
+    )

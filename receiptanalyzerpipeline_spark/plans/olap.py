@@ -114,6 +114,71 @@ def q_a8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_a10_regression_profile",
+    oracle="""
+        SELECT l_returnflag, n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                   AS intercept,
+               (n * sxy - sx * sy)
+                   / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
+        FROM (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx,
+                   CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                   CAST(SUM(y * y) AS DOUBLE) AS syy
+            FROM (
+                SELECT l_returnflag,
+                       CAST(l_quantity AS DECIMAL(18,2)) AS x,
+                       CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+                FROM lineitem
+            )
+            GROUP BY l_returnflag
+        )
+        ORDER BY l_returnflag
+    """,
+    doc=(
+        "Statistical profile per returnflag: OLS slope/intercept and "
+        "Pearson r of extendedprice vs quantity (SURVEY A6 statistical "
+        "aggregates). Built-in corr/regr_* accumulate float moments whose "
+        "low-order bits are partition-order-dependent, so instead the five "
+        "moments are summed EXACTLY in DECIMAL (x·y at scale 4 fits "
+        "DECIMAL(38,4) by orders of magnitude), cast once to DOUBLE, and "
+        "the closed-form formulas are evaluated with the identical IEEE "
+        "expression tree on both engines — deterministic at any partition "
+        "count. One shuffle (partial+final agg); the moment tuple is "
+        "mergeable, so the same query works as a streaming snapshot."
+    ),
+    tags=("agg", "statistics", "olap"),
+)
+def q_a10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        ((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).alias("r"),
+    ).orderBy("l_returnflag")
+
+
+@register(
     "q_p3_above_brand_avg",
     oracle="""
         SELECT p_partkey, p_brand,
