@@ -62,6 +62,15 @@ def get_spark(
         # Keep parquet scans pruned + pushed down (explicitly pinned so a
         # misconfigured environment can't silently disable them).
         "spark.sql.parquet.filterPushdown": "true",
+        # Runtime row-level filtering: when one side of a shuffle join is
+        # selective, inject a bloom filter of its join keys into the other
+        # side's scan (might_contain above the parquet reader). At 100 TB
+        # this turns "shuffle the whole fact table" into "shuffle the rows
+        # that can possibly match" for the cost of one small agg. The
+        # default size thresholds (creation side <= 10 MB after filtering,
+        # application scan >= 10 GB) are cluster-appropriate and left
+        # alone; tests/test_plan_shapes.py lowers them to prove injection.
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         # Local-mode memory hygiene; harmless on a cluster where the
         # submitter overrides these.
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

@@ -183,3 +183,36 @@ def test_q_d8_semantic_dedup_bucket_equi_join(spark, registry):
     # Candidate pairs come from the bucket EQUI-join; the corpus square
     # must never materialize.
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_selective_fact_join_gets_runtime_bloom_filter(spark):
+    """session.py pins runtime.bloomFilter.enabled=true: a selective side of
+    a shuffle join must inject might_contain(join_key) into the big side's
+    scan. Default size thresholds only fire at cluster scale, so lower them
+    here to prove the injection path is live."""
+    from pyspark.sql import functions as F
+
+    keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _executed_plan(j)
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

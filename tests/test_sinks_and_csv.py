@@ -222,3 +222,61 @@ def test_compact_merges_small_files(spark, tmp_path):
     after = glob.glob(f"{path}/*.parquet")
     assert len(after) == 1
     assert spark.read.parquet(path).count() == 1000
+
+
+def _files_matching_point(spark, path: str, col: str, probes: list) -> float:
+    """Mean #files whose [min,max] envelope admits each probe value —
+    the count a min/max-pruning scan planner would have to read."""
+    stats = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+        .collect()
+    )
+    return sum(
+        sum(1 for r in stats if r["lo"] <= p <= r["hi"]) for p in probes
+    ) / len(probes)
+
+
+def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
+    """write_zordered: one layout, min/max skipping on BOTH cluster columns.
+    The linear sort baseline skips perfectly on its sort column and not at
+    all on the other; z-order must beat it decisively on the second column
+    while keeping real pruning on the first."""
+    from receiptanalyzerpipeline_spark.sources.sinks import write_zordered
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    n_files = 16
+    zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    write_zordered(li, zpath, ["l_orderkey", "l_partkey"], n_files=n_files)
+    (
+        li.repartitionByRange(n_files, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    row = li.agg(
+        *[f
+          for c in ("l_orderkey", "l_partkey")
+          for f in (F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))]
+    ).first()
+    probes = {
+        c: [row[f"lo_{c}"] + int((row[f"hi_{c}"] - row[f"lo_{c}"]) * q)
+            for q in (0.1, 0.3, 0.5, 0.7, 0.9)]
+        for c in ("l_orderkey", "l_partkey")
+    }
+
+    z_pk = _files_matching_point(spark, zpath, "l_partkey", probes["l_partkey"])
+    lin_pk = _files_matching_point(spark, lpath, "l_partkey", probes["l_partkey"])
+    z_ok = _files_matching_point(spark, zpath, "l_orderkey", probes["l_orderkey"])
+
+    # Linear layout: l_partkey is unclustered → essentially every file matches.
+    assert lin_pk > n_files * 0.8
+    # Z-order: both columns prune to well under half the files.
+    assert z_pk <= n_files * 0.5, f"partkey envelope too wide: {z_pk}"
+    assert z_ok <= n_files * 0.5, f"orderkey envelope too wide: {z_ok}"
+    # Same rows either way.
+    assert spark.read.parquet(zpath).count() == li.count()
