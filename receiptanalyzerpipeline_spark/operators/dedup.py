@@ -268,3 +268,75 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_dedup_status(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Classify each batch document against an EXISTING corpus:
+    ``exact_dup`` (content fingerprint already present), ``near_dup``
+    (k-gram Jaccard ≥ threshold with some corpus doc), else ``new`` —
+    the continuous-corpus-building shape, where dedup runs new data
+    against the accumulated index instead of within one snapshot.
+
+    Both probes are asymmetric joins: fingerprint left-join against the
+    distinct corpus fingerprint set, and a batch-side × corpus-side
+    shingle inverted-index join (shuffle key = shingle, never doc×doc).
+    At 100 TB the corpus-side fingerprint set and shingle index are
+    precomputed, stored, and bucketed by their join key, so each
+    incremental batch only shuffles ITS OWN rows into co-located
+    buckets; a bloom filter of batch shingles prunes the corpus-index
+    scan (session.py runtime bloom filters do this automatically once
+    the batch side is selective).
+
+    Returns (id_col, status) — one row per batch document.
+    """
+    from receiptanalyzerpipeline_spark.operators.textanalysis import content_fingerprint
+
+    bfp = batch.select(
+        F.col(id_col), content_fingerprint(F.col(text_col)).alias("__fp")
+    )
+    cfp = corpus.select(content_fingerprint(F.col(text_col)).alias("__fp")).distinct()
+    exact = bfp.join(cfp, "__fp", "left_semi").select(id_col).withColumn(
+        "__exact", F.lit(True)
+    )
+
+    bidx = shingle_index(batch, id_col, text_col, k)
+    cidx = shingle_index(corpus, id_col, text_col, k)
+    bsz = bidx.groupBy("doc_id").agg(F.count("*").alias("n_b"))
+    csz = cidx.groupBy("doc_id").agg(F.count("*").alias("n_c"))
+    inter = (
+        bidx.alias("b")
+        .join(cidx.alias("c"), F.col("b.shingle") == F.col("c.shingle"))
+        .groupBy(F.col("b.doc_id").alias("bid"), F.col("c.doc_id").alias("cid"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    near = (
+        inter.join(bsz.select(F.col("doc_id").alias("bid"), "n_b"), "bid")
+        .join(csz.select(F.col("doc_id").alias("cid"), "n_c"), "cid")
+        .where(
+            F.col("n_inter").cast("double")
+            / (F.col("n_b") + F.col("n_c") - F.col("n_inter"))
+            >= threshold
+        )
+        .select(F.col("bid").alias(id_col))
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    return (
+        batch.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__exact"), "exact_dup")
+            .when(F.col("__near"), "near_dup")
+            .otherwise("new")
+            .alias("status"),
+        )
+    )

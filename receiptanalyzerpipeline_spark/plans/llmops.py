@@ -769,3 +769,89 @@ def q_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "q_d9_incremental_dedup",
+    oracle="""
+        WITH batch AS (
+            SELECT doc_id + 20000 AS doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) < '6'
+                        THEN text || ' incremental batch note'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) < 'b'
+                        THEN text
+                        ELSE 'completely fresh synthetic document number '
+                             || CAST(doc_id AS VARCHAR) END AS text
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
+        ),
+        corpus_fp AS (SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents),
+        bt AS (SELECT doc_id, string_split(text, ' ') t FROM batch),
+        bsh AS (
+            SELECT doc_id,
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in range(1, len(t) - 1)]) s
+            FROM bt WHERE len(t) >= 3
+        ),
+        be AS (SELECT doc_id, unnest(s) AS sh FROM bsh),
+        bsizes AS (SELECT doc_id, len(s) AS n FROM bsh),
+        ct AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        csh AS (
+            SELECT doc_id,
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in range(1, len(t) - 1)]) s
+            FROM ct WHERE len(t) >= 3
+        ),
+        ce AS (SELECT doc_id, unnest(s) AS sh FROM csh),
+        csizes AS (SELECT doc_id, len(s) AS n FROM csh),
+        inter AS (
+            SELECT b.doc_id bid, c.doc_id cid, COUNT(*) i
+            FROM be b JOIN ce c ON b.sh = c.sh GROUP BY 1, 2
+        ),
+        near AS (
+            SELECT DISTINCT bid FROM inter
+            JOIN bsizes sb ON sb.doc_id = bid
+            JOIN csizes sc ON sc.doc_id = cid
+            WHERE CAST(i AS DOUBLE) / (sb.n + sc.n - i) >= 0.5
+        )
+        SELECT b.doc_id,
+               CASE WHEN md5(lower(trim(b.text))) IN (SELECT fp FROM corpus_fp)
+                         THEN 'exact_dup'
+                    WHEN b.doc_id IN (SELECT bid FROM near) THEN 'near_dup'
+                    ELSE 'new' END AS status
+        FROM batch b
+        ORDER BY doc_id
+    """,
+    doc=(
+        "Incremental corpus dedup: a deterministic md5-sampled 'incoming "
+        "batch' (half of it mutated by an appended suffix) is classified "
+        "against the EXISTING corpus as exact_dup / near_dup / new — the "
+        "continuous-corpus-building shape, where new data dedups against "
+        "the accumulated index rather than within one snapshot. Asymmetric "
+        "joins only: fingerprint semi-join + batch×corpus shingle "
+        "inverted-index join (operators/dedup.py:incremental_dedup_status)."
+    ),
+    tags=("dedup", "curation", "incremental"),
+)
+def q_d9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    h = F.md5(F.col("doc_id").cast("string"))
+    batch = (
+        docs.where(F.substring(h, 1, 1).isin("0", "1"))
+        .select(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            F.when(
+                F.substring(h, 2, 1) < "6",
+                F.concat(F.col("text"), F.lit(" incremental batch note")),
+            )
+            .when(F.substring(h, 2, 1) < "b", F.col("text"))
+            .otherwise(
+                F.concat(
+                    F.lit("completely fresh synthetic document number "),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+            .alias("text"),
+        )
+    )
+    return D.incremental_dedup_status(batch, docs, "doc_id", "text").orderBy("doc_id")

@@ -112,3 +112,44 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path: Path
                     want.add((v["event_id"], p["event_id"]))
     assert want, "slice should contain view→purchase pairs"
     assert got == want
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path: Path):
+    """Stream-static join (SURVEY T-topology): a micro-batched event stream
+    enriched against a static broadcast dimension — stateless (no watermark
+    needed), each micro-batch plans the same broadcast hash join a batch
+    query would. The 100 TB form: dimension snapshot broadcast to every
+    executor once per trigger, stream side never shuffles."""
+    from receiptanalyzerpipeline_spark.catalog import table
+
+    events = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+                "event_type", "value")
+        .orderBy("ts")
+    )
+    rows = events.collect()
+    _write_chunks(rows, tmp_path / "landing")
+
+    dim = spark.createDataFrame(
+        [(uid, f"tier_{uid % 3}") for uid in range(20)], ["user_id", "tier"]
+    )
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "landing"))
+        .join(F.broadcast(dim), "user_id")
+        .select("event_id", "tier")
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("enriched")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(timeout=300)
+    got = {
+        (r["event_id"], r["tier"])
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    want = {(r["event_id"], f"tier_{r['user_id'] % 3}") for r in rows}
+    assert want and got == want
