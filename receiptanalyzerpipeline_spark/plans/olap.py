@@ -237,3 +237,35 @@ def q_a9(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("l_quantity", F.lit(0.5), acc).alias("q50"),
         F.approx_percentile("l_quantity", F.lit(0.75), acc).alias("q75"),
     )
+
+
+@register(
+    "q_a11_mergeable_hll",
+    oracle=None,  # sketch estimates are engine-specific; tolerance pinned in tests
+    doc=(
+        "Mergeable-sketch distinct counting (Apache DataSketches HLL): "
+        "per-priority sketches via hll_sketch_agg, then ONE union-merge "
+        "(hll_union_agg) yields the global estimate without rescanning — "
+        "the 100 TB pattern where per-partition/per-day sketches are "
+        "persisted and any rollup is a cheap sketch merge instead of a "
+        "recount. Rows-only driver check; tests bound the estimates "
+        "against exact COUNT(DISTINCT) (<2% at this cardinality). "
+        "approx_count_distinct (q_a5) is the one-shot sibling; this one "
+        "materializes the REUSABLE sketch."
+    ),
+    tags=("agg", "distinct", "sketch", "mergeable"),
+)
+def q_a11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    est = per_group.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").cast("long").alias("distinct_custkeys"),
+    )
+    union = per_group.agg(
+        F.lit("_ALL_").alias("o_orderpriority"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("distinct_custkeys"),
+    ).select("o_orderpriority", "distinct_custkeys")
+    return est.unionByName(union).orderBy("o_orderpriority")

@@ -280,3 +280,27 @@ def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
     assert z_ok <= n_files * 0.5, f"orderkey envelope too wide: {z_ok}"
     # Same rows either way.
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_mergeable_hll_tolerance(spark, sf_dir):
+    """q_a11: per-group HLL estimates AND the union-merged global estimate
+    must sit within 2% of exact COUNT(DISTINCT) — the merge must not lose
+    accuracy (sketch union is lossless in HLL)."""
+    from receiptanalyzerpipeline_spark.catalog import table
+    from receiptanalyzerpipeline_spark.plans import REGISTRY
+
+    got = {
+        r["o_orderpriority"]: r["distinct_custkeys"]
+        for r in REGISTRY["q_a11_mergeable_hll"].spark(spark, sf_dir).collect()
+    }
+    o = table(spark, sf_dir, "orders")
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact["_ALL_"] = o.select("o_custkey").distinct().count()
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.02, (k, est, exact[k])
