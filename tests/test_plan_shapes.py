@@ -216,3 +216,27 @@ def test_selective_fact_join_gets_runtime_bloom_filter(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_q_d9_incremental_dedup_no_nested_loop(spark, registry):
+    plan = _executed_plan(registry["q_d9_incremental_dedup"].spark(spark, SF_DIR))
+    # Asymmetric batch×corpus probes must be hash joins on fp / shingle —
+    # never a nested loop over the corpus.
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # Exact-dup probe stays a semi join (no corpus row multiplication).
+    assert "LeftSemi" in plan
+
+
+def test_q_x14_quantile_filter_single_shuffle(spark, registry):
+    # rank + count share one window partition (lang) → exactly one hash
+    # shuffle; the final ORDER BY is a range exchange, not another hash.
+    plan = _executed_plan(registry["q_x14_quantile_filter"].spark(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q_a10_regression_single_shuffle(spark, registry):
+    # Five decimal moments reduce in ONE partial+final aggregate — adding
+    # moments must never add shuffles.
+    plan = _executed_plan(registry["q_a10_regression_profile"].spark(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "HashAggregate" in plan

@@ -106,3 +106,65 @@ def test_range_join_plan_is_equi_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cogrouped_asof_matches_native(spark, sf_dir):
+    """Cogrouped applyInPandas (the one Python-boundary kind not exercised
+    elsewhere): per-key pandas merge_asof over two cogrouped tables must
+    reproduce operators/temporal.asof_join exactly. Arrow ships each key's
+    two groups to one Python worker — the escape hatch for per-key
+    two-table logic Spark can't express natively (here it CAN, which is
+    what makes the parity checkable)."""
+    import pandas as pd
+
+    from receiptanalyzerpipeline_spark.catalog import table
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 30)
+        .select("user_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+                "event_id", "event_type")
+    )
+    views = ev.where(F.col("event_type") == "view").drop("event_type")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["user_id", "ts", "event_id", "purchase_id", "ts_matched"]
+            )
+        left = left.sort_values(["ts", "event_id"])
+        right = right.sort_values("ts").rename(columns={"ts": "ts_matched"})
+        out = pd.merge_asof(
+            left, right.drop(columns=["user_id"], errors="ignore"),
+            left_on="ts", right_on="ts_matched", direction="backward",
+        )
+        return out[["user_id", "ts", "event_id", "purchase_id", "ts_matched"]]
+
+    cogrouped = (
+        views.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, ts timestamp_ntz, event_id long, "
+            "purchase_id long, ts_matched timestamp_ntz",
+        )
+    )
+    native = asof_join(
+        views, purchases.withColumnRenamed("ts", "pts"),
+        on=["user_id"], left_ts="ts", right_ts="pts",
+    ).select(
+        "user_id", "ts", "event_id",
+        F.col("purchase_id_matched").alias("purchase_id"),
+        F.col("pts_matched").alias("ts_matched"),
+    )
+
+    key = lambda r: (r["user_id"], r["ts"], r["event_id"])
+    got = {key(r): (r["purchase_id"], r["ts_matched"]) for r in cogrouped.collect()}
+    want = {key(r): (r["purchase_id"], r["ts_matched"]) for r in native.collect()}
+    assert len(want) > 50
+    assert got == want
