@@ -426,3 +426,66 @@ def q_x14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") * 4 <= F.col("cnt"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_x15_overlap_chunks",
+    oracle="""
+        WITH bt AS (
+            SELECT doc_id, string_split(text, ' ') AS t,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, t, n,
+                   1 + (CASE WHEN n > 32 THEN (n - 32 + 23) // 24 ELSE 0 END)
+                       AS n_chunks
+            FROM bt
+        )
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               CAST(least(32, n - i * 24) AS BIGINT) AS chunk_tokens,
+               md5(array_to_string(list_slice(t, i * 24 + 1, i * 24 + 32), ' '))
+                   AS chunk_md5
+        FROM c, LATERAL unnest(range(0, n_chunks)) AS u(i)
+        ORDER BY doc_id, chunk_idx
+    """,
+    doc=(
+        "Overlapping-window chunking (RAG / long-context training export): "
+        "each document becomes ceil((n-32)/24)+1 chunks of 32 tokens at "
+        "stride 24 (25% overlap), identified by the md5 of the joined "
+        "slice. Pure map-side — sequence+explode+slice per row, NO shuffle "
+        "until the final ORDER BY — so it streams at corpus scale; chunk "
+        "counts are exact integer math and the slice join is "
+        "byte-identical in both engines. q_x13 is the disjoint-packing "
+        "sibling; this is the retrieval-index layout."
+    ),
+    tags=("sampling", "curation", "packing", "chunking"),
+)
+def q_x15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    C, S = 32, 24
+    docs = _docs(spark, sf_dir)
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    n_chunks = F.lit(1) + F.when(
+        n > C, F.expr(f"(size(split(text, ' ')) - {C} + {S - 1}) div {S}")
+    ).otherwise(F.lit(0))
+    return (
+        docs.select(
+            "doc_id",
+            t.alias("t"),
+            n.alias("n"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.least(F.lit(C), F.col("n") - F.col("chunk_idx") * S)
+            .cast("long")
+            .alias("chunk_tokens"),
+            F.md5(
+                F.array_join(F.slice(F.col("t"), F.col("chunk_idx") * S + 1, C), " ")
+            ).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
