@@ -89,3 +89,72 @@ def dedup_survivors(
         F.col("id").alias(id_col)
     )
     return corpus.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Deterministic PageRank over a directed edge list: rank the most
+    central member of each near-dup cluster (the canonical-document vote),
+    or any other graph centrality need.
+
+    Engine-portable float iteration: each node's outgoing contribution is
+    ONE IEEE division (pr/outdeg) rounded to DECIMAL(28,12), per-node
+    in-flows are then summed EXACTLY in decimal (partition-order-free),
+    and the damped update is one more IEEE expression before the next
+    rounding — so the whole iteration is bit-reproducible at any
+    partition count AND replayable in any engine with decimal arithmetic
+    (the registry's decimal-sum/double-divide rule applied to an
+    iterative algorithm). Rounding at 1e-12 injects error ~1e-12 per
+    round — noise relative to PageRank's own damping tolerance.
+
+    Cost per iteration: one shuffle (contribution groupBy on dst) plus a
+    broadcast-or-shuffle join back to nodes; lineage truncated per round
+    so the plan stays flat. Dangling nodes (no out-edges) contribute
+    nothing, standard simplified PR.
+
+    Returns (node, pagerank DOUBLE).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    deg = e.groupBy("s").agg(F.count("*").alias("outdeg"))
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # one scalar; the loop itself is driver-free
+    base = F.lit(0.15)  # (1 - damping), kept symmetric with the oracle SQL
+    pr = nodes.withColumn(
+        "pr", (F.lit(1.0) / F.lit(n_nodes)).cast("decimal(28,12)")
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(pr, e["s"] == pr["node"])
+            .join(deg, "s")
+            .select(
+                "d",
+                (F.col("pr").cast("double") / F.col("outdeg"))
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+        )
+        summed = contrib.groupBy("d").agg(F.sum("c").alias("sc"))
+        pr = (
+            nodes.join(summed, nodes["node"] == summed["d"], "left")
+            .select(
+                "node",
+                (
+                    base / F.lit(n_nodes)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("sc"), F.lit(0)).cast("double")
+                )
+                .cast("decimal(28,12)")
+                .alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select("node", F.col("pr").cast("double").alias("pagerank"))

@@ -855,3 +855,89 @@ def q_d9(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return D.incremental_dedup_status(batch, docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 3-iteration PageRank SQL over the Jaccard near-dup edges —
+    recursive CTEs can't aggregate in the recursive term, so the loop is
+    unrolled; decimal-rounded contributions make each iteration exact."""
+    iters = ""
+    prev = "pr0"
+    for k in (1, 2, 3):
+        iters += f"""
+        c{k} AS (
+            SELECT e.d, CAST(CAST(p.pr AS DOUBLE) / dg.outdeg AS DECIMAL(28,12)) c
+            FROM edges e JOIN {prev} p ON p.node = e.s JOIN deg dg ON dg.s = e.s
+        ),
+        s{k} AS (SELECT d, SUM(c) sc FROM c{k} GROUP BY d),
+        pr{k} AS (
+            SELECT n.node,
+                   CAST(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                        + CAST(0.85 AS DOUBLE) * CAST(COALESCE(s.sc, 0) AS DOUBLE)
+                        AS DECIMAL(28,12)) pr
+            FROM nodes n LEFT JOIN s{k} s ON s.d = n.node
+        ),"""
+        prev = f"pr{k}"
+    return f"""
+        WITH {_SHINGLES_CTE},
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        deg AS (SELECT s, COUNT(*) AS outdeg FROM edges GROUP BY s),
+        nodes AS (SELECT DISTINCT s AS node FROM edges),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        pr0 AS (
+            SELECT node,
+                   CAST(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn)
+                        AS DECIMAL(28,12)) pr
+            FROM nodes
+        ),{iters}
+        dummy AS (SELECT 1)
+        SELECT node AS doc_id, CAST(pr AS DOUBLE) AS pagerank
+        FROM pr3 ORDER BY node
+    """
+
+
+@register(
+    "q_g1_pagerank",
+    oracle=_pagerank_oracle(),
+    doc=(
+        "Deterministic PageRank (3 iterations, d=0.85) over the symmetric "
+        "Jaccard near-dup graph — ranks the most-connected member of each "
+        "dup cluster (canonical-document vote). Iterative float algorithms "
+        "are normally engine- and partition-order-dependent; here each "
+        "node's contribution is one IEEE division rounded to "
+        "DECIMAL(28,12) and in-flows sum EXACTLY in decimal, so every "
+        "iteration is bit-reproducible and the DuckDB oracle replays the "
+        "unrolled loop verbatim (operators/components.py:pagerank). One "
+        "shuffle per iteration."
+    ),
+    tags=("graph", "pagerank", "iterative", "dedup"),
+)
+def q_g1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from receiptanalyzerpipeline_spark.operators.components import pagerank
+
+    pairs = D.jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", k=3, threshold=0.5
+    ).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    return (
+        pagerank(edges, iterations=3)
+        .select(F.col("node").alias("doc_id"), "pagerank")
+        .orderBy("doc_id")
+    )
