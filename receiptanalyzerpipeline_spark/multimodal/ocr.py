@@ -129,9 +129,8 @@ def ocr_with_cache(
     The anti-join keys on ahash — exactly-once OCR per distinct image
     content, idempotent under replay (SURVEY §7.3.4/§7.3.6)."""
     distinct_imgs = images.select("ahash", "content").dropDuplicates(["ahash"])
-    try:
-        cache = spark.read.parquet(cache_path)
-    except Exception:
+    cache = _read_cache_or_none(spark, cache_path)
+    if cache is None:
         cache = spark.createDataFrame([], OCR_RESULT_SCHEMA)
 
     misses = distinct_imgs.join(cache.select("ahash"), "ahash", "left_anti")
@@ -141,8 +140,27 @@ def ocr_with_cache(
     # below is the only execution of the OCR stage.
     if misses.limit(1).count() > 0:
         ocr_expense(misses, backend).write.mode("append").parquet(cache_path)
-    try:
-        cache_now = spark.read.parquet(cache_path)
-    except Exception:  # nothing cached and nothing missed: empty input
+    cache_now = _read_cache_or_none(spark, cache_path)
+    if cache_now is None:  # nothing cached and nothing missed: empty input
         return spark.createDataFrame([], OCR_RESULT_SCHEMA)
     return cache_now.join(distinct_imgs.select("ahash"), "ahash", "left_semi")
+
+
+def _read_cache_or_none(spark: SparkSession, cache_path: str) -> DataFrame | None:
+    """Read the raw-zone cache, returning None ONLY when the path does not
+    exist yet (first run). Any other failure — corrupt files, permission
+    errors, transient FS faults — re-raises: treating those as "nothing
+    cached" would silently drop OCR results."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(cache_path)
+    except AnalysisException as ex:
+        error_class = None
+        try:
+            error_class = ex.getErrorClass()
+        except Exception:
+            pass
+        if error_class == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(ex):
+            return None
+        raise

@@ -48,18 +48,38 @@ def connected_components(
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["id"])
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            # materialized once: the shortcut below reads it from two sides
+            .localCheckpoint(eager=True)
+        )
+        # Pointer-jumping shortcut (component ← label(component)): labels are
+        # always node ids, so chasing one hop per round on top of the
+        # neighbor step contracts paths geometrically — a diameter-D chain
+        # converges in O(log D) rounds instead of D, which is what makes
+        # max_iter=25 safely cover any graph that fits in storage.
+        parents = stepped.select(
+            F.col("id").alias("component"), F.col("component").alias("grand")
+        )
+        new_labels = (
+            stepped.join(parents, "component", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("grand", F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
@@ -73,7 +93,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Unconverged labels are silently WRONG clusters (and a leakage-safe
+        # split built on them leaks) — fail loudly instead of returning them.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; raise max_iter (rounds needed ≈ log2(graph diameter) + 2)"
+        )
     return labels
 
 
@@ -103,14 +131,16 @@ def pagerank(
     or any other graph centrality need.
 
     Engine-portable float iteration: each node's outgoing contribution is
-    ONE IEEE division (pr/outdeg) rounded to DECIMAL(28,12), per-node
-    in-flows are then summed EXACTLY in decimal (partition-order-free),
-    and the damped update is one more IEEE expression before the next
-    rounding — so the whole iteration is bit-reproducible at any
-    partition count AND replayable in any engine with decimal arithmetic
-    (the registry's decimal-sum/double-divide rule applied to an
-    iterative algorithm). Rounding at 1e-12 injects error ~1e-12 per
-    round — noise relative to PageRank's own damping tolerance.
+    quantized to an exact BIGINT pico-value — ``floor((pr / outdeg) *
+    1e12)`` — per-node in-flows are then summed EXACTLY as integers
+    (partition-order-free), and the damped update is one fixed IEEE
+    expression on the de-quantized double. floor() of a double is exact
+    in every engine, unlike a double→DECIMAL cast (Spark rounds via the
+    shortest decimal repr, DuckDB scales in binary first — they disagree
+    at the last decimal place, which compounds across iterations), so
+    the whole iteration is bit-reproducible at any partition count AND
+    replays verbatim in DuckDB. Truncation at 1e-12 injects error
+    ~1e-12 per round — noise relative to PageRank's damping tolerance.
 
     Cost per iteration: one shuffle (contribution groupBy on dst) plus a
     broadcast-or-shuffle join back to nodes; lineage truncated per round
@@ -128,18 +158,15 @@ def pagerank(
     )
     n_nodes = nodes.count()  # one scalar; the loop itself is driver-free
     base = F.lit(0.15)  # (1 - damping), kept symmetric with the oracle SQL
-    pr = nodes.withColumn(
-        "pr", (F.lit(1.0) / F.lit(n_nodes)).cast("decimal(28,12)")
-    )
+    pico = F.lit(1e12)
+    pr = nodes.withColumn("pr", F.lit(1.0) / F.lit(n_nodes))
     for _ in range(iterations):
         contrib = (
             e.join(pr, e["s"] == pr["node"])
             .join(deg, "s")
             .select(
                 "d",
-                (F.col("pr").cast("double") / F.col("outdeg"))
-                .cast("decimal(28,12)")
-                .alias("c"),
+                F.floor((F.col("pr") / F.col("outdeg")) * pico).alias("c"),
             )
         )
         summed = contrib.groupBy("d").agg(F.sum("c").alias("sc"))
@@ -150,11 +177,9 @@ def pagerank(
                 (
                     base / F.lit(n_nodes)
                     + F.lit(damping)
-                    * F.coalesce(F.col("sc"), F.lit(0)).cast("double")
-                )
-                .cast("decimal(28,12)")
-                .alias("pr"),
+                    * (F.coalesce(F.col("sc"), F.lit(0)).cast("double") / pico)
+                ).alias("pr"),
             )
             .localCheckpoint(eager=False)
         )
-    return pr.select("node", F.col("pr").cast("double").alias("pagerank"))
+    return pr.select("node", F.col("pr").alias("pagerank"))

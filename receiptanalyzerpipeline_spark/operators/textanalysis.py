@@ -38,8 +38,25 @@ def _as_col(c: str | Column) -> Column:
 
 
 def tokens(c: str | Column) -> Column:
-    """Whitespace tokens, empties dropped."""
-    return F.filter(F.split(F.trim(_as_col(c)), r"\s+"), lambda t: t != "")
+    """Whitespace tokens, empties dropped.
+
+    The DuckDB replay of this exact tokenization is :data:`DUCK_TOKENS`
+    below — every oracle that mirrors a tokens()-based operator MUST use
+    that fragment (not ``string_split(text, ' ')``), or documents with
+    double/leading/trailing/tab/newline whitespace diverge between the
+    engines. The split pattern is an explicit character class equal to
+    Java's ``\\s`` so both regex engines (Java regex here, RE2 in DuckDB)
+    see the identical whitespace definition."""
+    return F.filter(F.split(F.trim(_as_col(c)), WS_RE), lambda t: t != "")
+
+
+# Java \s == [ \t\n\x0B\f\r]; spelled out so RE2 (DuckDB) matches it exactly.
+WS_RE = "[ \\t\\n\\x0B\\f\\r]+"
+
+# DuckDB expression replaying tokens() bit-for-bit on a column named `text`:
+# split on the same whitespace class, drop empty tokens (which also makes
+# leading/trailing whitespace irrelevant, mirroring the trim above).
+DUCK_TOKENS = "list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
 
 
 def token_count_ws(c: str | Column) -> Column:

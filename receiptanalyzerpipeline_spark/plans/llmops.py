@@ -13,12 +13,16 @@ from receiptanalyzerpipeline_spark.catalog import table
 from receiptanalyzerpipeline_spark.operators import dedup as D
 from receiptanalyzerpipeline_spark.operators import similarity as S
 from receiptanalyzerpipeline_spark.operators import textanalysis as T
+from receiptanalyzerpipeline_spark.operators.textanalysis import DUCK_TOKENS
 from receiptanalyzerpipeline_spark.plans.registry import register
 
 # Shared SQL fragments -------------------------------------------------------
+# DUCK_TOKENS replays operators/textanalysis.tokens() exactly (whitespace-run
+# split, empties dropped) so token-derived oracles hold for arbitrary text,
+# not just the single-spaced synthetic corpus.
 
-_SHINGLES_CTE = """
-        toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+_SHINGLES_CTE = f"""
+        toks AS (SELECT doc_id, {DUCK_TOKENS} t FROM documents),
         shingles AS (
             SELECT doc_id,
                    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -82,9 +86,9 @@ def q_n1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_n1b_top_tokens",
-    oracle="""
+    oracle=f"""
         SELECT tok, COUNT(*) AS n
-        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        FROM (SELECT unnest({DUCK_TOKENS}) AS tok FROM documents) t
         GROUP BY tok ORDER BY n DESC, tok LIMIT 20
     """,
     doc="Corpus-wide top tokens via explode (SURVEY Q-N1/N6).",
@@ -103,14 +107,14 @@ def q_n1b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_x1_lang_id",
-    oracle="""
+    oracle=f"""
         WITH scored AS (
             SELECT doc_id, lang,
-                   len(list_filter(string_split(text,' '), x -> x IN ('hash','sort','scan','batch'))) AS s_de,
-                   len(list_filter(string_split(text,' '), x -> x IN ('the','a','fast','slow','big','small'))) AS s_en,
-                   len(list_filter(string_split(text,' '), x -> x IN ('data','table','row','column'))) AS s_es,
-                   len(list_filter(string_split(text,' '), x -> x IN ('query','filter','join','merge'))) AS s_fr,
-                   len(list_filter(string_split(text,' '), x -> x IN ('spark','stream','window','vector'))) AS s_zh
+                   len(list_filter({DUCK_TOKENS}, x -> x IN ('hash','sort','scan','batch'))) AS s_de,
+                   len(list_filter({DUCK_TOKENS}, x -> x IN ('the','a','fast','slow','big','small'))) AS s_en,
+                   len(list_filter({DUCK_TOKENS}, x -> x IN ('data','table','row','column'))) AS s_es,
+                   len(list_filter({DUCK_TOKENS}, x -> x IN ('query','filter','join','merge'))) AS s_fr,
+                   len(list_filter({DUCK_TOKENS}, x -> x IN ('spark','stream','window','vector'))) AS s_zh
             FROM documents
         )
         SELECT doc_id, lang,
@@ -133,12 +137,12 @@ def q_x1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_x2_quality",
-    oracle="""
+    oracle=f"""
         WITH m AS (
             SELECT doc_id,
-                   len(string_split(text,' ')) AS n_tokens,
+                   len({DUCK_TOKENS}) AS n_tokens,
                    len(regexp_extract_all(text, '[^\\w\\s]')) AS punct_cnt,
-                   len(list_filter(string_split(text,' '),
+                   len(list_filter({DUCK_TOKENS},
                        x -> x IN ('the','a','of','and','to','in'))) AS stop_cnt
             FROM documents
         )
@@ -168,9 +172,9 @@ def q_x2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_x3_token_count",
-    oracle="""
+    oracle=f"""
         SELECT doc_id,
-               len(string_split(text, ' ')) AS ws_tokens,
+               len({DUCK_TOKENS}) AS ws_tokens,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
         FROM documents
     """,
@@ -321,10 +325,10 @@ def q_d7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_d4_simhash",
-    oracle="""
+    oracle=f"""
         WITH tok AS (
             SELECT DISTINCT doc_id, tok FROM (
-                SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+                SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents
             ) t
         ),
         h AS (
@@ -773,7 +777,7 @@ def q_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_d9_incremental_dedup",
-    oracle="""
+    oracle=f"""
         WITH batch AS (
             SELECT doc_id + 20000 AS doc_id,
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) < '6'
@@ -786,7 +790,7 @@ def q_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
         ),
         corpus_fp AS (SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents),
-        bt AS (SELECT doc_id, string_split(text, ' ') t FROM batch),
+        bt AS (SELECT doc_id, {DUCK_TOKENS} t FROM batch),
         bsh AS (
             SELECT doc_id,
                    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -795,7 +799,7 @@ def q_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         be AS (SELECT doc_id, unnest(s) AS sh FROM bsh),
         bsizes AS (SELECT doc_id, len(s) AS n FROM bsh),
-        ct AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        ct AS (SELECT doc_id, {DUCK_TOKENS} t FROM documents),
         csh AS (
             SELECT doc_id,
                    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -860,21 +864,25 @@ def q_d9(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_oracle() -> str:
     """Unrolled 3-iteration PageRank SQL over the Jaccard near-dup edges —
     recursive CTEs can't aggregate in the recursive term, so the loop is
-    unrolled; decimal-rounded contributions make each iteration exact."""
+    unrolled. Contributions are quantized with floor((pr/outdeg)*1e12)
+    to exact BIGINT pico-values (floor of a double is exact in every
+    engine, unlike double→DECIMAL casts, whose last-place rounding
+    differs between Spark and DuckDB) and in-flows sum exactly as
+    integers, replaying the operator bit-for-bit."""
     iters = ""
     prev = "pr0"
     for k in (1, 2, 3):
         iters += f"""
         c{k} AS (
-            SELECT e.d, CAST(CAST(p.pr AS DOUBLE) / dg.outdeg AS DECIMAL(28,12)) c
+            SELECT e.d, CAST(FLOOR((p.pr / dg.outdeg) * 1e12) AS BIGINT) c
             FROM edges e JOIN {prev} p ON p.node = e.s JOIN deg dg ON dg.s = e.s
         ),
-        s{k} AS (SELECT d, SUM(c) sc FROM c{k} GROUP BY d),
+        s{k} AS (SELECT d, CAST(SUM(c) AS BIGINT) sc FROM c{k} GROUP BY d),
         pr{k} AS (
             SELECT n.node,
-                   CAST(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
-                        + CAST(0.85 AS DOUBLE) * CAST(COALESCE(s.sc, 0) AS DOUBLE)
-                        AS DECIMAL(28,12)) pr
+                   CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                   + CAST(0.85 AS DOUBLE)
+                     * (CAST(COALESCE(s.sc, 0) AS DOUBLE) / 1e12) pr
             FROM nodes n LEFT JOIN s{k} s ON s.d = n.node
         ),"""
         prev = f"pr{k}"
@@ -900,9 +908,7 @@ def _pagerank_oracle() -> str:
         nodes AS (SELECT DISTINCT s AS node FROM edges),
         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
         pr0 AS (
-            SELECT node,
-                   CAST(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn)
-                        AS DECIMAL(28,12)) pr
+            SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) pr
             FROM nodes
         ),{iters}
         dummy AS (SELECT 1)
@@ -919,11 +925,13 @@ def _pagerank_oracle() -> str:
         "Jaccard near-dup graph — ranks the most-connected member of each "
         "dup cluster (canonical-document vote). Iterative float algorithms "
         "are normally engine- and partition-order-dependent; here each "
-        "node's contribution is one IEEE division rounded to "
-        "DECIMAL(28,12) and in-flows sum EXACTLY in decimal, so every "
-        "iteration is bit-reproducible and the DuckDB oracle replays the "
-        "unrolled loop verbatim (operators/components.py:pagerank). One "
-        "shuffle per iteration."
+        "node's contribution is quantized to an exact BIGINT pico-value "
+        "(floor((pr/outdeg)*1e12) — floor is exact in every engine, "
+        "unlike double→DECIMAL casts whose last-place rounding differs "
+        "between Spark and DuckDB) and in-flows sum exactly as integers, "
+        "so every iteration is bit-reproducible and the DuckDB oracle "
+        "replays the unrolled loop verbatim "
+        "(operators/components.py:pagerank). One shuffle per iteration."
     ),
     tags=("graph", "pagerank", "iterative", "dedup"),
 )

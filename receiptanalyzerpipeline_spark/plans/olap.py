@@ -125,11 +125,11 @@ def q_a8(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             SELECT l_returnflag,
                    CAST(COUNT(*) AS DOUBLE) AS n,
-                   CAST(SUM(x) AS DOUBLE) AS sx,
-                   CAST(SUM(y) AS DOUBLE) AS sy,
-                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
-                   CAST(SUM(x * x) AS DOUBLE) AS sxx,
-                   CAST(SUM(y * y) AS DOUBLE) AS syy
+                   CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+                   CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy
             FROM (
                 SELECT l_returnflag,
                        CAST(l_quantity AS DECIMAL(18,2)) AS x,

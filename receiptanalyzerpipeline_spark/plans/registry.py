@@ -26,6 +26,14 @@ datetime64 while Spark keeps Decimal objects / int64 / date objects):
 - Averages of decimals are computed as CAST(decimal_sum AS DOUBLE)/count:
   one IEEE division of identical operands — identical bits in both
   engines — instead of engine-specific decimal-division scale rules.
+- **DECIMAL→DOUBLE casts whose scaled integer value can exceed 2^53 go
+  through VARCHAR on the DuckDB side** (``CAST(CAST(x AS VARCHAR) AS
+  DOUBLE)``): DuckDB's direct decimal→double cast double-rounds
+  (int128→double, then ÷10^scale — observed: 7096786968835.8685 →
+  ...869 instead of the correctly rounded ...868), while Spark's
+  BigDecimal.doubleValue and DuckDB's string→double parse are both
+  correctly rounded. Reachable for scale-4/6 sums of decimal products
+  (OLS moments, disc-price revenue, scale-6 profiling totals).
 - Double columns are only ever *passed through* (bit-identical from the
   shared parquet) or rounded-via-decimal-cast at a scale where binary
   doubles cannot sit on a rounding tie.

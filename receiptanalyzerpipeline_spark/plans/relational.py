@@ -145,8 +145,9 @@ def q_a2(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR)
+                    AS DOUBLE) AS sum_disc_price,
                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
                COUNT(*) AS count_order
         FROM lineitem
@@ -627,7 +628,7 @@ def q_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             UNION ALL SELECT 'l_tax', l_tax FROM lineitem
         )
         SELECT measure, COUNT(*) AS n,
-               CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS total,
+               CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total,
                MIN(v) AS vmin, MAX(v) AS vmax
         FROM m GROUP BY measure ORDER BY measure
     """,

@@ -260,14 +260,26 @@ def write_zordered(
     bounds = df.agg(
         *[f for c in cols for f in (F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))]
     ).first()
+    if any(bounds[f"lo_{c}"] is None for c in cols):
+        # Empty input (or an all-NULL cluster column): no bounds to bucketize
+        # over — write the frame as-is rather than failing on float(None).
+        df.write.mode("overwrite").parquet(path)
+        return
     bucketized = []
     for c in cols:
         lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+        if lo == hi:
+            # Constant column: every row lives in one cell. width_bucket with
+            # equal bounds is invalid — pin the cell id to 0 so the column
+            # contributes nothing to the z-value instead of corrupting it.
+            bucketized.append(F.lit(0))
+            continue
         cell = F.width_bucket(
             F.col(c).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(n_buckets)
         )
         # width_bucket: 1..n in range, n+1 at the upper bound — clamp to 0..n-1
-        bucketized.append(F.least(cell - 1, F.lit(n_buckets - 1)))
+        # and map NULL cells to 0 so NULL rows cluster together at the origin.
+        bucketized.append(F.coalesce(F.least(cell - 1, F.lit(n_buckets - 1)), F.lit(0)))
     zdf = df.withColumn("__z__", zvalue(bucketized, bits))
     (
         zdf.repartitionByRange(n_files, "__z__")

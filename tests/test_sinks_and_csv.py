@@ -282,6 +282,60 @@ def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
     assert spark.read.parquet(zpath).count() == li.count()
 
 
+def test_zorder_degenerate_inputs(spark, tmp_path):
+    """write_zordered must not fail on empty input or constant cluster
+    columns: empty → write as-is; constant column → pinned cell 0 (the
+    column contributes nothing to the z-value instead of corrupting it)."""
+    from receiptanalyzerpipeline_spark.sources.sinks import write_zordered
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+
+    empty = li.limit(0)
+    epath = str(tmp_path / "empty")
+    write_zordered(empty, epath, ["l_orderkey", "l_partkey"], n_files=4)
+    assert spark.read.parquet(epath).count() == 0
+
+    const = li.withColumn("l_partkey", F.lit(7))
+    cpath = str(tmp_path / "const")
+    write_zordered(const, cpath, ["l_orderkey", "l_partkey"], n_files=4)
+    out = spark.read.parquet(cpath)
+    assert out.count() == li.count()
+    # The non-constant column still clusters: each file's envelope is narrow.
+    stats = (
+        out.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi"))
+        .collect()
+    )
+    full = li.agg(
+        F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
+    ).first()
+    span = full["hi"] - full["lo"]
+    assert all(r["hi"] - r["lo"] < span for r in stats if r["hi"] != r["lo"])
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """A graph whose label propagation cannot finish within max_iter must
+    raise, not return silently-wrong clusters (ADVICE r2)."""
+    import pytest
+
+    from receiptanalyzerpipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    # 40-node chain: diameter 39; with pointer jumping it converges in
+    # O(log D) rounds, so max_iter=2 is genuinely insufficient.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a: long, id_b: long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+    # And with the default budget the same chain converges to one component.
+    labels = connected_components(edges).collect()
+    assert len({r["component"] for r in labels}) == 1
+
+
 def test_mergeable_hll_tolerance(spark, sf_dir):
     """q_a11: per-group HLL estimates AND the union-merged global estimate
     must sit within 2% of exact COUNT(DISTINCT) — the merge must not lose
