@@ -132,6 +132,84 @@ def mixture_keep(key: Column, source: Column, rates: dict[str, float], default: 
     return bucket < bound
 
 
+def heuristic_quality(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher/C4-style rule-based quality metrics, entirely map-side.
+
+    Per document: token count, mean token length, fraction of tokens
+    containing a letter, symbol-character share of the text — the cheap
+    pre-filters a pretraining pipeline runs before any model-based
+    scoring (Rae et al. 2021 §A1.1, Raffel et al. 2020 C4 rules).
+
+    Every fraction is an int/int IEEE division of exactly-counted
+    integers, so results are bit-identical across engines and partition
+    counts. ZERO shuffle: one projection per row; at 100 TB this is the
+    scan-speed pass that prunes the corpus before the shuffle-heavy
+    dedup stages run.
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("long")
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("long")
+    n_sym = F.size(
+        F.expr(f"regexp_extract_all({text_col}, '[^A-Za-z0-9 \\\\t\\\\n]', 0)")
+    ).cast("long")
+    n_chars = F.length(text_col).cast("long")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        (tok_chars.cast("double") / n_tok).alias("mean_tok_len"),
+        (n_alpha.cast("double") / n_tok).alias("alpha_frac"),
+        (n_sym.cast("double") / n_chars).alias("symbol_frac"),
+    ).where(F.col("n_tokens") >= 1)
+
+
+def window_hash_index(
+    docs: DataFrame, id_col: str, text_col: str, w: int
+) -> DataFrame:
+    """(doc_id, whash) for every ``w``-token sliding window, WITH
+    multiplicity — the inverted-index building block of exact substring
+    deduplication (Lee et al. 2022: duplicated ≥w-token spans are the
+    unit of removal, not whole documents).
+
+    The md5 is computed INSIDE the per-row transform, before the
+    explode, so the shuffle carries 32-char hashes rather than w-token
+    window strings — at 100 TB that is the difference between shuffling
+    the corpus ~w× over and shuffling a fixed 32 bytes per window
+    position. 128-bit hashes keep collision probability negligible at
+    trillion-window scale (a 64-bit truncation would collide by ~4e9
+    windows). The suffix-array formulation of the same operator needs a
+    global sort of the token stream; the hash inverted index is the
+    shuffle-native equivalent and loses only windows crossing removed
+    span boundaries.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    hashes = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(0), n - w),
+            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, w), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(hashes).alias("whash")
+    )
+
+
+def dsir_bucket(gram: Column, n_buckets: int) -> Column:
+    """Hashed-feature bucket for a word n-gram (DSIR, Xie et al. 2023):
+    md5-derived like every other deterministic hash in this package, so
+    bucket assignment replays exactly in the DuckDB oracle and is stable
+    under retries/repartitioning."""
+    return hash_bucket(gram, salt="dsir") % n_buckets
+
+
 def shard_assign(key: Column, n_shards: int, salt: str = "shard") -> Column:
     """Deterministic shard id in [0, n_shards) — the write-time partition
     key for training-set export. md5-derived: reruns, retries, and

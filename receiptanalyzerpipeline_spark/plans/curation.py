@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from receiptanalyzerpipeline_spark.catalog import table
 from receiptanalyzerpipeline_spark.operators import curation as C
 from receiptanalyzerpipeline_spark.operators import textanalysis as T
+from receiptanalyzerpipeline_spark.operators.textanalysis import DUCK_TOKENS
 from receiptanalyzerpipeline_spark.plans.registry import register
 
 # Repetition threshold: flags the extreme tail (p99 ≈ 0.111 at sf0.01)
@@ -41,7 +42,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_x9_repetition_filter",
     oracle=f"""
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        WITH toks AS (SELECT doc_id, {DUCK_TOKENS} t FROM documents),
         base AS (
             SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
                    [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS bg
@@ -119,8 +120,8 @@ def q_x10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_x11_decontamination",
-    oracle="""
-        WITH toks AS (SELECT doc_id, source, string_split(text, ' ') t FROM documents),
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, source, {DUCK_TOKENS} t FROM documents),
         sh AS (
             SELECT doc_id, source,
                    list_distinct([array_to_string(t[i:i+4], ' ')
@@ -167,9 +168,9 @@ def q_x11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_x12_shard_packing",
-    oracle="""
+    oracle=f"""
         WITH s AS (
-            SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+            SELECT doc_id, len({DUCK_TOKENS}) AS n_tok,
                    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 4))
                         AS BIGINT) % 16 AS shard_id
             FROM documents
@@ -202,9 +203,9 @@ def q_x12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_x13_sequence_packing",
-    oracle="""
+    oracle=f"""
         WITH s AS (
-            SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+            SELECT doc_id, len({DUCK_TOKENS}) AS n_tok,
                    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 4))
                         AS BIGINT) % 16 AS shard_id
             FROM documents
@@ -259,9 +260,9 @@ def q_x13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_n3_distinctive_terms",
-    oracle="""
+    oracle=f"""
         WITH tok AS (
-            SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+            SELECT source, unnest({DUCK_TOKENS}) AS tok FROM documents
         ),
         tf AS (SELECT source, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
         df AS (SELECT tok, COUNT(DISTINCT source) AS df FROM tok GROUP BY tok),
@@ -372,13 +373,13 @@ def q_er1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_x14_quantile_filter",
-    oracle="""
+    oracle=f"""
         WITH m AS (
             SELECT doc_id, lang,
-                   CASE WHEN len(string_split(text,' ')) > 0
-                        THEN CAST(len(list_filter(string_split(text,' '),
+                   CASE WHEN len({DUCK_TOKENS}) > 0
+                        THEN CAST(len(list_filter({DUCK_TOKENS},
                                  x -> x IN ('the','a','of','and','to','in')))
-                             AS DOUBLE) / len(string_split(text,' '))
+                             AS DOUBLE) / len({DUCK_TOKENS})
                         ELSE 0.0 END AS stop_ratio
             FROM documents
         ), r AS (
@@ -488,4 +489,218 @@ def q_x15(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_md5"),
         )
         .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_QUALITY_RULES = "n_tokens BETWEEN 5 AND 10000 AND mean_tok_len BETWEEN 2 AND 12 AND alpha_frac >= 0.7 AND symbol_frac <= 0.1"
+
+
+@register(
+    "q_x16_heuristic_quality",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, text, {DUCK_TOKENS} tk FROM documents),
+        m AS (
+            SELECT doc_id,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   CAST(list_aggregate(list_transform(tk, x -> len(x)), 'sum')
+                        AS DOUBLE) / len(tk) AS mean_tok_len,
+                   CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+                        AS DOUBLE) / len(tk) AS alpha_frac,
+                   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n]'))
+                        AS DOUBLE) / len(text) AS symbol_frac
+            FROM t WHERE len(tk) >= 1
+        )
+        SELECT doc_id, n_tokens, mean_tok_len, alpha_frac, symbol_frac,
+               ({_QUALITY_RULES}) AS keep
+        FROM m ORDER BY doc_id
+    """,
+    doc=(
+        "Gopher/C4 rule-based quality pre-filter: token count, mean token "
+        "length, letter-token fraction, symbol share, and the combined "
+        "keep verdict. Zero shuffle — one projection per row (the "
+        "scan-speed pass that prunes a 100 TB corpus before any "
+        "shuffle-heavy dedup runs); every fraction is an int/int IEEE "
+        "division so both engines emit identical bits."
+    ),
+    tags=("text", "quality", "curation"),
+    bench=True,
+)
+def q_x16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = C.heuristic_quality(_docs(spark, sf_dir), "doc_id", "text")
+    return m.withColumn("keep", F.expr(_QUALITY_RULES)).orderBy("doc_id")
+
+
+@register(
+    "q_x17_substring_dedup",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {DUCK_TOKENS} tk FROM documents),
+        wins AS (
+            SELECT doc_id,
+                   [md5(array_to_string(tk[i:i+7], ' '))
+                    for i in range(1, len(tk) - 6)] AS ws
+            FROM t WHERE len(tk) >= 8
+        ),
+        e AS (SELECT doc_id, unnest(ws) AS whash FROM wins),
+        nd AS (SELECT whash, COUNT(DISTINCT doc_id) AS n_docs FROM e GROUP BY whash)
+        SELECT e.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN nd.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_windows,
+               CAST(SUM(CASE WHEN nd.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS dup_frac
+        FROM e JOIN nd USING (whash)
+        GROUP BY e.doc_id
+        ORDER BY doc_id
+    """,
+    doc=(
+        "Exact substring-span deduplication signal (Lee et al. 2022): "
+        "8-token sliding windows hashed map-side (md5 inside the "
+        "transform, BEFORE the explode — the shuffle carries 32-byte "
+        "hashes, not w-token strings), inverted index on window hash, "
+        "per-document duplicated-window fraction. Two shuffles total: a "
+        "window over whash marks cross-document windows without a "
+        "join-back, then one groupBy(doc_id) folds the per-doc counts. "
+        "The suffix-array formulation needs a global token-stream sort; "
+        "this is the shuffle-native equivalent at 100 TB."
+    ),
+    tags=("text", "dedup", "curation"),
+    bench=True,
+)
+def q_x17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = C.window_hash_index(_docs(spark, sf_dir), "doc_id", "text", 8)
+    wd = e.withColumn(
+        "n_docs", F.size(F.collect_set("doc_id").over(Window.partitionBy("whash")))
+    )
+    dup = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).cast("long")
+    return (
+        wd.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            dup.alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_frac", F.col("n_dup_windows").cast("double") / F.col("n_windows")
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_BUCKETS = 128
+_DSIR_TARGET = "src0"
+
+
+@register(
+    "q_x18_dsir_importance",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, source, {DUCK_TOKENS} tk FROM documents),
+        bg AS (
+            SELECT doc_id, source, unnest([tk[i] || ' ' || tk[i+1]
+                                           for i in range(1, len(tk))]) AS g
+            FROM t WHERE len(tk) >= 2
+        ),
+        f AS (
+            SELECT doc_id, source,
+                   CAST(('0x' || substr(md5('dsir:' || g), 1, 4)) AS BIGINT)
+                       % {_DSIR_BUCKETS} AS b
+            FROM bg
+        ),
+        tot AS (
+            SELECT CAST(SUM(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS t_total,
+                   COUNT(*) AS c_total
+            FROM f
+        ),
+        tgt AS (SELECT b, COUNT(*) AS c FROM f WHERE source = '{_DSIR_TARGET}' GROUP BY b),
+        cor AS (SELECT b, COUNT(*) AS c FROM f GROUP BY b),
+        lr AS (
+            SELECT cor.b,
+                   ROUND(ln((COALESCE(tgt.c, 0) + 1.0) / (tot.t_total + {_DSIR_BUCKETS}))
+                         - ln((cor.c + 1.0) / (tot.c_total + {_DSIR_BUCKETS})), 12) AS lr
+            FROM cor LEFT JOIN tgt USING (b) CROSS JOIN tot
+        ),
+        db AS (SELECT doc_id, source, b, COUNT(*) AS n FROM f GROUP BY 1, 2, 3),
+        terms AS (
+            SELECT db.doc_id, db.source, db.b, db.n, db.n * lr.lr AS term
+            FROM db JOIN lr USING (b)
+        )
+        SELECT doc_id, source,
+               CAST(SUM(n) AS BIGINT) AS n_feats,
+               ROUND(list_aggregate(list(term ORDER BY b), 'sum'), 9) AS log_weight
+        FROM terms
+        GROUP BY doc_id, source
+        ORDER BY doc_id
+    """,
+    doc=(
+        "DSIR-style importance weight (Xie et al. 2023): hashed bigram "
+        "features (md5 % 128 buckets — replayable in the oracle), add-1-"
+        "smoothed target-vs-corpus bucket distributions, per-document "
+        "log-likelihood-ratio weight. Distributed shape: one explode + "
+        "bucket projection, two 128-row distribution aggregates that "
+        "broadcast back, one groupBy(doc). Cross-engine float contract: "
+        "per-bucket log-ratios are ROUNDed to 12 decimals (kills ln() "
+        "last-ulp divergence between libm and the JVM), and the per-doc "
+        "sum folds in explicit bucket order on BOTH engines (sort_array "
+        "fold here, list(... ORDER BY b) fold in DuckDB) so double "
+        "addition order — and therefore every output bit — matches."
+    ),
+    tags=("sampling", "curation", "statistics"),
+)
+def q_x18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    f = docs.select(
+        "doc_id",
+        "source",
+        F.explode(C.word_kgrams(F.col("text"), 2)).alias("g"),
+    ).select("doc_id", "source", C.dsir_bucket(F.col("g"), _DSIR_BUCKETS).alias("b"))
+
+    tot = f.agg(
+        F.sum(F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0))
+        .cast("long")
+        .alias("t_total"),
+        F.count("*").alias("c_total"),
+    )
+    tgt = (
+        f.where(F.col("source") == _DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.count("*").alias("tc"))
+    )
+    cor = f.groupBy("b").agg(F.count("*").alias("cc"))
+    lr = (
+        cor.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("t_total") + F.lit(_DSIR_BUCKETS))
+                )
+                - F.log(
+                    (F.col("cc") + F.lit(1.0))
+                    / (F.col("c_total") + F.lit(_DSIR_BUCKETS))
+                ),
+                12,
+            ).alias("lr"),
+        )
+    )
+    db = f.groupBy("doc_id", "source", "b").agg(F.count("*").alias("n"))
+    terms = db.join(F.broadcast(lr), "b").select(
+        "doc_id", "source", "b", "n", (F.col("n") * F.col("lr")).alias("term")
+    )
+    return (
+        terms.groupBy("doc_id", "source")
+        .agg(
+            F.sum("n").cast("long").alias("n_feats"),
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("b", "term"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["term"],
+                ),
+                9,
+            ).alias("log_weight"),
+        )
+        .orderBy("doc_id")
     )

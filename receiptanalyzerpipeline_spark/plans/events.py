@@ -278,3 +278,179 @@ def q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+_EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "q_t6_funnel",
+    oracle="""
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        v AS (
+            SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS view_ts
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS click_ts
+            FROM events e JOIN v ON e.user_id = v.user_id
+                          AND CAST(e.ts AS TIMESTAMP) > v.view_ts
+            WHERE e.event_type = 'click' GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS purchase_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+                          AND CAST(e.ts AS TIMESTAMP) > c.click_ts
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+               CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+                         WHEN c.click_ts IS NOT NULL THEN 2
+                         WHEN v.view_ts IS NOT NULL THEN 1
+                         ELSE 0 END AS BIGINT) AS stage
+        FROM u LEFT JOIN v USING (user_id)
+               LEFT JOIN c USING (user_id)
+               LEFT JOIN p USING (user_id)
+        ORDER BY user_id
+    """,
+    doc=(
+        "Ordered conversion funnel (view → later click → later purchase "
+        "per user): three min-timestamp aggregates chained by strictly-"
+        "later joins, all keyed on user_id — one shuffle partitioning "
+        "reused across every stage (Exchange reuse), no window scan of "
+        "the full event stream. The per-user funnel stage is the "
+        "product-analytics primitive event warehouses run daily at "
+        "100 TB; DuckDB replays the same CTE chain."
+    ),
+    tags=("events", "funnel", "join", "agg"),
+)
+def q_t6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    u = e.select("user_id").distinct()
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    stage = (
+        F.when(F.col("purchase_ts").isNotNull(), 3)
+        .when(F.col("click_ts").isNotNull(), 2)
+        .when(F.col("view_ts").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    return (
+        u.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "view_ts", "click_ts", "purchase_ts", stage.alias("stage"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_t7_cohort_retention",
+    oracle=f"""
+        WITH f AS (
+            SELECT user_id,
+                   date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        a AS (
+            SELECT DISTINCT user_id,
+                   date_trunc('week', CAST(ts AS TIMESTAMP)) AS active_week
+            FROM events
+        )
+        SELECT f.cohort_week,
+               CAST((epoch_us(a.active_week) - epoch_us(f.cohort_week))
+                    // {_WEEK_US} AS BIGINT) AS week_offset,
+               COUNT(*) AS n_users
+        FROM a JOIN f USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY cohort_week, week_offset
+    """,
+    doc=(
+        "Weekly cohort retention triangle: cohort = ISO week of each "
+        "user's first event, counts of users active at each week offset. "
+        "Two aggregates on user_id (first-event, distinct active weeks — "
+        "same shuffle key, exchange reused) + one tiny rollup. Week "
+        "offsets are exact integer math on Monday-aligned epoch micros — "
+        "both engines truncate weeks to Monday, so the division is exact "
+        "and engine-portable."
+    ),
+    tags=("events", "cohort", "agg", "window"),
+)
+def q_t7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    cw = F.date_trunc("week", F.col("ts"))
+    f = e.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    a = e.select("user_id", cw.alias("active_week")).distinct()
+    aw_us = F.expr(_EPOCH_US.format(c="active_week"))
+    cw_us = F.expr(_EPOCH_US.format(c="cohort_week"))
+    return (
+        a.join(f, "user_id")
+        .select(
+            "cohort_week",
+            ((aw_us - cw_us) / F.lit(_WEEK_US)).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "q_w4_scd2_intervals",
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               CAST(ts AS TIMESTAMP) AS valid_from,
+               LEAD(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS valid_to,
+               (LEAD(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) IS NULL) AS is_current
+        FROM events
+        ORDER BY user_id, valid_from, event_id
+    """,
+    doc=(
+        "SCD-type-2 dimension build: each per-user change event becomes a "
+        "[valid_from, valid_to) validity interval via lead() with an "
+        "event_id tiebreaker; the open interval is flagged is_current. "
+        "One shuffle on user_id + in-partition sort — the standard way a "
+        "warehouse derives slowly-changing dimensions from a 100 TB "
+        "change stream (and the batch shape of the streaming upsert sink "
+        "sources/sinks.upsert_by_key)."
+    ),
+    tags=("events", "window", "dimension"),
+)
+def q_w4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )

@@ -240,3 +240,49 @@ def test_q_a10_regression_single_shuffle(spark, registry):
     plan = _executed_plan(registry["q_a10_regression_profile"].spark(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "HashAggregate" in plan
+
+
+def test_q_x16_quality_zero_shuffle(spark, registry):
+    # Rule-based quality is a pure projection: the ONLY exchange allowed
+    # is the final ORDER BY's range exchange.
+    plan = _executed_plan(registry["q_x16_heuristic_quality"].spark(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Join" not in plan
+
+
+def test_q_x17_substring_dedup_two_hash_shuffles(spark, registry):
+    # Window-over-whash marks cross-doc windows without a join-back, then
+    # one groupBy(doc_id): exactly two hash exchanges, no join at all.
+    plan = _executed_plan(registry["q_x17_substring_dedup"].spark(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    # md5 happens before the explode: the shuffled column is the hash.
+    assert "CartesianProduct" not in plan
+
+
+def test_q_x18_dsir_broadcasts_distributions(spark, registry):
+    # The 128-row bucket distribution tables must broadcast back to the
+    # per-(doc,bucket) counts — never a shuffled join against the corpus.
+    plan = _executed_plan(registry["q_x18_dsir_importance"].spark(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # The only nested loop allowed is the broadcast cross with the 1-row
+    # totals aggregate (a scalar), never against per-document data.
+    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    ) <= 1
+
+
+def test_q_t6_funnel_reuses_user_partitioning(spark, registry):
+    # Every stage keys on user_id: Catalyst should plan shuffled joins and
+    # aggs on one key, with no nested loop anywhere.
+    plan = _executed_plan(registry["q_t6_funnel"].spark(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q_w4_scd2_single_shuffle(spark, registry):
+    # lead() over (user_id) is one hash exchange + in-partition sort; the
+    # trailing ORDER BY adds only a range exchange.
+    plan = _executed_plan(registry["q_w4_scd2_intervals"].spark(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
