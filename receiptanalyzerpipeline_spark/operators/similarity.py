@@ -223,3 +223,53 @@ def cosine_neardup_pairs(
         )
         .where(F.col("sim") >= threshold)
     )
+
+
+def hard_negative_pairs(
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for every anchor vector, the
+    top-``k`` most-similar vectors with a DIFFERENT label among its LSH
+    bucket-mates — the pairs that look alike but must be pushed apart,
+    the highest-value negatives for contrastive/embedding training.
+
+    Scale shape: candidates come from the same (table, bucket) equi-join
+    as the ANN search (lsh_bucketed_topk) — never an all-pairs loop; the
+    different-label filter applies inside the bucket join, exact cosine
+    only scores surviving candidates, and a per-anchor window takes the
+    top-k. Signatures are md5-parity hyperplanes, so the whole pipeline
+    replays in the DuckDB oracle.
+    """
+    sig = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        F.col(vec_col).alias("v"),
+        F.explode(lsh_table_buckets(F.col(vec_col))).alias("tb"),
+    )
+    a = sig.select(
+        F.col("vid").alias("anchor_id"),
+        F.col("lbl").alias("anchor_label"),
+        F.col("v").alias("va"),
+        "tb",
+    )
+    b = sig.select(
+        F.col("vid").alias("neg_id"),
+        F.col("lbl").alias("neg_label"),
+        F.col("v").alias("vb"),
+        "tb",
+    )
+    cands = (
+        a.join(b, "tb")
+        .where(F.col("anchor_label") != F.col("neg_label"))
+        .select("anchor_id", "neg_id", "va", "vb")
+        .distinct()  # a pair may collide in several tables
+    )
+    pairs = cands.select(
+        "anchor_id", "neg_id", cosine(F.col("va"), F.col("vb")).alias("sim")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("sim").desc(), F.col("neg_id"))
+    return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -704,3 +704,53 @@ def q_x18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_QUOTA_CAP = 60
+
+
+@register(
+    "q_x19_quota_capping",
+    oracle=f"""
+        WITH r AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM documents
+        )
+        SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk,
+               rk <= {_QUOTA_CAP} AS kept
+        FROM r ORDER BY doc_id
+    """,
+    doc=(
+        "Per-language hard quota capping: keep at most N docs per "
+        "language, membership by md5 rank — the hard-cap companion to "
+        "the rate-based mixture (q_x10), used to stop a head language "
+        "from swamping a multilingual training mix. Deterministic: the "
+        "md5 order is a seedless shuffle that is identical across "
+        "engines, reruns, and cluster sizes, so a resumed export keeps "
+        "exactly the same documents. One window shuffle on lang; at "
+        "100 TB the rank never materializes more than the group's rows "
+        "on one partition's sort spill."
+    ),
+    tags=("sampling", "curation"),
+)
+def q_x19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from receiptanalyzerpipeline_spark.operators.sampling import hash_bucket  # noqa: F401
+
+    docs = _docs(spark, sf_dir)
+    order_key = F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(order_key, F.col("doc_id"))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .withColumn("kept", F.col("rk") <= _QUOTA_CAP)
+        .orderBy("doc_id")
+    )

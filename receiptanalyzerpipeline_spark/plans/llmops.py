@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from receiptanalyzerpipeline_spark.catalog import table
 from receiptanalyzerpipeline_spark.operators import dedup as D
@@ -948,4 +949,166 @@ def q_g1(spark: SparkSession, sf_dir: str) -> DataFrame:
         pagerank(edges, iterations=3)
         .select(F.col("node").alias("doc_id"), "pagerank")
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_x20_embedding_outliers",
+    oracle="""
+        WITH emb AS (
+            SELECT vec_id, label,
+                   [CAST(x AS DOUBLE) for x in embedding] AS v
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) AS dim,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS qv
+            FROM embeddings
+        ),
+        pd AS (SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS s FROM q GROUP BY 1, 2),
+        n AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+        cent AS (
+            SELECT pd.label,
+                   list((CAST(s AS DOUBLE) / 1e6) / n.n ORDER BY dim) AS c
+            FROM pd JOIN n USING (label) GROUP BY pd.label, n.n
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label,
+                   list_reduce(
+                       list_prepend(0.0, [ (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])
+                                           for i in range(1, len(e.v) + 1)]),
+                       (acc, x) -> acc + x) AS dist2
+            FROM emb e JOIN cent c ON c.label = e.label
+        ),
+        ranked AS (
+            SELECT CAST(label AS BIGINT) AS label, vec_id, dist2,
+                   ROW_NUMBER() OVER (PARTITION BY label
+                                      ORDER BY dist2 DESC, vec_id) AS rk
+            FROM scored
+        )
+        SELECT label, vec_id, dist2, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5
+        ORDER BY label, rk
+    """,
+    doc=(
+        "Embedding-space outlier detection (prototype-distance quality "
+        "filter): per-label centroids, squared L2 distance of every "
+        "vector to its label centroid, top-5 farthest per label — the "
+        "embedding-side sibling of the rule-based quality pass (mislabeled"
+        "/noisy examples sit far from their class prototype). Cross-engine "
+        "exactness: per-dimension sums are quantized to BIGINT micro-"
+        "values with floor(x*1e6) (floor is exact; float->double widening "
+        "is exact), summed as integers, de-quantized with one fixed IEEE "
+        "expression; distances fold left-to-right from 0.0 on both "
+        "engines. Distributed shape: posexplode is map-side, centroid agg "
+        "is (label, dim) keyed — 640 rows regardless of corpus size — "
+        "and broadcasts back; one window for the top-5."
+    ),
+    tags=("similarity", "embedding", "quality"),
+)
+def q_x20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    v = S.as_double(F.col("embedding"))
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "x"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * F.lit(1e6)).alias("qv"),
+    )
+    pd = q.groupBy("label", "dim").agg(F.sum("qv").alias("s"))
+    n = emb.groupBy("label").agg(F.count("*").alias("n"))
+    cd = (F.col("s").cast("double") / F.lit(1e6)) / F.col("n")
+    cent = (
+        pd.join(n, "label")
+        .select("label", "dim", cd.alias("cd"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "cd"))),
+                lambda s: s["cd"],
+            ).alias("c")
+        )
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        F.col("label").cast("long").alias("label"),
+        "vec_id",
+        F.aggregate(
+            F.zip_with(v, F.col("c"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist2").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .orderBy("label", "rk")
+    )
+
+
+@register(
+    "q_x21_hard_negatives",
+    oracle="""
+        WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        planes AS (SELECT unnest(range(16)) AS p),
+        dots AS (
+            SELECT e.vec_id, p.p,
+                   list_reduce(
+                       list_prepend(0.0, list_transform(range(len(e.v)),
+                           i -> e.v[i+1] *
+                                CASE WHEN substr(md5(p.p || ':' || i), 1, 1)
+                                          IN ('1','3','5','7','9','b','d','f')
+                                     THEN 1.0 ELSE -1.0 END)),
+                       (acc, x) -> acc + x) AS dot
+            FROM emb e, planes p
+        ),
+        sigs AS (
+            SELECT vec_id, p // 4 AS tbl,
+                   SUM(CASE WHEN dot > 0 THEN 1 << (p % 4) ELSE 0 END) AS bucket
+            FROM dots GROUP BY 1, 2
+        ),
+        cands AS (
+            SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS neg_id
+            FROM sigs a
+            JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+            JOIN emb ea ON ea.vec_id = a.vec_id
+            JOIN emb eb ON eb.vec_id = b.vec_id
+            WHERE ea.label <> eb.label
+        ),
+        scored AS (
+            SELECT cd.anchor_id, cd.neg_id,
+                   round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+            FROM cands cd
+            JOIN emb ea ON ea.vec_id = cd.anchor_id
+            JOIN emb eb ON eb.vec_id = cd.neg_id
+        ),
+        ranked AS (
+            SELECT anchor_id, neg_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                      ORDER BY sim DESC, neg_id) AS rank
+            FROM scored
+        )
+        SELECT anchor_id, neg_id, sim, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 3
+        ORDER BY anchor_id, rank
+    """,
+    doc=(
+        "Contrastive hard-negative mining: per anchor, the top-3 most-"
+        "similar DIFFERENT-label vectors among its LSH bucket-mates — the "
+        "look-alike pairs an embedding model must push apart, mined with "
+        "the same (table, bucket) equi-join as the ANN search (no "
+        "all-pairs loop; operators/similarity.py:hard_negative_pairs). "
+        "The oracle replays the md5-parity hyperplane buckets and the "
+        "4-decimal cosine, verifying the full pruned pipeline."
+    ),
+    tags=("similarity", "embedding", "contrastive"),
+)
+def q_x21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = S.hard_negative_pairs(_emb(spark, sf_dir), k=3)
+    return pairs.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "anchor_id", "rank"
     )

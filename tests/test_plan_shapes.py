@@ -286,3 +286,27 @@ def test_q_w4_scd2_single_shuffle(spark, registry):
     # trailing ORDER BY adds only a range exchange.
     plan = _executed_plan(registry["q_w4_scd2_intervals"].spark(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q_x20_centroids_broadcast_back(spark, registry):
+    # The (label, dim) centroid table is tiny (n_labels × dims rows) and
+    # must broadcast to the corpus — never a shuffled join against it.
+    plan = _executed_plan(registry["q_x20_embedding_outliers"].spark(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q_x21_hard_negatives_bucket_equi_join(spark, registry):
+    # Candidates come from the (table, bucket) signature equi-join — the
+    # different-label filter must not degrade it to a nested loop.
+    plan = _executed_plan(registry["q_x21_hard_negatives"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q_x19_quota_single_shuffle(spark, registry):
+    # One window over lang; the trailing ORDER BY adds only a range
+    # exchange.
+    plan = _executed_plan(registry["q_x19_quota_capping"].spark(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
