@@ -247,29 +247,28 @@ def hard_negative_pairs(
     sig = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(label_col).alias("lbl"),
-        F.col(vec_col).alias("v"),
         F.explode(lsh_table_buckets(F.col(vec_col))).alias("tb"),
     )
     a = sig.select(
-        F.col("vid").alias("anchor_id"),
-        F.col("lbl").alias("anchor_label"),
-        F.col("v").alias("va"),
-        "tb",
+        F.col("vid").alias("anchor_id"), F.col("lbl").alias("anchor_label"), "tb"
     )
-    b = sig.select(
-        F.col("vid").alias("neg_id"),
-        F.col("lbl").alias("neg_label"),
-        F.col("v").alias("vb"),
-        "tb",
-    )
+    b = sig.select(F.col("vid").alias("neg_id"), F.col("lbl").alias("neg_label"), "tb")
+    # Dedup multi-table collisions on the ID PAIR ONLY — this distinct's
+    # shuffle then moves 16 bytes/pair instead of two full vectors, the
+    # difference that matters when buckets are dense; embeddings re-join
+    # afterwards, once per surviving pair side.
     cands = (
         a.join(b, "tb")
         .where(F.col("anchor_label") != F.col("neg_label"))
-        .select("anchor_id", "neg_id", "va", "vb")
-        .distinct()  # a pair may collide in several tables
+        .select("anchor_id", "neg_id")
+        .distinct()
     )
-    pairs = cands.select(
-        "anchor_id", "neg_id", cosine(F.col("va"), F.col("vb")).alias("sim")
+    ea = corpus.select(F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("va"))
+    eb = corpus.select(F.col(id_col).alias("neg_id"), F.col(vec_col).alias("vb"))
+    pairs = (
+        cands.join(ea, "anchor_id")
+        .join(eb, "neg_id")
+        .select("anchor_id", "neg_id", cosine(F.col("va"), F.col("vb")).alias("sim"))
     )
     w = Window.partitionBy("anchor_id").orderBy(F.col("sim").desc(), F.col("neg_id"))
     return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

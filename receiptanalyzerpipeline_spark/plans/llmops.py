@@ -1112,3 +1112,138 @@ def q_x21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("rank", F.col("rank").cast("long")).orderBy(
         "anchor_id", "rank"
     )
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dims: int = 64) -> str:
+    """Unrolled engine-portable Lloyd iterations. Same determinism toolkit
+    as q_g1/q_x20: md5-ranked seeding, left-fold double distances,
+    floor(x*1e6) BIGINT pico-sums for centroid updates — every step is
+    exact or a fixed IEEE expression, so DuckDB replays the clustering
+    bit-for-bit."""
+    body = f"""
+        WITH emb AS (
+            SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+            FROM embeddings
+        ),
+        seeds AS (
+            SELECT vec_id, ROW_NUMBER() OVER (
+                ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id
+            ) - 1 AS cid
+            FROM embeddings
+        ),
+        cent0 AS (
+            SELECT s.cid, e.v AS c FROM seeds s JOIN emb e USING (vec_id)
+            WHERE s.cid < {k}
+        )"""
+    prev = "cent0"
+    for it in range(1, iters + 1):
+        body += f""",
+        d{it} AS (
+            SELECT e.vec_id, c.cid,
+                   list_reduce(
+                       list_prepend(0.0, [ (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])
+                                           for i in range(1, {dims} + 1)]),
+                       (acc, x) -> acc + x) AS dist2
+            FROM emb e CROSS JOIN {prev} c
+        ),
+        a{it} AS (
+            SELECT vec_id, cid, dist2 FROM (
+                SELECT vec_id, cid, dist2, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+                FROM d{it}
+            ) WHERE rn = 1
+        ),
+        q{it} AS (
+            SELECT a.cid, generate_subscripts(e.v, 1) AS dim,
+                   CAST(FLOOR(unnest(e.v) * 1e6) AS BIGINT) AS qv
+            FROM a{it} a JOIN emb e USING (vec_id)
+        ),
+        n{it} AS (SELECT cid, COUNT(*) AS n FROM a{it} GROUP BY cid),
+        cent{it} AS (
+            SELECT p.cid, list((CAST(s AS DOUBLE) / 1e6) / n.n ORDER BY dim) AS c
+            FROM (SELECT cid, dim, CAST(SUM(qv) AS BIGINT) AS s
+                  FROM q{it} GROUP BY 1, 2) p
+            JOIN n{it} n USING (cid)
+            GROUP BY p.cid, n.n
+        )"""
+        prev = f"cent{it}"
+    body += f"""
+        SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist2
+        FROM a{iters}
+        ORDER BY vec_id
+    """
+    return body
+
+
+@register(
+    "q_x22_kmeans_portable",
+    oracle=_kmeans_oracle(),
+    doc=(
+        "Engine-portable k-means (k=8, 2 Lloyd iterations): seeding by "
+        "md5 rank (seedless, replayable), assignment by left-folded exact-"
+        "order L2 distances with (dist2, cid) tie-breaking, centroid "
+        "updates from floor(x*1e6) BIGINT pico-sums — the same quantized-"
+        "integer toolkit as the PageRank and centroid-outlier ops, applied "
+        "to the canonical iterative-ML algorithm. Every step is exact "
+        "integer math or one fixed IEEE expression, so the DuckDB oracle "
+        "replays the full clustering bit-for-bit: iterative ML is hash-"
+        "checkable, not rows-only. Distributed shape per iteration: one "
+        "k-row broadcast cross (assignment), one (cid, dim)-keyed "
+        "aggregate (k x dims rows regardless of corpus), no driver "
+        "collect; the scaled sibling with learned MLlib centroids is "
+        "q_x6's IVF."
+    ),
+    tags=("similarity", "embedding", "clustering", "iterative"),
+)
+def q_x22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K, ITERS = 8, 2
+    emb = _emb(spark, sf_dir).select("vec_id", S.as_double(F.col("embedding")).alias("v"))
+    seed_w = Window.orderBy(
+        F.md5(F.concat(F.lit("km:"), F.col("vec_id").cast("string"))), F.col("vec_id")
+    )
+    cent = (
+        emb.withColumn("cid", F.row_number().over(seed_w) - 1)
+        .where(F.col("cid") < K)
+        .select("cid", F.col("v").alias("c"))
+    )
+    asg = None
+    for _ in range(ITERS):
+        d = emb.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "cid",
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("c"), lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist2"),
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+        asg = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select(
+            "vec_id", "cid", "dist2"
+        )
+        q = asg.join(emb, "vec_id").select(
+            "cid", F.posexplode(F.col("v")).alias("pos", "x")
+        ).select(
+            "cid",
+            (F.col("pos") + 1).alias("dim"),
+            F.floor(F.col("x") * F.lit(1e6)).alias("qv"),
+        )
+        n = asg.groupBy("cid").agg(F.count("*").alias("n"))
+        cent = (
+            q.groupBy("cid", "dim")
+            .agg(F.sum("qv").alias("s"))
+            .join(n, "cid")
+            .select(
+                "cid", "dim", ((F.col("s").cast("double") / F.lit(1e6)) / F.col("n")).alias("cd")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "cd"))),
+                    lambda s: s["cd"],
+                ).alias("c")
+            )
+        )
+    return asg.select(
+        "vec_id", F.col("cid").cast("long").alias("cluster"), "dist2"
+    ).orderBy("vec_id")

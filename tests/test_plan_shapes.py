@@ -310,3 +310,13 @@ def test_q_x19_quota_single_shuffle(spark, registry):
     # exchange.
     plan = _executed_plan(registry["q_x19_quota_capping"].spark(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q_x22_kmeans_broadcasts_centroids(spark, registry):
+    # Assignment is a k-row broadcast cross per iteration; centroid update
+    # is (cid, dim)-keyed. The corpus must never be on the build side of
+    # a nested loop or in a CartesianProduct.
+    plan = _executed_plan(registry["q_x22_kmeans_portable"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # Broadcast cross with the k centroids is the intended shape.
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan or "BroadcastHashJoin" in plan

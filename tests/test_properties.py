@@ -207,3 +207,103 @@ def test_connected_components_matches_union_find(spark, edges):
         comp_min[r] = min(comp_min.get(r, x), x)
     want = {x: comp_min[r] for x, r in want.items()}
     assert got == want
+
+
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab c\t\n")),  # tiny alphabet → collisions
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _py_tokens(s: str) -> list[str]:
+    return [t for t in s.split() if t]  # str.split() == whitespace-run split
+
+
+@given(texts)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_window_hash_index_matches_python(spark, docs):
+    """window_hash_index emits exactly the n-w+1 sliding windows (with
+    multiplicity) of the Python tokenization, for arbitrary whitespace."""
+    import hashlib
+
+    from receiptanalyzerpipeline_spark.operators.curation import window_hash_index
+
+    w = 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id: long, text: string"
+    )
+    got = sorted(
+        (r["doc_id"], r["whash"])
+        for r in window_hash_index(df, "doc_id", "text", w).collect()
+    )
+    want = sorted(
+        (i, hashlib.md5(" ".join(toks[j : j + w]).encode()).hexdigest())
+        for i, t in enumerate(docs)
+        for toks in [_py_tokens(t)]
+        for j in range(len(toks) - w + 1)
+    )
+    assert got == want
+
+
+@given(texts)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_heuristic_quality_matches_python(spark, docs):
+    """heuristic_quality fractions equal the pure-Python computation
+    bit-for-bit (int/int IEEE divisions) on arbitrary text."""
+    import re
+
+    from receiptanalyzerpipeline_spark.operators.curation import heuristic_quality
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id: long, text: string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_tok_len"], r["alpha_frac"], r["symbol_frac"])
+        for r in heuristic_quality(df, "doc_id", "text").collect()
+    }
+    for i, t in enumerate(docs):
+        toks = _py_tokens(t)
+        if not toks:
+            assert i not in got
+            continue
+        n = len(toks)
+        want = (
+            n,
+            sum(len(x) for x in toks) / n,
+            sum(1 for x in toks if re.search("[A-Za-z]", x)) / n,
+            len(re.findall("[^A-Za-z0-9 \t\n]", t)) / len(t),
+        )
+        assert got[i] == want, (i, t, got[i], want)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=2, max_size=60),
+    st.integers(min_value=2, max_value=5),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_quota_capping_keeps_min_cap_n_per_group(spark, groups, cap):
+    """Quota capping keeps exactly min(cap, |group|) rows per group and is
+    idempotent (same members on a second run)."""
+    from pyspark.sql import Window
+
+    rows = [(i, f"g{g}") for i, g in enumerate(groups)]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string")
+    key = F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
+    out = df.select("doc_id", "lang", F.row_number().over(w).alias("rk")).where(
+        F.col("rk") <= cap
+    )
+    kept1 = sorted((r["lang"], r["doc_id"]) for r in out.collect())
+    kept2 = sorted((r["lang"], r["doc_id"]) for r in out.collect())
+    assert kept1 == kept2
+    from collections import Counter
+
+    sizes = Counter(g for _, g in [(i, f"g{g}") for i, g in enumerate(groups)])
+    per_group = Counter(lang for lang, _ in kept1)
+    for g, n in sizes.items():
+        assert per_group[g] == min(cap, n)
