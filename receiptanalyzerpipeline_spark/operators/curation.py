@@ -216,3 +216,70 @@ def shard_assign(key: Column, n_shards: int, salt: str = "shard") -> Column:
     different cluster sizes produce identical shard membership, so a
     resumed 100 TB export never double-writes a document."""
     return (hash_bucket(key, salt=salt) % n_shards).cast("long")
+
+
+def remove_duplicated_spans(
+    docs: DataFrame, id_col: str, text_col: str, w: int
+) -> DataFrame:
+    """Span-level deduplication (the removal step of Lee et al. 2022):
+    delete every token covered by a ``w``-token window whose hash appears
+    in MORE THAN ONE document, and reassemble the surviving tokens.
+
+    Unlike whole-document dedup, this keeps the unique remainder of
+    partially-duplicated documents — the behavior that recovers the most
+    unique training tokens from boilerplate-heavy corpora.
+
+    Shape: the window inverted index is the q_x17 plan (map-side md5,
+    one shuffle on whash); flagged window START positions come back as
+    one array per document (a groupBy on doc_id), and the coverage mask
+    is evaluated map-side with an EXISTS over that array — O(n_tokens ×
+    n_flagged_spans) per document, linear corpus-wide because flagged
+    spans are bounded by window count. Documents with no flagged windows
+    (including those shorter than ``w``) pass through untouched.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    with_hashes = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.when(
+            n >= w,
+            F.transform(
+                F.sequence(F.lit(0), n - w),
+                lambda i: F.md5(F.array_join(F.slice(toks, i + 1, w), " ")),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("whs"),
+    )
+    e = with_hashes.select(
+        "doc_id", F.posexplode("whs").alias("pos", "whash")
+    )
+    from pyspark.sql.window import Window
+
+    wd = e.withColumn(
+        "n_docs", F.size(F.collect_set("doc_id").over(Window.partitionBy("whash")))
+    )
+    flagged = (
+        wd.where(F.col("n_docs") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("flagged"))
+    )
+    joined = with_hashes.join(flagged, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce(F.col("flagged"), F.array().cast("array<int>")).alias("fs"),
+    )
+    covered = lambda i: F.exists(
+        F.col("fs"), lambda s: (s <= i) & (i < s + w)
+    )
+    kept = F.filter(
+        F.transform(F.col("toks"), lambda t, i: F.struct(t.alias("t"), covered(i).alias("c"))),
+        lambda x: ~x["c"],
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(F.transform(kept, lambda x: x["t"]), " ").alias("clean_text"),
+    )

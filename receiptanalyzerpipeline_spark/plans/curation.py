@@ -754,3 +754,167 @@ def q_x19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("kept", F.col("rk") <= _QUOTA_CAP)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_x23_span_removal",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {DUCK_TOKENS} tk FROM documents),
+        wh AS (
+            SELECT doc_id, tk,
+                   CASE WHEN len(tk) >= 8
+                        THEN [md5(array_to_string(tk[i:i+7], ' '))
+                              for i in range(1, len(tk) - 6)]
+                        ELSE []::VARCHAR[] END AS ws
+            FROM t
+        ),
+        e AS (
+            SELECT doc_id, unnest(ws) AS whash,
+                   generate_subscripts(ws, 1) - 1 AS pos
+            FROM wh
+        ),
+        nd AS (SELECT whash FROM e GROUP BY whash HAVING COUNT(DISTINCT doc_id) >= 2),
+        fl AS (
+            SELECT doc_id, list(pos ORDER BY pos) AS fs
+            FROM e JOIN nd USING (whash) GROUP BY doc_id
+        ),
+        j AS (
+            SELECT wh.doc_id, wh.tk, COALESCE(fl.fs, []::BIGINT[]) AS fs
+            FROM wh LEFT JOIN fl USING (doc_id)
+        ),
+        k AS (
+            SELECT doc_id, tk,
+                   [tk[i+1] for i in range(0, len(tk))
+                    if len(list_filter(fs, s -> s <= i AND i < s + 8)) = 0] AS kept
+            FROM j
+        )
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(tk) - len(kept) AS BIGINT) AS n_removed,
+               COALESCE(array_to_string(kept, ' '), '') AS clean_text
+        FROM k ORDER BY doc_id
+    """,
+    doc=(
+        "Span-level dedup REMOVAL (Lee et al. 2022's cut step, not just "
+        "the signal): tokens covered by any 8-token window shared across "
+        "documents are deleted and the unique remainder reassembled — "
+        "recovers the unique tokens of partially-duplicated documents "
+        "instead of dropping them whole. Same inverted-index shape as "
+        "q_x17 plus one flagged-positions array per doc; the coverage "
+        "mask is a map-side EXISTS. The oracle rebuilds the cleaned text "
+        "with the identical comprehension."
+    ),
+    tags=("text", "dedup", "curation"),
+)
+def q_x23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.remove_duplicated_spans(
+        _docs(spark, sf_dir), "doc_id", "text", w=8
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_x24_curation_pipeline",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, source, text, {DUCK_TOKENS} tk FROM documents),
+        m AS (
+            SELECT doc_id, source, text, tk,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   CAST(list_aggregate(list_transform(tk, x -> len(x)), 'sum')
+                        AS DOUBLE) / len(tk) AS mean_tok_len,
+                   CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+                        AS DOUBLE) / len(tk) AS alpha_frac,
+                   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n]'))
+                        AS DOUBLE) / len(text) AS symbol_frac
+            FROM t WHERE len(tk) >= 1 AND source <> 'src0'
+        ),
+        quality AS (
+            SELECT doc_id, source, text, tk, n_tokens FROM m
+            WHERE {_QUALITY_RULES}
+        ),
+        dedup AS (
+            SELECT * FROM (
+                SELECT q.*, ROW_NUMBER() OVER (
+                    PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+                FROM quality q
+            ) WHERE rn = 1
+        ),
+        ev AS (
+            SELECT DISTINCT g FROM (
+                SELECT unnest(list_distinct([array_to_string(tk[i:i+4], ' ')
+                                             for i in range(1, len(tk) - 3)])) AS g
+                FROM t WHERE source = 'src0' AND len(tk) >= 5
+            )
+        ),
+        contaminated AS (
+            SELECT DISTINCT d.doc_id
+            FROM (SELECT doc_id, unnest(list_distinct(
+                      [array_to_string(tk[i:i+4], ' ')
+                       for i in range(1, len(tk) - 3)])) AS g
+                  FROM dedup WHERE len(tk) >= 5) d
+            JOIN ev USING (g)
+        ),
+        clean AS (
+            SELECT d.* FROM dedup d LEFT JOIN contaminated c USING (doc_id)
+            WHERE c.doc_id IS NULL
+        ),
+        mixed AS (
+            SELECT * FROM clean
+            WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS BIGINT)
+                  < CASE WHEN source IN {_MIX_FULL!r} THEN 65536
+                         ELSE {int(_MIX_TAIL_RATE * 65536)} END
+        )
+        SELECT CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) % 16 AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM mixed
+        GROUP BY shard_id
+        ORDER BY shard_id
+    """,
+    doc=(
+        "The END-TO-END curation pipeline as one declarative plan: "
+        "quality rules (q_x16) → exact-content dedup survivors → 5-gram "
+        "decontamination vs the src0 eval set (q_x11) → deterministic "
+        "source mixture (q_x10) → md5 shard assignment (q_x12), audited "
+        "per shard. Each stage is a filter/window on the previous one, so "
+        "Catalyst fuses the map-side stages and the whole pipeline runs "
+        "as one job — the composition a reference user runs daily, "
+        "verified end-to-end against a single DuckDB replay of all five "
+        "stages chained."
+    ),
+    tags=("curation", "pipeline", "dedup", "sampling"),
+    bench=True,
+)
+def q_x24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).where(F.col("source") != "src0")
+    metrics = C.heuristic_quality(docs, "doc_id", "text")
+    quality = (
+        docs.join(metrics.where(F.expr(_QUALITY_RULES)).select("doc_id"), "doc_id")
+    )
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    dedup = (
+        quality.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    )
+    ev = _docs(spark, sf_dir).where(F.col("source") == "src0")
+    hits = C.contaminated_ids(dedup, ev, "doc_id", "text", k=5)
+    clean = dedup.join(hits, "doc_id", "left_anti")
+    rates = {s: 1.0 for s in _MIX_FULL}
+    mixed = clean.where(
+        C.mixture_keep(F.col("doc_id"), F.col("source"), rates, default=_MIX_TAIL_RATE)
+    )
+    return (
+        mixed.select(
+            C.shard_assign(F.col("doc_id"), 16).alias("shard_id"),
+            F.size(T.tokens(F.col("text"))).cast("long").alias("n_tok"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .orderBy("shard_id")
+    )

@@ -26,6 +26,7 @@ TOKEN_QUERIES = [
     "q_x16_heuristic_quality",
     "q_x17_substring_dedup",
     "q_x18_dsir_importance",
+    "q_x23_span_removal",
 ]
 
 HOSTILE_DOCS = [

@@ -320,3 +320,20 @@ def test_q_x22_kmeans_broadcasts_centroids(spark, registry):
     assert "CartesianProduct" not in plan
     # Broadcast cross with the k centroids is the intended shape.
     assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q_x23_span_removal_no_join_back(spark, registry):
+    # Flagged windows come from the window-over-whash index; the only
+    # join allowed is the per-doc flagged-array left join (doc_id-keyed),
+    # never a nested loop.
+    plan = _executed_plan(registry["q_x23_span_removal"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q_x24_pipeline_single_job_no_nested_loop(spark, registry):
+    # Five chained stages must stay filters/windows/joins on doc-keyed or
+    # shingle-keyed data — no nested loop anywhere in the fused plan.
+    plan = _executed_plan(registry["q_x24_curation_pipeline"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
