@@ -705,3 +705,79 @@ def q_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
         F.sum(dec2("o_totalprice")).over(w).cast("double").alias("trail7d_total"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "q_q1_quality_audit",
+    oracle="""
+        WITH single_pass AS (
+            SELECT
+                CAST(SUM(CASE WHEN l_shipdate IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v_completeness,
+                CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+                     AS BIGINT) AS v_uniqueness,
+                CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v_qty_range,
+                CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v_disc_range
+            FROM lineitem
+        ),
+        orphans AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)
+        )
+        SELECT chk, n_violations, n_violations = 0 AS passed FROM (
+            SELECT 'completeness:l_shipdate' AS chk, v_completeness AS n_violations
+            FROM single_pass
+            UNION ALL
+            SELECT 'range:l_discount', v_disc_range FROM single_pass
+            UNION ALL
+            SELECT 'range:l_quantity', v_qty_range FROM single_pass
+            UNION ALL
+            SELECT 'ref:l_orderkey->orders', v FROM orphans
+            UNION ALL
+            SELECT 'unique:(l_orderkey,l_linenumber)', v_uniqueness FROM single_pass
+        )
+        ORDER BY chk
+    """,
+    doc=(
+        "Declarative data-quality audit (the Deequ/expectations shape): "
+        "completeness, key uniqueness, two range constraints, and "
+        "referential integrity, evaluated as ONE single-pass aggregate "
+        "over the fact table plus one anti-join — the nightly constraint "
+        "run a production warehouse executes before publishing a "
+        "partition. All counts are exact integers; the check catalog is "
+        "rows in the result, so adding a constraint never adds a scan."
+    ),
+    tags=("quality", "audit", "agg", "join"),
+)
+def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    single = li.agg(
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("v_completeness"),
+        (F.count("*") - F.count_distinct(F.struct("l_orderkey", "l_linenumber")))
+        .cast("long")
+        .alias("v_uniqueness"),
+        F.sum(F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0))
+        .cast("long")
+        .alias("v_qty_range"),
+        F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1).otherwise(0))
+        .cast("long")
+        .alias("v_disc_range"),
+    )
+    orphans = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    checks = (
+        single.select(F.lit("completeness:l_shipdate").alias("chk"), F.col("v_completeness").alias("n_violations"))
+        .unionByName(single.select(F.lit("range:l_discount").alias("chk"), F.col("v_disc_range").alias("n_violations")))
+        .unionByName(single.select(F.lit("range:l_quantity").alias("chk"), F.col("v_qty_range").alias("n_violations")))
+        .unionByName(orphans.select(F.lit("ref:l_orderkey->orders").alias("chk"), F.col("v").alias("n_violations")))
+        .unionByName(single.select(F.lit("unique:(l_orderkey,l_linenumber)").alias("chk"), F.col("v_uniqueness").alias("n_violations")))
+    )
+    return checks.withColumn("passed", F.col("n_violations") == 0).orderBy("chk")
