@@ -132,6 +132,53 @@ def cmd_oracle(args: argparse.Namespace) -> int:
     return 0 if ok else 1
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """End-to-end training-data curation (the q_x24 pipeline, user-facing):
+    quality rules -> exact-content dedup -> optional eval-set 5-gram
+    decontamination -> deterministic mixture -> sharded export with a
+    write-audit manifest."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from receiptanalyzerpipeline_spark.operators import curation as C
+    from receiptanalyzerpipeline_spark.operators.curation import heuristic_quality
+    from receiptanalyzerpipeline_spark.sources.sinks import write_training_shards
+
+    rules = (
+        "n_tokens BETWEEN 5 AND 10000 AND mean_tok_len BETWEEN 2 AND 12 "
+        "AND alpha_frac >= 0.7 AND symbol_frac <= 0.1"
+    )
+    spark = _spark()
+    docs = spark.read.parquet(args.input)
+    metrics = heuristic_quality(docs, args.id_col, args.text_col)
+    quality = docs.join(metrics.where(F.expr(rules)).select("doc_id"), args.id_col)
+    fp = F.md5(F.lower(F.trim(F.col(args.text_col))))
+    dedup = (
+        quality.withColumn("rn", F.row_number().over(Window.partitionBy(fp).orderBy(args.id_col)))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    if args.eval_set:
+        ev = spark.read.parquet(args.eval_set)
+        hits = C.contaminated_ids(dedup, ev, args.id_col, args.text_col, k=5)
+        dedup = dedup.join(hits, args.id_col, "left_anti")
+    if args.sample_rate < 1.0:
+        from receiptanalyzerpipeline_spark.operators.sampling import hash_bucket
+
+        bound = int(args.sample_rate * (1 << 16))
+        dedup = dedup.where(hash_bucket(F.col(args.id_col), salt="mix") < bound)
+    manifest = write_training_shards(
+        dedup,
+        args.output,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        n_shards=args.shards,
+        mode="overwrite",
+    )
+    manifest.show(truncate=False)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="anarcpt-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -165,6 +212,16 @@ def build_parser() -> argparse.ArgumentParser:
     o = sub.add_parser("oracle", help="run the DuckDB correctness sweep")
     o.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     o.set_defaults(fn=cmd_oracle)
+
+    c = sub.add_parser("curate", help="end-to-end corpus curation -> training shards")
+    c.add_argument("--input", required=True, help="documents parquet path")
+    c.add_argument("--output", required=True, help="shard output directory")
+    c.add_argument("--eval-set", help="eval documents parquet for 5-gram decontamination")
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--shards", type=int, default=16)
+    c.add_argument("--sample-rate", type=float, default=1.0)
+    c.set_defaults(fn=cmd_curate)
 
     return p
 

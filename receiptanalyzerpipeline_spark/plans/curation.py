@@ -918,3 +918,90 @@ def q_x24(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+@register(
+    "q_x25_lm_perplexity",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {DUCK_TOKENS} tk FROM documents),
+        bg AS (
+            SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
+                                   for i in range(1, len(tk))]) AS g
+            FROM t WHERE len(tk) >= 2
+        ),
+        v AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS vocab,
+                     COUNT(*) AS total FROM bg),
+        lm AS (SELECT g, COUNT(*) AS c FROM bg GROUP BY g),
+        db AS (SELECT doc_id, g, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+        terms AS (
+            SELECT db.doc_id, db.g, db.n,
+                   db.n * ROUND(ln((lm.c + 1.0) / (v.total + v.vocab)), 12) AS term
+            FROM db JOIN lm USING (g) CROSS JOIN v
+        )
+        SELECT doc_id,
+               CAST(SUM(n) AS BIGINT) AS n_bigrams,
+               ROUND(-list_reduce(list_prepend(0.0, list(term ORDER BY g)),
+                                  (acc, x) -> acc + x)
+                     / SUM(n), 9) AS nll_per_token
+        FROM terms
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc=(
+        "LM-perplexity quality filter (the CCNet shape, with the corpus "
+        "itself as the LM): add-1-smoothed unigram-of-bigrams language "
+        "model fitted on the full corpus, per-document mean negative "
+        "log-likelihood per bigram — high values mark atypical/noisy "
+        "documents, the model-based complement to rule filters (q_x16) "
+        "and importance weights (q_x18). Cross-engine float contract as "
+        "q_x18: per-bigram log-probs ROUNDed at 1e-12, per-doc sums fold "
+        "in explicit bigram order on both engines, final score rounded "
+        "at 1e-9. Distributed shape: the LM is a (bigram, count) "
+        "aggregate joined back on the bigram key — shuffle bounded by "
+        "vocabulary co-occurrence, not doc pairs; one groupBy(doc) after."
+    ),
+    tags=("text", "quality", "curation", "statistics"),
+)
+def q_x25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bg = docs.select(
+        "doc_id", F.explode(C.word_kgrams(F.col("text"), 2)).alias("g")
+    )
+    v = bg.agg(
+        F.count_distinct("g").cast("long").alias("vocab"),
+        F.count("*").alias("total"),
+    )
+    lm = bg.groupBy("g").agg(F.count("*").alias("c"))
+    db = bg.groupBy("doc_id", "g").agg(F.count("*").alias("n"))
+    terms = (
+        db.join(lm, "g")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "g",
+            "n",
+            (
+                F.col("n")
+                * F.round(
+                    F.log((F.col("c") + F.lit(1.0)) / (F.col("total") + F.col("vocab"))),
+                    12,
+                )
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.round(
+                -F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("g", "term"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["term"],
+                )
+                / F.sum("n"),
+                9,
+            ).alias("nll_per_token"),
+        )
+        .orderBy("doc_id")
+    )

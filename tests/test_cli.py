@@ -44,3 +44,31 @@ def test_init_db(spark, tmp_path: Path):
     summary = spark.read.parquet(str(work / "receipt_summary"))
     assert summary.count() == 0
     assert "total" in summary.columns
+
+
+def test_cli_curate_end_to_end(spark, tmp_path):
+    """`curate` runs the full pipeline and writes shards + manifest:
+    deterministic membership (rerun produces identical shard contents)."""
+    import duckdb
+
+    from receiptanalyzerpipeline_spark.cli import main
+
+    ev_path = str(tmp_path / "eval.parquet")
+    duckdb.connect().execute(
+        "COPY (SELECT * FROM '/root/testdata/sf0.001/documents.parquet' "
+        f"WHERE source = 'src0') TO '{ev_path}' (FORMAT PARQUET)"
+    )
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    args = [
+        "curate",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out1,
+        "--eval-set", ev_path,
+        "--shards", "4",
+    ]
+    assert main(args) == 0
+    # Rerun into a second directory: identical membership and chunking.
+    assert main(args[:4] + [out2] + args[5:]) == 0
+    a = sorted(map(str, spark.read.parquet(out1).select("doc_id", "chunk_id").collect()))
+    b = sorted(map(str, spark.read.parquet(out2).select("doc_id", "chunk_id").collect()))
+    assert a == b and len(a) > 0
