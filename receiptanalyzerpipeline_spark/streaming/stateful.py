@@ -109,8 +109,17 @@ def _session_fn(gap_seconds: int):
         closed, cur = merged[:-1], (merged[-1] if merged else None)
         if cur is not None:
             state.update(cur)
-            # Close when the watermark passes session end + gap.
-            state.setTimeoutTimestamp(cur[1] // 1000 + gap_ms)
+            # Close when the watermark passes session end + gap. The
+            # natural close time can already be BEHIND the watermark —
+            # micro-batch file order is not guaranteed, so another key's
+            # later events may have driven the watermark past this key's
+            # whole session before its events arrive (arbitrary-state ops
+            # receive late rows; Spark only pre-drops them for built-in
+            # aggregations). setTimeoutTimestamp rejects past timestamps,
+            # so clamp to watermark+1ms: the session then times out in
+            # the next batch — the earliest moment it can legally close.
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(cur[1] // 1000 + gap_ms, wm_ms + 1))
         if closed:
             yield pd.DataFrame(
                 {

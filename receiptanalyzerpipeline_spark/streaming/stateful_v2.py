@@ -90,7 +90,14 @@ class SessionProcessor(StatefulProcessor):
         closed, cur = merged[:-1], (merged[-1] if merged else None)
         if cur is not None:
             self.session.update(cur)
-            self.handle.registerTimer(cur[1] // 1000 + self.gap_ms)
+            # Same clamp as v1 (streaming/stateful.py): out-of-order
+            # micro-batches can put the watermark past this session's
+            # natural close; register the timer no earlier than
+            # watermark+1ms so it fires at the next legal opportunity.
+            wm_ms = (
+                timerValues.getCurrentWatermarkInMs() if timerValues is not None else -1
+            )
+            self.handle.registerTimer(max(cur[1] // 1000 + self.gap_ms, wm_ms + 1))
         for s, e, n, v in closed:
             yield _session_row(user_id, s, e, n, v)
 

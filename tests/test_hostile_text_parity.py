@@ -27,6 +27,7 @@ TOKEN_QUERIES = [
     "q_x17_substring_dedup",
     "q_x18_dsir_importance",
     "q_x23_span_removal",
+    "q_x25_lm_perplexity",
 ]
 
 HOSTILE_DOCS = [

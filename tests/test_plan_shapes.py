@@ -337,3 +337,12 @@ def test_q_x24_pipeline_single_job_no_nested_loop(spark, registry):
     plan = _executed_plan(registry["q_x24_curation_pipeline"].spark(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q_er2_prefix_filter_no_nested_loop(spark, registry):
+    # Candidates must come from the rare-gram inverted-index equi-join —
+    # the edit-distance theta predicate must never become a nested loop
+    # over all name pairs.
+    plan = _executed_plan(registry["q_er2_qgram_edit_join"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -104,6 +104,27 @@ def test_stateful_sessionizer_matches_batch(spark, sf_dir, tmp_path: Path, impl)
                     )
                     + "\n"
                 )
+    # Two far-future sentinel events, each in its own micro-batch: the
+    # first advances the watermark past every real session's close, the
+    # second guarantees a batch RUNS with that watermark so the timeout
+    # emissions fire. Without them, closing the trailing sessions depends
+    # on availableNow's OPTIONAL final no-data batch — a race that made
+    # this test flaky under load. Sentinel user 999 is excluded below.
+    import datetime as _dt
+
+    _max_ts = max(r["ts"] for r in rows)
+    for j, delta in ((3, 4 * GAP_S), (4, 8 * GAP_S)):
+        with open(landing / f"chunk_{j}.json", "w") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "user_id": 999,
+                        "ts": (_max_ts + _dt.timedelta(seconds=delta)).isoformat(),
+                        "value": 0.0,
+                    }
+                )
+                + "\n"
+            )
 
     stream = (
         spark.readStream.schema(STREAM_SCHEMA)
@@ -123,14 +144,16 @@ def test_stateful_sessionizer_matches_batch(spark, sf_dir, tmp_path: Path, impl)
     got = {
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
         for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        if r["user_id"] != 999  # sentinel user: its session may stay open
     }
 
-    # Batch truth (q_t3 semantics on the same slice), restricted to sessions
-    # the stream could close: end + gap <= final watermark (max ts - delay).
+    # Batch truth (q_t3 semantics on the same slice). The sentinels push
+    # the watermark past every real session's close, so EVERY batch
+    # session must be emitted — no closeable_before carve-out needed.
     max_ts = max(r["ts"] for r in rows)
     import datetime as dt
 
-    closeable_before = max_ts - dt.timedelta(seconds=GAP_S) - dt.timedelta(minutes=30)
+    closeable_before = max_ts + dt.timedelta(seconds=1)
     sessions_b = []
     by_user: dict[int, list] = {}
     for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"])):
