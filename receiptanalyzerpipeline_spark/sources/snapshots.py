@@ -1,0 +1,125 @@
+"""Manifest-based snapshot layer over parquet: atomic commits and
+time-travel reads (the Iceberg/Delta core idea, minimally).
+
+A table directory holds immutable data files plus a manifest per
+version; the manifest — not the directory listing — defines table
+contents, so readers never see partial writes and any historical
+version stays readable:
+
+    <path>/data/snap-<N>/part-*.parquet   immutable data files
+    <path>/manifests/<N>.json             file list composing version N
+    <path>/VERSION                        latest committed version
+
+Commit protocol: data files are fully written first, then the manifest,
+then VERSION is swapped via write-to-temp + atomic rename — a reader
+sees either the old or the new version, never a mix (single-writer;
+concurrent writers need a CAS on VERSION, which object stores provide
+via conditional put — documented, not implemented).
+
+100 TB posture: the manifest is O(data files), not O(rows) — list-free
+reads (no S3 LIST on the data prefix, the classic object-store
+bottleneck), version pruning for retention, and append commits that
+touch only new files. Real deployments graduate to Iceberg/Delta for
+multi-writer commits, partition-level stats, and manifest trees; the
+read/commit CONTRACT is identical, which is the point of this module.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _version_file(path: str) -> Path:
+    return Path(path) / "VERSION"
+
+
+def current_version(path: str) -> int | None:
+    vf = _version_file(path)
+    if not vf.exists():
+        return None
+    return int(vf.read_text().strip())
+
+
+def _manifest_path(path: str, version: int) -> Path:
+    return Path(path) / "manifests" / f"{version}.json"
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    return json.loads(_manifest_path(path, version).read_text())
+
+
+def write_snapshot(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Commit ``df`` as a new table version; returns the version number.
+
+    ``append`` keeps prior versions' files in the new manifest;
+    ``overwrite`` starts the manifest from only the new files (old files
+    stay on disk — historical versions remain readable until a
+    retention pass removes them).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    prev = current_version(path)
+    version = 0 if prev is None else prev + 1
+    data_dir = Path(path) / "data" / f"snap-{version}"
+    df.write.mode("error").parquet(str(data_dir))
+    new_files = sorted(
+        str(p) for p in data_dir.glob("*.parquet") if not p.name.startswith("_")
+    )
+    files = new_files
+    if mode == "append" and prev is not None:
+        files = _read_manifest(path, prev)["files"] + new_files
+    mdir = Path(path) / "manifests"
+    mdir.mkdir(parents=True, exist_ok=True)
+    _manifest_path(path, version).write_text(
+        json.dumps({"version": version, "mode": mode, "files": files})
+    )
+    tmp = _version_file(path).with_suffix(".tmp")
+    tmp.write_text(str(version))
+    os.replace(tmp, _version_file(path))  # atomic: old or new, never a mix
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table AS OF ``version`` (default: latest committed)."""
+    if version is None:
+        version = current_version(path)
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+    manifest = _read_manifest(path, version)
+    if not manifest["files"]:
+        raise FileNotFoundError(f"version {version} at {path} lists no files")
+    return spark.read.parquet(*manifest["files"])
+
+
+def versions(path: str) -> list[int]:
+    """All committed, readable versions (ascending)."""
+    mdir = Path(path) / "manifests"
+    if not mdir.exists():
+        return []
+    return sorted(int(p.stem) for p in mdir.glob("*.json"))
+
+
+def read_changes(
+    spark: SparkSession, path: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Rows ADDED between two versions (incremental/CDC read for
+    append-mode tables): the files in ``to_version``'s manifest that are
+    absent from ``from_version``'s. After an overwrite commit the file
+    sets diverge entirely, so the diff equals the overwrite's full
+    contents — callers doing true CDC across overwrites need row-level
+    diffs (q_d9's incremental-dedup shape)."""
+    if to_version is None:
+        to_version = current_version(path)
+    old = set(_read_manifest(path, from_version)["files"])
+    new = [f for f in _read_manifest(path, to_version)["files"] if f not in old]
+    if not new:
+        return spark.read.parquet(
+            *_read_manifest(path, to_version)["files"]
+        ).limit(0)
+    return spark.read.parquet(*new)
