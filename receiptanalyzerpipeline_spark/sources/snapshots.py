@@ -123,3 +123,41 @@ def read_changes(
             *_read_manifest(path, to_version)["files"]
         ).limit(0)
     return spark.read.parquet(*new)
+
+
+def snapshot_sink(path: str):
+    """``foreachBatch`` function committing each micro-batch as a table
+    version, EXACTLY-ONCE under replay: the version number is the
+    micro-batch id, and a batch whose manifest already exists is skipped
+    wholesale — after a crash between sink write and checkpoint commit,
+    Structured Streaming re-delivers the batch and the sink makes the
+    redelivery a no-op (same idempotence contract as the engine's
+    checkpointed file sinks, SURVEY T4/T7).
+
+    Usage::
+
+        stream.writeStream.foreachBatch(snapshot_sink(path)).start()
+    """
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if _manifest_path(path, batch_id).exists():
+            return  # replayed batch: already committed
+        data_dir = Path(path) / "data" / f"snap-{batch_id}"
+        batch_df.write.mode("overwrite").parquet(str(data_dir))
+        new_files = sorted(
+            str(p) for p in data_dir.glob("*.parquet") if not p.name.startswith("_")
+        )
+        files = new_files
+        prev = current_version(path)
+        if prev is not None and prev < batch_id:
+            files = _read_manifest(path, prev)["files"] + new_files
+        mdir = Path(path) / "manifests"
+        mdir.mkdir(parents=True, exist_ok=True)
+        _manifest_path(path, batch_id).write_text(
+            json.dumps({"version": batch_id, "mode": "append", "files": files})
+        )
+        if prev is None or batch_id > prev:
+            tmp = _version_file(path).with_suffix(".tmp")
+            tmp.write_text(str(batch_id))
+            os.replace(tmp, _version_file(path))
+    return commit

@@ -409,3 +409,50 @@ def test_snapshot_incremental_read(spark, tmp_path):
     # No-change diff is empty but schema-stable.
     same = read_changes(spark, path, 1, 1)
     assert same.count() == 0 and same.columns == delta.columns
+
+
+def test_snapshot_sink_exactly_once_replay(spark, tmp_path):
+    """Streaming snapshot sink: one version per micro-batch; restarting
+    the stream from a FRESH checkpoint over the same files re-delivers
+    every batch, and each redelivery must be a no-op (no new rows, no
+    version churn)."""
+    import json as _json
+
+    from receiptanalyzerpipeline_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_sink,
+        versions,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i in range(3):
+        with open(landing / f"f{i}.json", "w") as f:
+            for j in range(10):
+                f.write(_json.dumps({"k": i * 10 + j}) + "\n")
+
+    table_path = str(tmp_path / "tbl")
+
+    def run(checkpoint: str) -> None:
+        stream = (
+            spark.readStream.schema("k long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(landing))
+        )
+        q = (
+            stream.writeStream.foreachBatch(snapshot_sink(table_path))
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+
+    run(str(tmp_path / "cp1"))
+    assert versions(table_path) == [0, 1, 2]
+    assert read_snapshot(spark, table_path).count() == 30
+
+    # Fresh checkpoint: Structured Streaming replays ALL batches; the
+    # batchId-keyed manifests make every redelivery a no-op.
+    run(str(tmp_path / "cp2"))
+    assert versions(table_path) == [0, 1, 2]
+    assert read_snapshot(spark, table_path).count() == 30
