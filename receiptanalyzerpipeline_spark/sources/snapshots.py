@@ -161,3 +161,34 @@ def snapshot_sink(path: str):
             tmp.write_text(str(batch_id))
             os.replace(tmp, _version_file(path))
     return commit
+
+
+def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:
+    """Retention pass: drop all but the newest ``keep_last`` versions and
+    delete data files no surviving manifest references. Returns the
+    expired version numbers.
+
+    Safe ordering: manifests are removed BEFORE their now-orphaned data
+    files, so a concurrent reader either resolved its manifest first
+    (files still present — reads succeed) or finds the version gone and
+    retries at a surviving one; the live VERSION pointer is never
+    expired. At object-store scale this is the nightly vacuum that keeps
+    the data prefix from growing without bound."""
+    vs = versions(path)
+    if len(vs) <= keep_last:
+        return []
+    survivors, expired = vs[-keep_last:], vs[:-keep_last]
+    keep_files = {f for v in survivors for f in _read_manifest(path, v)["files"]}
+    drop_files = [
+        f
+        for v in expired
+        for f in _read_manifest(path, v)["files"]
+        if f not in keep_files
+    ]
+    for v in expired:
+        _manifest_path(path, v).unlink()
+    for f in drop_files:
+        p = Path(f)
+        if p.exists():
+            p.unlink()
+    return expired

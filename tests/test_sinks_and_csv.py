@@ -456,3 +456,27 @@ def test_snapshot_sink_exactly_once_replay(spark, tmp_path):
     run(str(tmp_path / "cp2"))
     assert versions(table_path) == [0, 1, 2]
     assert read_snapshot(spark, table_path).count() == 30
+
+
+def test_snapshot_retention(spark, tmp_path):
+    """expire_snapshots removes old versions and their orphaned files but
+    never breaks surviving versions (shared append files are retained)."""
+    from receiptanalyzerpipeline_spark.sources.snapshots import (
+        expire_snapshots,
+        read_snapshot,
+        versions,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey"
+    )
+    write_snapshot(li.limit(100), path)                   # v0
+    write_snapshot(li.limit(20), path, mode="append")     # v1 shares v0 files
+    write_snapshot(li.limit(30), path, mode="append")     # v2 shares v0+v1
+    assert expire_snapshots(path, keep_last=2) == [0]
+    assert versions(path) == [1, 2]
+    # Survivors still read in full: v0's files are shared, so retained.
+    assert read_snapshot(spark, path, 1).count() == 120
+    assert read_snapshot(spark, path, 2).count() == 150
