@@ -1247,3 +1247,37 @@ def q_x22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asg.select(
         "vec_id", F.col("cid").cast("long").alias("cluster"), "dist2"
     ).orderBy("vec_id")
+
+
+@register(
+    "q_x26_embed_documents",
+    oracle="""
+        SELECT doc_id,
+               [CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || i), 1, 8))
+                     AS BIGINT) / 4294967296.0 * 2 - 1
+                for i in range(0, 16)] AS embedding
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc=(
+        "The embedding-generation boundary, hash-checked end to end: an "
+        "Arrow-batched mapInPandas embedder (operators/embedder.py, the "
+        "OCR boundary's design applied to the embed-the-corpus stage) "
+        "with the deterministic md5-feature stub backend — every batch "
+        "boundary, schema coercion, and float construction is verified "
+        "against the DuckDB replay, which a real model backend could "
+        "never offer. Map-side only: no shuffle, parallelism = input "
+        "partitions. int/2^32 division, *2, -1 are all exactly-rounded "
+        "IEEE ops on identical operands — bit-identical across engines."
+    ),
+    tags=("embedding", "udf", "multimodal"),
+)
+def q_x26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from receiptanalyzerpipeline_spark.operators.embedder import (
+        StubEmbeddingBackend,
+        embed_documents,
+    )
+
+    return embed_documents(
+        _docs(spark, sf_dir), StubEmbeddingBackend(dim=16)
+    ).orderBy("doc_id")
