@@ -740,8 +740,6 @@ _QUOTA_CAP = 60
 def q_x19(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from receiptanalyzerpipeline_spark.operators.sampling import hash_bucket  # noqa: F401
-
     docs = _docs(spark, sf_dir)
     order_key = F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
     w = Window.partitionBy("lang").orderBy(order_key, F.col("doc_id"))

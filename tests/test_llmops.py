@@ -227,3 +227,23 @@ def test_redact_pii_examples(spark):
     assert "555" not in rows[2]["red"]
     assert rows[3]["ne"] == 0 and rows[3]["np"] == 0 and rows[3]["red"] == "no pii here at all"
     assert rows[4]["ne"] == 2 and rows[4]["np"] == 1
+
+
+def test_embedder_content_keyed(spark):
+    """embed_documents with key_col='text': identical texts get identical
+    vectors (content-keyed), distinct texts differ."""
+    from receiptanalyzerpipeline_spark.operators.embedder import (
+        StubEmbeddingBackend,
+        embed_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "same text"), (1, "same text"), (2, "other text")],
+        "doc_id: long, text: string",
+    )
+    rows = {
+        r["doc_id"]: tuple(r["embedding"])
+        for r in embed_documents(docs, StubEmbeddingBackend(dim=8), key_col="text").collect()
+    }
+    assert rows[0] == rows[1] != rows[2]
+    assert len(rows[0]) == 8
