@@ -1114,8 +1114,10 @@ def q_x21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 2, dims: int = 64) -> str:
-    """Unrolled engine-portable Lloyd iterations. Same determinism toolkit
+def _kmeans_ctes(k: int = 8, iters: int = 2, dims: int = 64) -> str:
+    """Unrolled engine-portable Lloyd iterations (shared WITH-body; the
+    final SELECT comes from the caller — q_x22 reads the assignment,
+    q_x27 continues into the IVF probe search). Same determinism toolkit
     as q_g1/q_x20: md5-ranked seeding, left-fold double distances,
     floor(x*1e6) BIGINT pico-sums for centroid updates — every step is
     exact or a fixed IEEE expression, so DuckDB replays the clustering
@@ -1167,12 +1169,18 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dims: int = 64) -> str:
             GROUP BY p.cid, n.n
         )"""
         prev = f"cent{it}"
-    body += f"""
+    return body
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dims: int = 64) -> str:
+    return (
+        _kmeans_ctes(k, iters, dims)
+        + f"""
         SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist2
         FROM a{iters}
         ORDER BY vec_id
     """
-    return body
+    )
 
 
 @register(
@@ -1196,54 +1204,10 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dims: int = 64) -> str:
     tags=("similarity", "embedding", "clustering", "iterative"),
 )
 def q_x22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    K, ITERS = 8, 2
+    from receiptanalyzerpipeline_spark.operators.kmeans import portable_kmeans
+
     emb = _emb(spark, sf_dir).select("vec_id", S.as_double(F.col("embedding")).alias("v"))
-    seed_w = Window.orderBy(
-        F.md5(F.concat(F.lit("km:"), F.col("vec_id").cast("string"))), F.col("vec_id")
-    )
-    cent = (
-        emb.withColumn("cid", F.row_number().over(seed_w) - 1)
-        .where(F.col("cid") < K)
-        .select("cid", F.col("v").alias("c"))
-    )
-    asg = None
-    for _ in range(ITERS):
-        d = emb.crossJoin(F.broadcast(cent)).select(
-            "vec_id",
-            "cid",
-            F.aggregate(
-                F.zip_with(F.col("v"), F.col("c"), lambda x, c: (x - c) * (x - c)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("dist2"),
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
-        asg = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select(
-            "vec_id", "cid", "dist2"
-        )
-        q = asg.join(emb, "vec_id").select(
-            "cid", F.posexplode(F.col("v")).alias("pos", "x")
-        ).select(
-            "cid",
-            (F.col("pos") + 1).alias("dim"),
-            F.floor(F.col("x") * F.lit(1e6)).alias("qv"),
-        )
-        n = asg.groupBy("cid").agg(F.count("*").alias("n"))
-        cent = (
-            q.groupBy("cid", "dim")
-            .agg(F.sum("qv").alias("s"))
-            .join(n, "cid")
-            .select(
-                "cid", "dim", ((F.col("s").cast("double") / F.lit(1e6)) / F.col("n")).alias("cd")
-            )
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("dim", "cd"))),
-                    lambda s: s["cd"],
-                ).alias("c")
-            )
-        )
+    _, asg = portable_kmeans(emb, k=8, iters=2)
     return asg.select(
         "vec_id", F.col("cid").cast("long").alias("cluster"), "dist2"
     ).orderBy("vec_id")
@@ -1281,3 +1245,116 @@ def q_x26(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed_documents(
         _docs(spark, sf_dir), StubEmbeddingBackend(dim=16)
     ).orderBy("doc_id")
+
+
+def _ivf_portable_oracle() -> str:
+    """q_x27: continue the k-means CTEs into the IVF probe search —
+    probes rank centroids, search their nprobe=3 nearest cells, exact
+    cosine rerank inside the candidate set."""
+    return (
+        _kmeans_ctes(8, 2, 64)
+        + """,
+        probes AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < 10),
+        pc AS (
+            SELECT p.q_id, c.cid,
+                   list_reduce(
+                       list_prepend(0.0, [ (p.qv[i] - c.c[i]) * (p.qv[i] - c.c[i])
+                                           for i in range(1, 65)]),
+                       (acc, x) -> acc + x) AS dist2
+            FROM probes p CROSS JOIN cent2 c
+        ),
+        cells AS (
+            SELECT q_id, cid FROM (
+                SELECT q_id, cid, ROW_NUMBER() OVER (
+                    PARTITION BY q_id ORDER BY dist2, cid) AS rn
+                FROM pc
+            ) WHERE rn <= 3
+        ),
+        cands AS (
+            SELECT cl.q_id, a.vec_id
+            FROM cells cl JOIN a2 a ON a.cid = cl.cid
+            WHERE a.vec_id <> cl.q_id
+        ),
+        scored AS (
+            SELECT cd.q_id, cd.vec_id,
+                   round(list_cosine_similarity(eq.v, ec.v), 4) AS sim
+            FROM cands cd
+            JOIN emb eq ON eq.vec_id = cd.q_id
+            JOIN emb ec ON ec.vec_id = cd.vec_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM scored
+        )
+        SELECT q_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 3
+        ORDER BY q_id, rank
+    """
+    )
+
+
+@register(
+    "q_x27_ivf_portable",
+    oracle=_ivf_portable_oracle(),
+    doc=(
+        "IVF ANN search, fully hash-checked: cells come from the "
+        "engine-portable k-means (q_x22's operator), probes rank the 8 "
+        "centroids and search their nprobe=3 nearest cells, exact "
+        "4-decimal cosine reranks inside the candidate set. This "
+        "upgrades the IVF family from rows-only (q_x6's MLlib/numpy-"
+        "fitted variant) to a full DuckDB replay of fit + assign + "
+        "probe + rerank — the complete centroid-partitioned ANN "
+        "pipeline is deterministic across engines. Plan: centroids "
+        "broadcast for assignment and probe ranking; candidates come "
+        "from the cell equi-join (cells × assignment), never a corpus "
+        "nested loop."
+    ),
+    tags=("similarity", "embedding", "ann", "ivf", "iterative"),
+)
+def q_x27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from receiptanalyzerpipeline_spark.operators.kmeans import portable_kmeans
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", S.as_double(F.col("embedding")).alias("v")
+    )
+    cent, asg = portable_kmeans(emb, k=8, iters=2)
+    probes = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    pc = probes.crossJoin(F.broadcast(cent)).select(
+        "q_id",
+        "cid",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("c"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dist2"),
+    )
+    wq = Window.partitionBy("q_id").orderBy("dist2", "cid")
+    cells = (
+        pc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= 3)
+        .select("q_id", "cid")
+    )
+    cands = (
+        cells.join(asg.select("vec_id", "cid"), "cid")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    eq = emb.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    ec = emb.select("vec_id", F.col("v").alias("cv"))
+    scored = (
+        cands.join(eq, "q_id")
+        .join(ec, "vec_id")
+        .select(
+            "q_id", "vec_id", S.cosine(F.col("qv"), F.col("cv")).alias("sim")
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= 3)
+        .orderBy("q_id", "rank")
+    )

@@ -346,3 +346,10 @@ def test_q_er2_prefix_filter_no_nested_loop(spark, registry):
     plan = _executed_plan(registry["q_er2_qgram_edit_join"].spark(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q_x27_ivf_cell_equi_join(spark, registry):
+    # Candidates come from the cell equi-join (probe cells x assignment);
+    # centroids broadcast; the corpus never enters a nested loop.
+    plan = _executed_plan(registry["q_x27_ivf_portable"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
