@@ -72,7 +72,20 @@ def canon_cell(v: object) -> tuple[str, str]:
         return ("array", str([canon_cell(x) for x in v]))
     if isinstance(v, dict):
         return ("map", str(sorted((str(k), canon_cell(x)) for k, x in v.items())))
-    return (type(v).__name__, str(v))
+    # numpy scalar boxing is a FETCH-PATH artifact, not a value property:
+    # Spark returns array<double> elements as np.float64 with Arrow on but
+    # as Python float with Arrow off (the driver's default session), and
+    # DuckDB list fetches always box np.float64. Unify to the Python
+    # spelling; a genuine width difference (float32) still surfaces
+    # because float(np.float32(x)) changes the repr.
+    tname = type(v).__name__
+    if tname == "float64":
+        return ("float", str(float(v)))
+    if tname in ("int64", "int32", "uint64", "uint32"):
+        return ("int", str(int(v)))
+    if tname == "bool_":
+        return ("bool", str(bool(v)))
+    return (tname, str(v))
 
 
 def canon_frame(df: pd.DataFrame) -> tuple[list[tuple[str, str]], list[tuple]]:

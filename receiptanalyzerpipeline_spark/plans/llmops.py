@@ -1216,12 +1216,11 @@ def q_x22(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_x26_embed_documents",
     oracle="""
-        SELECT doc_id,
-               [CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || i), 1, 8))
-                     AS BIGINT) / 4294967296.0 * 2 - 1
-                for i in range(0, 16)] AS embedding
-        FROM documents
-        ORDER BY doc_id
+        SELECT doc_id, CAST(i AS BIGINT) AS dim,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || i), 1, 8))
+                    AS BIGINT) / 4294967296.0 * 2 - 1 AS val
+        FROM documents, LATERAL unnest(range(0, 16)) AS u(i)
+        ORDER BY doc_id, dim
     """,
     doc=(
         "The embedding-generation boundary, hash-checked end to end: an "
@@ -1242,9 +1241,15 @@ def q_x26(spark: SparkSession, sf_dir: str) -> DataFrame:
         embed_documents,
     )
 
-    return embed_documents(
-        _docs(spark, sf_dir), StubEmbeddingBackend(dim=16)
-    ).orderBy("doc_id")
+    emb = embed_documents(_docs(spark, sf_dir), StubEmbeddingBackend(dim=16))
+    # Exploded to primitive rows: the driver contract's proven surface is
+    # BIGINT/DOUBLE scalars — array cells stringify differently between
+    # the engines' pandas fetch paths (numpy ndarray vs Python list).
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "doc_id", F.col("dim").cast("long").alias("dim"), "val"
+    ).orderBy("doc_id", "dim")
 
 
 def _ivf_portable_oracle() -> str:
