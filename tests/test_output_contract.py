@@ -44,3 +44,20 @@ def test_all_oracle_checked_outputs_use_portable_types(spark):
         "pandas-path-unsafe output types (see plans/registry.py contract):\n"
         + "\n".join(offenders)
     )
+
+
+def test_canon_cell_unifies_numpy_boxing():
+    """Fetch-path artifact (Arrow on/off, DuckDB list fetch) must not
+    change a cell's canonical form; genuine type differences must."""
+    import numpy as np
+
+    from receiptanalyzerpipeline_spark.oracle import canon_cell
+
+    assert canon_cell(np.float64(0.25)) == canon_cell(0.25)
+    assert canon_cell(np.int64(7)) == canon_cell(7)
+    assert canon_cell(np.bool_(True)) == canon_cell(True)
+    assert canon_cell([np.float64(1.5), 2.0]) == canon_cell([1.5, 2.0])
+    # float32 is a REAL width difference and must still surface.
+    assert canon_cell(np.float32(0.1)) != canon_cell(0.1)
+    # int-vs-float stays distinct (the driver's hash sees it).
+    assert canon_cell(1) != canon_cell(1.0)
