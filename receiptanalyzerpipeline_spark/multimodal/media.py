@@ -32,6 +32,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
@@ -191,3 +192,58 @@ def sample_frames(
             yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return df.select(path_col, content_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+def video_near_dup(
+    df: DataFrame,
+    threshold: float = 0.5,
+    every_ms: int = 1000,
+    max_frames: int = 16,
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """Video near-duplicate pairs by sampled-frame fingerprint overlap:
+    sample frames, fingerprint each, and Jaccard-join the per-video
+    fingerprint sets through an inverted index on the fingerprint — the
+    q_d2 text-shingle plan applied to the video modality (near-dup cuts
+    of the same footage share most sampled frames).
+
+    The fingerprint here is md5 of the frame payload; a real build swaps
+    in the perceptual aHash UDF (multimodal/images.py) over decoded
+    frames so re-encodes still collide — the join shape, and therefore
+    the scale behavior (shuffle on fingerprint, candidates bounded by
+    fingerprint co-occurrence, never videos²), is identical. Decode
+    failures are already isolated into sample_frames' error column and
+    simply produce no fingerprints.
+    """
+    frames = sample_frames(
+        df, every_ms=every_ms, max_frames=max_frames,
+        path_col=path_col, content_col=content_col,
+    ).where(F.col("error").isNull())
+    fp = frames.select(
+        F.col("path").alias("vid"), F.md5(F.col("frame")).alias("fhash")
+    ).distinct()
+    sizes = fp.groupBy("vid").agg(F.count("*").alias("n"))
+    a = fp.select(F.col("vid").alias("vid_a"), "fhash")
+    b = fp.select(F.col("vid").alias("vid_b"), "fhash")
+    inter = (
+        a.join(b, "fhash")
+        .where(F.col("vid_a") < F.col("vid_b"))
+        .groupBy("vid_a", "vid_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("vid").alias("vid_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("vid").alias("vid_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "vid_a")
+        .join(sb, "vid_b")
+        .select(
+            "vid_a",
+            "vid_b",
+            (
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -96,3 +96,27 @@ def test_with_thumbnail_sizes_and_determinism(spark):
     # Deterministic for arbitrary bytes too (md5 pseudo-luma).
     again = {r["path"]: bytes(r["thumbnail"]) for r in with_thumbnail(df, 4).collect()}
     assert again == t4
+
+
+def test_video_near_dup_pairs(spark):
+    """Identical-content videos share every sampled frame (jaccard 1.0);
+    distinct content shares none; corrupt blobs are isolated, not fatal."""
+    from receiptanalyzerpipeline_spark.multimodal.media import (
+        make_stub_media,
+        video_near_dup,
+    )
+
+    v1 = make_stub_media(10_000, fps=30.0, payload=b"clipA")
+    v3 = make_stub_media(10_000, fps=30.0, payload=b"clipB")
+    rows = [
+        ("a.mp4", bytearray(v1)),
+        ("b.mp4", bytearray(v1)),   # exact content dup of a
+        ("c.mp4", bytearray(v3)),   # different footage
+        ("d.mp4", bytearray(b"not-a-video")),  # decode failure, isolated
+    ]
+    df = spark.createDataFrame(rows, "path: string, content: binary")
+    pairs = {
+        (r["vid_a"], r["vid_b"]): r["jaccard"]
+        for r in video_near_dup(df, threshold=0.5).collect()
+    }
+    assert pairs == {("a.mp4", "b.mp4"): 1.0}
