@@ -269,3 +269,128 @@ def q_a11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("distinct_custkeys"),
     ).select("o_orderpriority", "distinct_custkeys")
     return est.unionByName(union).orderBy("o_orderpriority")
+
+
+@register(
+    "q_a5_sketch_accuracy",
+    oracle="""
+        SELECT * FROM (
+            SELECT 'cd' AS part, g AS grp, e AS exact, TRUE AS within_tol
+            FROM (
+                SELECT 'parts' AS g, CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS e FROM lineitem
+                UNION ALL
+                SELECT 'supps', CAST(COUNT(DISTINCT l_suppkey) AS DOUBLE) FROM lineitem
+                UNION ALL
+                SELECT 'orders', CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) FROM lineitem
+            ) AS _c
+            UNION ALL
+            SELECT 'pq', l_returnflag || '/' || q, CAST(v AS DOUBLE), TRUE
+            FROM (
+                SELECT l_returnflag, 'q25' AS q, quantile_cont(l_quantity, 0.25) AS v
+                FROM lineitem GROUP BY l_returnflag
+                UNION ALL
+                SELECT l_returnflag, 'q50', quantile_cont(l_quantity, 0.5)
+                FROM lineitem GROUP BY l_returnflag
+                UNION ALL
+                SELECT l_returnflag, 'q75', quantile_cont(l_quantity, 0.75)
+                FROM lineitem GROUP BY l_returnflag
+            ) AS _q
+            UNION ALL
+            SELECT 'hll', o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS DOUBLE), TRUE
+            FROM orders GROUP BY o_orderpriority
+            UNION ALL
+            SELECT 'hll', '_ALL_', CAST(COUNT(DISTINCT o_custkey) AS DOUBLE), TRUE
+            FROM orders
+        ) AS _u ORDER BY part, grp
+    """,
+    doc=(
+        "Sketch-accuracy surface: every approximate operator (HLL++ "
+        "approx_count_distinct, GK approx_percentile, DataSketches HLL "
+        "merge) emitted NEXT TO the exact value it estimates, plus a "
+        "within_tol boolean computed Spark-side. The oracle replays the "
+        "exact side and asserts the bound AS DATA (literal TRUE): if a "
+        "sketch ever drifts outside tolerance the hash mismatches — the "
+        "driver gate now checks what three rounds of 'no_oracle' rows "
+        "could not. Tolerances: 5% relative for distinct counts (HLL rsd "
+        "0.01 ⇒ ~5σ headroom), ±1.0 absolute for quartiles of integer "
+        "l_quantity (GK rank error n/10000 ⇒ well inside one integer "
+        "step). All sketches are deterministic for fixed input, so the "
+        "booleans are stable across runs and partition counts."
+    ),
+    tags=("agg", "sketch", "suite"),
+)
+def q_a5_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+
+    def rel_ok(est: F.Column, exact: F.Column) -> F.Column:
+        return (F.abs(est - exact) / exact) <= F.lit(0.05)
+
+    # --- cd: one pass computes exact and HLL++ side by side -------------
+    cd_agg = li.agg(
+        F.countDistinct("l_partkey").cast("double").alias("ep"),
+        F.approx_count_distinct("l_partkey", 0.01).cast("double").alias("ap"),
+        F.countDistinct("l_suppkey").cast("double").alias("es"),
+        F.approx_count_distinct("l_suppkey", 0.01).cast("double").alias("asu"),
+        F.countDistinct("l_orderkey").cast("double").alias("eo"),
+        F.approx_count_distinct("l_orderkey", 0.01).cast("double").alias("ao"),
+    )
+    cd = cd_agg.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("parts").alias("grp"), F.col("ep").alias("exact"), rel_ok(F.col("ap"), F.col("ep")).alias("within_tol")),
+                F.struct(F.lit("supps").alias("grp"), F.col("es").alias("exact"), rel_ok(F.col("asu"), F.col("es")).alias("within_tol")),
+                F.struct(F.lit("orders").alias("grp"), F.col("eo").alias("exact"), rel_ok(F.col("ao"), F.col("eo")).alias("within_tol")),
+            )
+        ).alias("r")
+    ).select(F.lit("cd").alias("part"), "r.grp", "r.exact", "r.within_tol")
+
+    # --- pq: exact percentile vs GK sketch, same single aggregate -------
+    acc = F.lit(10000)
+    pq_agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("e25"),
+        F.percentile("l_quantity", 0.5).alias("e50"),
+        F.percentile("l_quantity", 0.75).alias("e75"),
+        F.approx_percentile("l_quantity", F.lit(0.25), acc).cast("double").alias("a25"),
+        F.approx_percentile("l_quantity", F.lit(0.5), acc).cast("double").alias("a50"),
+        F.approx_percentile("l_quantity", F.lit(0.75), acc).cast("double").alias("a75"),
+    )
+
+    def q_ok(a: str, e: str) -> F.Column:
+        return F.abs(F.col(a) - F.col(e)) <= F.lit(1.0)
+
+    pq = pq_agg.select(
+        F.explode(
+            F.array(
+                F.struct(F.concat_ws("/", "l_returnflag", F.lit("q25")).alias("grp"), F.col("e25").alias("exact"), q_ok("a25", "e25").alias("within_tol")),
+                F.struct(F.concat_ws("/", "l_returnflag", F.lit("q50")).alias("grp"), F.col("e50").alias("exact"), q_ok("a50", "e50").alias("within_tol")),
+                F.struct(F.concat_ws("/", "l_returnflag", F.lit("q75")).alias("grp"), F.col("e75").alias("exact"), q_ok("a75", "e75").alias("within_tol")),
+            )
+        ).alias("r")
+    ).select(F.lit("pq").alias("part"), "r.grp", "r.exact", "r.within_tol")
+
+    # --- hll: mergeable DataSketches per group + ONE union merge --------
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").cast("double").alias("exact"),
+    )
+    hll_groups = per_group.select(
+        F.lit("hll").alias("part"),
+        F.col("o_orderpriority").alias("grp"),
+        "exact",
+        rel_ok(F.hll_sketch_estimate("sk").cast("double"), F.col("exact")).alias("within_tol"),
+    )
+    # global row: exact distinct is NOT the sum of per-group distincts
+    # (custkeys repeat across priorities), so recount; the estimate side is
+    # the sketch UNION merge — the persisted-sketch rollup pattern.
+    global_exact = o.agg(F.countDistinct("o_custkey").cast("double").alias("exact"))
+    global_est = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("double").alias("est")
+    )
+    hll_all = global_exact.crossJoin(global_est).select(
+        F.lit("hll").alias("part"),
+        F.lit("_ALL_").alias("grp"),
+        "exact",
+        rel_ok(F.col("est"), F.col("exact")).alias("within_tol"),
+    )
+    return cd.unionByName(pq).unionByName(hll_groups).unionByName(hll_all).orderBy("part", "grp")

@@ -170,3 +170,79 @@ def q_f4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "q_e3_ocr_pipeline",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('00000000ffffffff', 'ACME MART #42', NULL,
+             TIMESTAMP '2023-03-05 14:07:00', CAST(25.00 AS DOUBLE),
+             CAST(23.45 AS DOUBLE), CAST(1.55 AS DOUBLE),
+             'US Dollars', 'CASH=$26.00;CHANGE=0.56;Total=$25.00'),
+            ('5555555555555555', 'Unknown', NULL,
+             CAST(NULL AS TIMESTAMP), CAST(0.00 AS DOUBLE),
+             CAST(0.00 AS DOUBLE), CAST(0.00 AS DOUBLE),
+             'US Dollars', ''),
+            ('80000000ffffffff', 'CORNER CAFE', '12 High Street, London',
+             TIMESTAMP '2023-11-02 00:00:00', CAST(18.20 AS DOUBLE),
+             CAST(17.00 AS DOUBLE), CAST(1.20 AS DOUBLE),
+             'Pound Sterling', 'TABLE=7')
+        ) AS t(img_id, vendor_name, receiver_address, receipt_date,
+               total, sub_total, tax_amount, currency, other_repr)
+        ORDER BY img_id
+    """,
+    doc=(
+        "Full S6 OCR boundary end-to-end as a driver-checked query "
+        "(reference anarcpt/anarcptlib.py:115-142): fixture image bytes → "
+        "aHash (dedup key; 4 images collapse to 3 distinct hashes BEFORE "
+        "OCR, the reference's hash-then-analyze pipeline order) → "
+        "StubBackend AnalyzeExpense via the memoized mapInPandas raw-zone "
+        "cache (ocr_with_cache runs TWICE — the second pass must be all "
+        "cache hits and add nothing) → from_json → flatten → last-wins "
+        "pivot → receipt_summary golden rows keyed by ahash."
+    ),
+    tags=("receipt", "ocr", "multimodal", "golden"),
+)
+def q_e3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from receiptanalyzerpipeline_spark.multimodal.images import with_ahash
+    from receiptanalyzerpipeline_spark.multimodal.ocr import (
+        StubBackend,
+        ocr_with_cache,
+        parse_ocr_documents,
+    )
+    from receiptanalyzerpipeline_spark.plans.multimodal_queries import images_df
+    from receiptanalyzerpipeline_spark.sources.fixtures import (
+        RECEIPT_ACME,
+        RECEIPT_CAFE,
+        RECEIPT_DEGENERATE,
+    )
+
+    # Canned AnalyzeExpense responses keyed by the fixture images' aHashes
+    # (scan_a and scan_a_copy share 00000000ffffffff — one OCR call serves
+    # both). img_id is overridden to the ahash, the engine's natural key.
+    responses = {
+        "00000000ffffffff": {**RECEIPT_ACME, "img_id": "00000000ffffffff"},
+        "80000000ffffffff": {**RECEIPT_CAFE, "img_id": "80000000ffffffff"},
+        "5555555555555555": {**RECEIPT_DEGENERATE, "img_id": "5555555555555555"},
+    }
+    backend = StubBackend(responses)
+    cache_path = tempfile.mkdtemp(prefix="q_e3_ocr_raw_zone_") + "/ocr"
+
+    imgs = with_ahash(images_df(spark))
+    ocr_with_cache(spark, imgs, cache_path, backend)  # populates the raw zone
+    raw = ocr_with_cache(spark, imgs, cache_path, backend)  # pure cache hits
+    summary = pivot_receipt_summary(flatten_summary_fields(parse_ocr_documents(raw)))
+    return summary.select(
+        "img_id",
+        "vendor_name",
+        "receiver_address",
+        "receipt_date",
+        F.col("total").cast("double").alias("total"),
+        F.col("sub_total").cast("double").alias("sub_total"),
+        F.col("tax_amount").cast("double").alias("tax_amount"),
+        "currency",
+        other_repr(F.col("other_data")).alias("other_repr"),
+    ).orderBy("img_id")
