@@ -1054,7 +1054,17 @@ def q_x20(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_x21_hard_negatives",
     oracle="""
         WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-        planes AS (SELECT unnest(range(16)) AS p),
+        -- auto-scaled plane count: ceil(log2(n/32)) clamped to [4,16]
+        -- (operators/similarity.py auto_n_planes; keeps bucket occupancy
+        -- ~constant as the corpus grows)
+        np AS (
+            SELECT CASE WHEN COUNT(*) <= 32 THEN 4
+                        ELSE GREATEST(4, LEAST(16,
+                             CAST(ceil(log2(COUNT(*) / 32.0)) AS INT)))
+                   END AS np
+            FROM emb
+        ),
+        planes AS (SELECT unnest(range(4 * (SELECT np FROM np))) AS p),
         dots AS (
             SELECT e.vec_id, p.p,
                    list_reduce(
@@ -1067,14 +1077,26 @@ def q_x20(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM emb e, planes p
         ),
         sigs AS (
-            SELECT vec_id, p // 4 AS tbl,
-                   SUM(CASE WHEN dot > 0 THEN 1 << (p % 4) ELSE 0 END) AS bucket
+            SELECT vec_id, p // (SELECT np FROM np) AS tbl,
+                   SUM(CASE WHEN dot > 0
+                            THEN 1 << (p % (SELECT np FROM np)) ELSE 0 END) AS bucket
             FROM dots GROUP BY 1, 2
+        ),
+        -- negative-side occupancy cap: ≤128 candidates per (table,bucket),
+        -- deterministic md5 order (anchors stay uncapped)
+        capped AS (
+            SELECT vec_id, tbl, bucket FROM (
+                SELECT vec_id, tbl, bucket,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY tbl, bucket
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS occ
+                FROM sigs)
+            WHERE occ <= 128
         ),
         cands AS (
             SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS neg_id
             FROM sigs a
-            JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+            JOIN capped b ON a.tbl = b.tbl AND a.bucket = b.bucket
             JOIN emb ea ON ea.vec_id = a.vec_id
             JOIN emb eb ON eb.vec_id = b.vec_id
             WHERE ea.label <> eb.label
@@ -1102,8 +1124,11 @@ def q_x20(spark: SparkSession, sf_dir: str) -> DataFrame:
         "look-alike pairs an embedding model must push apart, mined with "
         "the same (table, bucket) equi-join as the ANN search (no "
         "all-pairs loop; operators/similarity.py:hard_negative_pairs). "
-        "The oracle replays the md5-parity hyperplane buckets and the "
-        "4-decimal cosine, verifying the full pruned pipeline."
+        "The oracle replays the md5-parity hyperplane buckets, the "
+        "auto-scaled plane count (ceil(log2(n/32)), bucket occupancy "
+        "~constant at any corpus size), the 128-per-bucket deterministic "
+        "negative cap, and the 4-decimal cosine — the full linear-growth "
+        "pipeline is hash-verified."
     ),
     tags=("similarity", "embedding", "contrastive"),
 )
