@@ -151,7 +151,13 @@ def cmd_curate(args: argparse.Namespace) -> int:
     spark = _spark()
     docs = spark.read.parquet(args.input)
     metrics = heuristic_quality(docs, args.id_col, args.text_col)
-    quality = docs.join(metrics.where(F.expr(rules)).select("doc_id"), args.id_col)
+    # heuristic_quality standardizes the id to 'doc_id'; rename it back so
+    # the join key exists under any --id-col (ADVICE r3: a non-default
+    # --id-col used to fail with AnalysisException here).
+    quality = docs.join(
+        metrics.where(F.expr(rules)).select(F.col("doc_id").alias(args.id_col)),
+        args.id_col,
+    )
     fp = F.md5(F.lower(F.trim(F.col(args.text_col))))
     dedup = (
         quality.withColumn("rn", F.row_number().over(Window.partitionBy(fp).orderBy(args.id_col)))

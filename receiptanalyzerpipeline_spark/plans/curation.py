@@ -1040,14 +1040,32 @@ def q_er2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("key"), F.col("p_name").alias("name")
     )
     # substring() needs a column start position — expressed via expr.
+    # Short-string guard (ADVICE r3, widened): the q-gram overlap lower
+    # bound for ed(s,t) <= D is max(|s|,|t|) - Q + 1 - D*Q shared grams —
+    # VACUOUS whenever the longer string is under Q*(D+1) chars (and for
+    # length < Q, sequence() is descending and yields bogus grams). So
+    # gram generation is gated on length >= Q, and every string of length
+    # <= Q*(D+1)-1 additionally indexes a catch-all bucket: a pair whose
+    # longer member is short meets there (the shorter member is within D
+    # of it, hence also under the threshold); a pair whose longer member
+    # has length >= Q*(D+1) has guaranteed overlap >= 1, where the
+    # symmetric (D*Q+1)-rarest-prefix intersection theorem applies. The
+    # lossless claim then holds for arbitrary inputs, not just p_name
+    # (tests/test_curation.py proves it vs the exhaustive join on
+    # short/empty strings). Sentinel is 5 chars; real grams are exactly
+    # Q=3, so it cannot collide. Unreachable on p_name (driver data), so
+    # the oracle's exhaustive-join hash match is unchanged.
+    grams = F.array_distinct(
+        F.expr(f"transform(sequence(1, length(name) - {Q - 1}), i -> substring(name, i, {Q}))")
+    )
+    gram_src = F.when(F.length("name") >= Q, grams).otherwise(F.array().cast("array<string>"))
+    catch_all = F.when(
+        F.length("name") <= Q * (D + 1) - 1, F.array(F.lit("#SHRT"))
+    ).otherwise(F.array().cast("array<string>"))
     g = parts.select(
         "key",
         "name",
-        F.explode(
-            F.array_distinct(
-                F.expr(f"transform(sequence(1, length(name) - {Q - 1}), i -> substring(name, i, {Q}))")
-            )
-        ).alias("gram"),
+        F.explode(F.concat(gram_src, catch_all)).alias("gram"),
     )
     freq = g.groupBy("gram").agg(F.count("*").alias("cnt"))
     prefix = (

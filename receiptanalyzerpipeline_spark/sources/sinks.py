@@ -56,10 +56,51 @@ def append_evolving(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
+_DROP_MASK = "_dropped_columns.json"
+
+
+def drop_columns(path: str, *cols: str) -> None:
+    """ALTER TABLE DROP COLUMN as projection masking (K3 downgrade path —
+    the reference's Alembic migration drops ``other_data`` on downgrade,
+    /root/reference/migrations/versions/e5c6e71f62a6_initial_migration.py:24-28).
+    No data files are rewritten: the dropped names are recorded in a tiny
+    mask file next to the data and read_evolved projects them away — an
+    O(1) metadata commit at any table size, and reversible (undrop) since
+    the bytes remain until a compaction rewrites them."""
+    import json
+    from pathlib import Path
+
+    mask = Path(path) / _DROP_MASK
+    dropped = set(json.loads(mask.read_text())) if mask.exists() else set()
+    dropped.update(cols)
+    mask.write_text(json.dumps(sorted(dropped)))
+
+
+def undrop_columns(path: str, *cols: str) -> None:
+    """Reverse drop_columns for columns whose data files still carry the
+    bytes (no compaction yet) — the Alembic upgrade direction."""
+    import json
+    from pathlib import Path
+
+    mask = Path(path) / _DROP_MASK
+    dropped = set(json.loads(mask.read_text())) if mask.exists() else set()
+    dropped.difference_update(cols)
+    mask.write_text(json.dumps(sorted(dropped)))
+
+
 def read_evolved(spark: SparkSession, path: str) -> DataFrame:
-    """Read an evolving parquet table with the merged (union) schema —
-    the engine's ALTER TABLE ADD COLUMN."""
-    return spark.read.option("mergeSchema", "true").parquet(path)
+    """Read an evolving parquet table with the merged (union) schema minus
+    any mask-dropped columns — the engine's ALTER TABLE ADD/DROP COLUMN."""
+    import json
+    from pathlib import Path
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    mask = Path(path) / _DROP_MASK
+    if mask.exists():
+        dropped = [c for c in json.loads(mask.read_text()) if c in df.columns]
+        if dropped:
+            df = df.drop(*dropped)
+    return df
 
 
 def write_jdbc(

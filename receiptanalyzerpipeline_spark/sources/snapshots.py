@@ -62,9 +62,23 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append") -> int:
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    prev = current_version(path)
+    # A version is COMMITTED iff its manifest exists — derive prev from the
+    # newest manifest, not the VERSION pointer: after a crash between the
+    # manifest write and the VERSION rename, the pointer lags and chaining
+    # from it would both collide on the data dir and silently drop the
+    # committed-but-unpointed version's files from the append chain.
+    committed = versions(path)
+    prev = committed[-1] if committed else None
     version = 0 if prev is None else prev + 1
     data_dir = Path(path) / "data" / f"snap-{version}"
+    if data_dir.exists():
+        # No manifest references this dir (version > every committed one),
+        # so it is an orphan from a crash between the data write and the
+        # manifest write. Remove it; mode("error") below still guards
+        # against racing a live writer on a *fresh* dir.
+        import shutil
+
+        shutil.rmtree(data_dir)
     df.write.mode("error").parquet(str(data_dir))
     new_files = sorted(
         str(p) for p in data_dir.glob("*.parquet") if not p.name.startswith("_")
@@ -72,6 +86,8 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append") -> int:
     files = new_files
     if mode == "append" and prev is not None:
         files = _read_manifest(path, prev)["files"] + new_files
+    # The VERSION rename below also REPAIRS a pointer left stale by the
+    # crash window above (manifest committed, rename never ran).
     mdir = Path(path) / "manifests"
     mdir.mkdir(parents=True, exist_ok=True)
     _manifest_path(path, version).write_text(
@@ -139,27 +155,42 @@ def snapshot_sink(path: str):
         stream.writeStream.foreachBatch(snapshot_sink(path)).start()
     """
 
+    def _advance_version(batch_id: int) -> None:
+        cur = current_version(path)
+        if cur is None or batch_id > cur:
+            tmp = _version_file(path).with_suffix(".tmp")
+            tmp.write_text(str(batch_id))
+            os.replace(tmp, _version_file(path))
+
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         if _manifest_path(path, batch_id).exists():
-            return  # replayed batch: already committed
+            # Replayed batch: the manifest IS the commit record. But a
+            # crash after the manifest write and before the VERSION rename
+            # leaves the pointer stale — repair it here, otherwise the
+            # next batch would chain from the stale pointer's manifest and
+            # permanently drop this batch's files from the latest chain.
+            _advance_version(batch_id)
+            return
         data_dir = Path(path) / "data" / f"snap-{batch_id}"
         batch_df.write.mode("overwrite").parquet(str(data_dir))
         new_files = sorted(
             str(p) for p in data_dir.glob("*.parquet") if not p.name.startswith("_")
         )
         files = new_files
-        prev = current_version(path)
-        if prev is not None and prev < batch_id:
+        # Chain from the newest COMMITTED manifest below this batch, never
+        # from the VERSION pointer (which can lag a committed manifest
+        # across the crash window above).
+        prior = [v for v in versions(path) if v < batch_id]
+        prev = prior[-1] if prior else None
+        if prev is not None:
             files = _read_manifest(path, prev)["files"] + new_files
         mdir = Path(path) / "manifests"
         mdir.mkdir(parents=True, exist_ok=True)
         _manifest_path(path, batch_id).write_text(
             json.dumps({"version": batch_id, "mode": "append", "files": files})
         )
-        if prev is None or batch_id > prev:
-            tmp = _version_file(path).with_suffix(".tmp")
-            tmp.write_text(str(batch_id))
-            os.replace(tmp, _version_file(path))
+        _advance_version(batch_id)
+
     return commit
 
 

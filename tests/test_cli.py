@@ -72,3 +72,31 @@ def test_cli_curate_end_to_end(spark, tmp_path):
     a = sorted(map(str, spark.read.parquet(out1).select("doc_id", "chunk_id").collect()))
     b = sorted(map(str, spark.read.parquet(out2).select("doc_id", "chunk_id").collect()))
     assert a == b and len(a) > 0
+
+
+def test_cli_curate_non_default_id_col(spark, tmp_path):
+    """ADVICE r3 (medium): `curate --id-col X` used to fail with
+    AnalysisException because the quality metrics standardize the id to
+    'doc_id' while the join used the caller's column name. Rename a copy
+    of the documents table and run the pipeline under the new id name."""
+    import duckdb
+
+    from receiptanalyzerpipeline_spark.cli import main
+
+    inp = str(tmp_path / "docs_renamed.parquet")
+    duckdb.connect().execute(
+        "COPY (SELECT doc_id AS record_id, source, lang, text "
+        "FROM '/root/testdata/sf0.001/documents.parquet') "
+        f"TO '{inp}' (FORMAT PARQUET)"
+    )
+    out = str(tmp_path / "shards")
+    assert main([
+        "curate",
+        "--input", inp,
+        "--output", out,
+        "--id-col", "record_id",
+        "--shards", "2",
+    ]) == 0
+    got = spark.read.parquet(out)
+    assert "record_id" in got.columns
+    assert got.count() > 0

@@ -160,3 +160,48 @@ def test_shard_and_packing_invariants(spark, ids, n_shards):
         for r in rows:
             assert r["off"] == acc
             acc += r["n_tok"]
+
+
+def test_qgram_edit_join_lossless_on_sub_qgram_strings(spark, tmp_path):
+    """ADVICE r3: strings shorter than Q=3 generate no real q-grams, so
+    without the catch-all bucket, within-distance pairs of short strings
+    would be missed by the prefix filter. Run the actual q_er2 plan on a
+    synthetic part table full of short/empty names and compare against
+    the exhaustive O(n^2) Levenshtein join computed in Python."""
+    import duckdb
+
+    names = ["", "a", "ab", "ba", "abc", "abcd", "abcde", "abcdef",
+             "xy", "xyz", "zzzz", "b", "abd", "acbd",
+             # around the Q*(D+1)=9 guarantee threshold: lengths 7-11 with
+             # 1-2 edits of each other, plus disjoint-gram cousins
+             "abcdefg", "abcdefgh", "abcdefghi", "abcdefghij",
+             "abcdeXgh", "abXdefgYi", "aYcdefghiZ",
+             "mnopqrs", "mnopqrsu", "mnopqrsuv"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(p_partkey BIGINT, p_name VARCHAR)")
+    for i, n in enumerate(names):
+        con.execute("INSERT INTO t VALUES (?, ?)", [i, n])
+    con.execute(f"COPY t TO '{tmp_path}/part.parquet' (FORMAT PARQUET)")
+
+    def lev(a: str, b: str) -> int:
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {
+        (i, j, lev(names[i], names[j]))
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev(names[i], names[j]) <= 2
+    }
+
+    from receiptanalyzerpipeline_spark.plans import REGISTRY
+
+    got = {
+        (r["key_a"], r["key_b"], r["edit_dist"])
+        for r in REGISTRY["q_er2_qgram_edit_join"].spark(spark, str(tmp_path)).collect()
+    }
+    assert got == want, (sorted(want - got)[:5], sorted(got - want)[:5])

@@ -480,3 +480,118 @@ def test_snapshot_retention(spark, tmp_path):
     # Survivors still read in full: v0's files are shared, so retained.
     assert read_snapshot(spark, path, 1).count() == 120
     assert read_snapshot(spark, path, 2).count() == 150
+
+
+def test_snapshot_sink_crash_between_manifest_and_version(spark, tmp_path):
+    """ADVICE r3 (high): a crash AFTER manifest N is written but BEFORE the
+    VERSION rename must not lose batch N's files. On replay the sink must
+    repair the stale pointer, and batch N+1 must chain from manifest N
+    (the newest committed manifest), not from the stale VERSION."""
+    from receiptanalyzerpipeline_spark.sources.snapshots import (
+        _manifest_path,
+        _read_manifest,
+        _version_file,
+        current_version,
+        read_snapshot,
+        snapshot_sink,
+    )
+
+    path = str(tmp_path / "tbl")
+    sink = snapshot_sink(path)
+    b0 = spark.range(10).toDF("id")
+    b1 = spark.range(10, 15).toDF("id")
+    b2 = spark.range(15, 18).toDF("id")
+
+    sink(b0, 0)
+    sink(b1, 1)
+    # Simulate the crash window: manifest 1 committed, pointer rolled back.
+    _version_file(path).write_text("0")
+    assert current_version(path) == 0 and _manifest_path(path, 1).exists()
+
+    # Replay of batch 1 (what Structured Streaming does after the crash):
+    # must be a data no-op but must repair VERSION.
+    sink(b1, 1)
+    assert current_version(path) == 1
+
+    sink(b2, 2)
+    files2 = _read_manifest(path, 2)["files"]
+    files1 = set(_read_manifest(path, 1)["files"])
+    assert files1 <= set(files2), "batch 1's files dropped from the chain"
+    assert read_snapshot(spark, path).count() == 18
+
+    # Same scenario WITHOUT an intervening replay: batch 2 arrives while
+    # VERSION still lags — chaining must use manifest 1 regardless.
+    path2 = str(tmp_path / "tbl2")
+    sink2 = snapshot_sink(path2)
+    sink2(b0, 0)
+    sink2(b1, 1)
+    _version_file(path2).write_text("0")
+    sink2(b2, 2)
+    assert read_snapshot(spark, path2).count() == 18
+    assert current_version(path2) == 2
+
+
+def test_write_snapshot_recovers_from_orphaned_data_dir(spark, tmp_path):
+    """ADVICE r3 (low): a crash between the data write and the manifest
+    write leaves data/snap-N with no manifest; the retried commit must
+    clean the orphan and succeed instead of failing forever on
+    mode('error'), and a stale VERSION pointer must not make the retry
+    collide with a committed version."""
+    from pathlib import Path
+
+    from receiptanalyzerpipeline_spark.sources.snapshots import (
+        _version_file,
+        current_version,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(spark.range(5).toDF("id"), path)  # v0
+
+    # Orphan: data for v1 written, then crash before manifest.
+    orphan = Path(path) / "data" / "snap-1"
+    spark.range(99).toDF("id").write.parquet(str(orphan))
+    v1 = write_snapshot(spark.range(5, 8).toDF("id"), path, mode="append")
+    assert v1 == 1
+    assert read_snapshot(spark, path).count() == 8  # 5 + 3, orphan gone
+
+    # Stale pointer: manifest 1 committed but VERSION says 0 — the next
+    # write must become v2 (chained on v1), not collide with v1.
+    _version_file(path).write_text("0")
+    v2 = write_snapshot(spark.range(8, 10).toDF("id"), path, mode="append")
+    assert v2 == 2
+    assert current_version(path) == 2
+    assert read_snapshot(spark, path).count() == 10
+
+
+def test_schema_evolution_drop_and_undrop_column(spark, tmp_path):
+    """K3 downgrade path (reference Alembic migration drops other_data on
+    downgrade): drop_columns masks a column out of read_evolved without
+    rewriting data; undrop_columns restores it (bytes still present)."""
+    from receiptanalyzerpipeline_spark.sources.sinks import (
+        append_evolving,
+        drop_columns,
+        read_evolved,
+        undrop_columns,
+    )
+
+    out = str(tmp_path / "tbl")
+    v1 = spark.range(3).selectExpr("id", "CAST(id AS STRING) AS extra")
+    append_evolving(v1, out)
+    assert set(read_evolved(spark, out).columns) == {"id", "extra"}
+
+    drop_columns(out, "extra")
+    dropped = read_evolved(spark, out)
+    assert dropped.columns == ["id"]
+    assert dropped.count() == 3
+
+    # appends after the drop keep working; the mask still applies
+    append_evolving(spark.range(3, 5).selectExpr("id", "'x' AS extra"), out)
+    assert read_evolved(spark, out).columns == ["id"]
+    assert read_evolved(spark, out).count() == 5
+
+    undrop_columns(out, "extra")
+    restored = read_evolved(spark, out)
+    assert set(restored.columns) == {"id", "extra"}
+    assert restored.where("extra IS NOT NULL").count() == 5
