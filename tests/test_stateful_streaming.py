@@ -126,6 +126,19 @@ def test_stateful_sessionizer_matches_batch(spark, sf_dir, tmp_path: Path, impl)
                 + "\n"
             )
 
+    # The file source orders micro-batches by modification time; files
+    # written within the same ms TIE, and tie order follows the FS listing
+    # — nondeterministic. A tie that replays a sentinel BEFORE the last
+    # real chunk leaves the trailing sessions' timers waiting on
+    # availableNow's OPTIONAL final no-data batch (the order-dependent
+    # flake round 3 caught). Pin strictly increasing mtimes so the replay
+    # order is chunk_0..chunk_4, exactly as the sibling out-of-order test
+    # does.
+    import os
+
+    for i in range(5):
+        os.utime(landing / f"chunk_{i}.json", (1_700_000_000 + i * 10,) * 2)
+
     stream = (
         spark.readStream.schema(STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)
