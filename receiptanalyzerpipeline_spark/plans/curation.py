@@ -1055,18 +1055,19 @@ def q_er2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # short/empty strings). Sentinel is 5 chars; real grams are exactly
     # Q=3, so it cannot collide. Unreachable on p_name (driver data), so
     # the oracle's exhaustive-join hash match is unchanged.
-    grams = F.array_distinct(
-        F.expr(f"transform(sequence(1, length(name) - {Q - 1}), i -> substring(name, i, {Q}))")
+    # CASE ordered so the dominant branch (long strings) evaluates the
+    # gram array directly — no empty-array concat in the hot path (the
+    # explode feeds both freq and the prefix join, so it runs twice).
+    grams_sql = (
+        f"array_distinct(transform(sequence(1, length(name) - {Q - 1}), "
+        f"i -> substring(name, i, {Q})))"
     )
-    gram_src = F.when(F.length("name") >= Q, grams).otherwise(F.array().cast("array<string>"))
-    catch_all = F.when(
-        F.length("name") <= Q * (D + 1) - 1, F.array(F.lit("#SHRT"))
-    ).otherwise(F.array().cast("array<string>"))
-    g = parts.select(
-        "key",
-        "name",
-        F.explode(F.concat(gram_src, catch_all)).alias("gram"),
+    case_sql = (
+        f"CASE WHEN length(name) >= {Q * (D + 1)} THEN {grams_sql} "
+        f"WHEN length(name) >= {Q} THEN array_append({grams_sql}, '#SHRT') "
+        f"ELSE array('#SHRT') END"
     )
+    g = parts.select("key", "name", F.explode(F.expr(case_sql)).alias("gram"))
     freq = g.groupBy("gram").agg(F.count("*").alias("cnt"))
     prefix = (
         g.join(freq, "gram")
