@@ -38,6 +38,16 @@ def _version_file(path: str) -> Path:
 
 
 def current_version(path: str) -> int | None:
+    """Newest COMMITTED version. A version is committed iff its manifest
+    exists, so the manifest set — not the VERSION pointer — is the source
+    of truth: in the crash window between a manifest write and the pointer
+    rename the pointer lags, and trusting it would serve stale data (and
+    a retention pass could even delete the manifest a lagging pointer
+    references). The pointer remains as an O(1) read cache for clients
+    that cannot list the manifest prefix."""
+    vs = versions(path)
+    if vs:
+        return vs[-1]
     vf = _version_file(path)
     if not vf.exists():
         return None

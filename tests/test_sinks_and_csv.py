@@ -482,6 +482,28 @@ def test_snapshot_retention(spark, tmp_path):
     assert read_snapshot(spark, path, 2).count() == 150
 
 
+def test_retention_with_lagging_pointer_does_not_strand_readers(spark, tmp_path):
+    """A VERSION pointer left lagging by the manifest/rename crash window
+    must not strand default reads after a retention pass expires the
+    version the pointer names: committed state comes from manifests."""
+    from receiptanalyzerpipeline_spark.sources.snapshots import (
+        _version_file,
+        current_version,
+        expire_snapshots,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(spark.range(5).toDF("id"), path)                  # v0
+    write_snapshot(spark.range(5, 8).toDF("id"), path, mode="append")  # v1
+    write_snapshot(spark.range(8, 9).toDF("id"), path, mode="append")  # v2
+    _version_file(path).write_text("0")  # pointer stuck below survivors
+    assert expire_snapshots(path, keep_last=1) == [0, 1]
+    assert current_version(path) == 2
+    assert read_snapshot(spark, path).count() == 9
+
+
 def test_snapshot_sink_crash_between_manifest_and_version(spark, tmp_path):
     """ADVICE r3 (high): a crash AFTER manifest N is written but BEFORE the
     VERSION rename must not lose batch N's files. On replay the sink must
@@ -506,10 +528,13 @@ def test_snapshot_sink_crash_between_manifest_and_version(spark, tmp_path):
     sink(b1, 1)
     # Simulate the crash window: manifest 1 committed, pointer rolled back.
     _version_file(path).write_text("0")
-    assert current_version(path) == 0 and _manifest_path(path, 1).exists()
+    # Committed state is defined by manifests, so readers already see v1
+    # even while the pointer file lags.
+    assert current_version(path) == 1 and _manifest_path(path, 1).exists()
+    assert _version_file(path).read_text().strip() == "0"
 
     # Replay of batch 1 (what Structured Streaming does after the crash):
-    # must be a data no-op but must repair VERSION.
+    # must be a data no-op and must leave committed state at v1.
     sink(b1, 1)
     assert current_version(path) == 1
 
