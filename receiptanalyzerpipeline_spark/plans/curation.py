@@ -1099,3 +1099,211 @@ def q_er2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("edit_dist") <= D)
         .orderBy("key_a", "key_b")
     )
+
+
+# --- Fellegi–Sunter probabilistic record linkage (q_er3) ----------------
+#
+# m-probabilities: P(field agrees | true match), declared to match the
+# synthetic perturbation rates below. Their complements are spelled as
+# literal constants (NOT computed as 1.0 - m) so the Spark plan and the
+# DuckDB oracle evaluate the IDENTICAL IEEE double literal — 1.0 - 0.8
+# is 0.19999999999999996, and f-string interpolation of a rounded value
+# on one side only is a hash mismatch (round-4 lesson).
+_FS_M = {"name": 0.75, "seg": 0.8, "bal": 0.9}
+_FS_NM = {"name": 0.25, "seg": 0.2, "bal": 0.1}
+_FS_MATCH, _FS_POSSIBLE = 100.0, 10.0
+
+
+def _fs_md5_sql(salt: str) -> str:
+    """DuckDB replay of operators.sampling.hash_bucket (16-bit md5)."""
+    return (
+        f"CAST(('0x' || substr(md5('{salt}:' || CAST(c_custkey AS VARCHAR)), 1, 4)) "
+        "AS BIGINT)"
+    )
+
+
+@register(
+    "q_er3_linkage_scoring",
+    oracle=f"""
+        WITH a AS (
+            SELECT c_custkey AS key_a, c_name AS name_a, c_mktsegment AS seg_a,
+                   CAST(c_nationkey AS BIGINT) AS nat,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bb_a
+            FROM customer
+        ),
+        b AS (
+            SELECT c_custkey AS key_b,
+                   CASE WHEN {_fs_md5_sql('ern')} % 4 = 0
+                        THEN substr(c_name, 1, length(c_name) - 1) || 'X'
+                        ELSE c_name END AS name_b,
+                   CASE WHEN {_fs_md5_sql('ers')} % 5 = 0
+                        THEN 'UNKNOWN' ELSE c_mktsegment END AS seg_b,
+                   CAST(c_nationkey AS BIGINT) AS nat,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+                     + CASE WHEN {_fs_md5_sql('erb')} % 10 = 0 THEN 1 ELSE 0 END AS bb_b
+            FROM customer
+        ),
+        u_name AS (
+            SELECT CAST(SUM(cnt * cnt) AS DOUBLE)
+                   / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)) AS u_name
+            FROM (SELECT COUNT(*) AS cnt FROM a GROUP BY name_a) t
+        ),
+        u_seg AS (
+            SELECT CAST(SUM(cnt * cnt) AS DOUBLE)
+                   / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)) AS u_seg
+            FROM (SELECT COUNT(*) AS cnt FROM a GROUP BY seg_a) t
+        ),
+        u_bal AS (
+            SELECT CAST(SUM(cnt * cnt) AS DOUBLE)
+                   / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)) AS u_bal
+            FROM (SELECT COUNT(*) AS cnt FROM a GROUP BY bb_a) t
+        ),
+        pairs AS (
+            SELECT a.key_a, b.key_b,
+                   a.name_a = b.name_b AS ag_name,
+                   a.seg_a = b.seg_b AS ag_seg,
+                   a.bb_a = b.bb_b AS ag_bal,
+                   u_name.u_name, u_seg.u_seg, u_bal.u_bal
+            FROM a JOIN b ON a.nat = b.nat, u_name, u_seg, u_bal
+        ),
+        scored AS (
+            SELECT key_a, key_b, ag_name, ag_seg, ag_bal,
+                   (CASE WHEN ag_name THEN {_FS_M['name']} / u_name
+                         ELSE {_FS_NM['name']} / (1.0 - u_name) END)
+                 * (CASE WHEN ag_seg THEN {_FS_M['seg']} / u_seg
+                         ELSE {_FS_NM['seg']} / (1.0 - u_seg) END)
+                 * (CASE WHEN ag_bal THEN {_FS_M['bal']} / u_bal
+                         ELSE {_FS_NM['bal']} / (1.0 - u_bal) END) AS weight
+            FROM pairs
+        )
+        SELECT key_a, key_b, ag_name, ag_seg, ag_bal, weight,
+               CASE WHEN weight >= {_FS_MATCH} THEN 'match'
+                    ELSE 'possible' END AS cls
+        FROM scored WHERE weight >= {_FS_POSSIBLE}
+        ORDER BY key_a, key_b
+    """,
+    doc=(
+        "Fellegi–Sunter probabilistic record linkage over two 'sources' "
+        "(customer vs a deterministically md5-perturbed clone: 1/4 of "
+        "names corrupted, 1/5 of segments blanked, 1/10 of balance "
+        "buckets shifted — the OCR-noise shape of the reference's "
+        "vendor strings, anarcptlib.py:44-50). Candidates are BLOCKED on "
+        "nationkey; each pair gets a field-agreement vector, and the "
+        "match weight is the product of per-field likelihood ratios "
+        "m/u (agree) vs (1-m)/(1-u) (disagree), with u-probabilities "
+        "ESTIMATED FROM DATA as the random-agreement rate sum(cnt^2)/N^2 "
+        "per field — the classical FS estimator. The weight stays an "
+        "ODDS RATIO (no log): a fixed-order product/division of "
+        "identical IEEE doubles is bit-deterministic across engines, "
+        "where ln() is not (q_n3 precedent); thresholds are just "
+        "exponentiated versions of the usual log-weight cuts. "
+        "Scale design — MULTI-PASS BLOCKING (the Spark side generates "
+        "candidates as the union of three fine passes: (nation,name), "
+        "(nation,segment), (nation,balance-bucket)), while the ORACLE "
+        "blocks on nation alone: a pair agreeing on NO field has every "
+        "likelihood ratio below 1 (NM_f < 1 - u_f for all fields), so "
+        "its weight is < 1 << the emit threshold, and skipping it is "
+        "provably lossless — the driver's hash match IS that proof "
+        "(q_er2 precedent). Fine passes keep per-block candidate counts "
+        "bounded (name is near-unique; segment/bucket passes have "
+        "125/300 blocks vs nation's 25), and u-estimation is three "
+        "one-row aggs broadcast to the pass joins."
+    ),
+    tags=("entity-resolution", "linkage", "dedup", "statistics"),
+)
+def q_er3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("c_nationkey").cast("long").alias("nat"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bb_a"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"),
+        F.when(
+            C.hash_bucket(F.col("c_custkey"), salt="ern") % 4 == 0,
+            F.concat(
+                F.substring(F.col("c_name"), 1, F.length("c_name") - 1), F.lit("X")
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("name_b"),
+        F.when(C.hash_bucket(F.col("c_custkey"), salt="ers") % 5 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_b"),
+        F.col("c_nationkey").cast("long").alias("nat"),
+        (
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+            + F.when(C.hash_bucket(F.col("c_custkey"), salt="erb") % 10 == 0, 1).otherwise(0)
+        ).alias("bb_b"),
+    )
+
+    def _u(src: DataFrame, col: str, out: str) -> DataFrame:
+        # u = sum(cnt^2)/N^2 with N = sum(cnt): one aggregation, no
+        # driver-side count() action.
+        cnts = src.groupBy(col).agg(F.count("*").alias("cnt"))
+        return cnts.agg(
+            (
+                F.sum(F.col("cnt") * F.col("cnt")).cast("double")
+                / (F.sum("cnt").cast("double") * F.sum("cnt").cast("double"))
+            ).alias(out)
+        )
+
+    # Multi-pass blocking: a pair becomes a candidate iff it agrees on at
+    # least one comparison field (within its nation block). All-disagree
+    # pairs are provably sub-threshold (see doc), so this equals the
+    # oracle's nation-only blocking at the emit thresholds.
+    def _pass(field_a: str, field_b: str) -> DataFrame:
+        return a.join(
+            b, (a["nat"] == b["nat"]) & (a[field_a] == b[field_b])
+        ).select(
+            "key_a", "name_a", "seg_a", "bb_a", "key_b", "name_b", "seg_b", "bb_b"
+        )
+
+    cands = (
+        _pass("name_a", "name_b")
+        .unionByName(_pass("seg_a", "seg_b"))
+        .unionByName(_pass("bb_a", "bb_b"))
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    pairs = (
+        cands.crossJoin(F.broadcast(_u(a, "name_a", "u_name")))
+        .crossJoin(F.broadcast(_u(a, "seg_a", "u_seg")))
+        .crossJoin(F.broadcast(_u(a, "bb_a", "u_bal")))
+        .select(
+            "key_a",
+            "key_b",
+            (F.col("name_a") == F.col("name_b")).alias("ag_name"),
+            (F.col("seg_a") == F.col("seg_b")).alias("ag_seg"),
+            (F.col("bb_a") == F.col("bb_b")).alias("ag_bal"),
+            "u_name",
+            "u_seg",
+            "u_bal",
+        )
+    )
+    weight = (
+        F.when(F.col("ag_name"), F.lit(_FS_M["name"]) / F.col("u_name"))
+        .otherwise(F.lit(_FS_NM["name"]) / (F.lit(1.0) - F.col("u_name")))
+        * F.when(F.col("ag_seg"), F.lit(_FS_M["seg"]) / F.col("u_seg"))
+        .otherwise(F.lit(_FS_NM["seg"]) / (F.lit(1.0) - F.col("u_seg")))
+        * F.when(F.col("ag_bal"), F.lit(_FS_M["bal"]) / F.col("u_bal"))
+        .otherwise(F.lit(_FS_NM["bal"]) / (F.lit(1.0) - F.col("u_bal")))
+    )
+    return (
+        pairs.withColumn("weight", weight)
+        .where(F.col("weight") >= _FS_POSSIBLE)
+        .select(
+            "key_a",
+            "key_b",
+            "ag_name",
+            "ag_seg",
+            "ag_bal",
+            "weight",
+            F.when(F.col("weight") >= _FS_MATCH, "match")
+            .otherwise("possible")
+            .alias("cls"),
+        )
+        .orderBy("key_a", "key_b")
+    )

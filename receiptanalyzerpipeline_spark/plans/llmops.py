@@ -1388,3 +1388,163 @@ def q_x27(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .orderBy("q_id", "rank")
     )
+
+
+# --- BM25 ranked retrieval (q_x28) --------------------------------------
+#
+# Fixed keyword queries over the documents table (two terms each, drawn
+# from the synthetic vocabulary). Scores follow BM25's shape with the
+# log removed from the IDF: idf_odds = (N - df + 0.5)/(df + 0.5) is the
+# Robertson odds ratio BEFORE the log — monotone in the usual idf, and a
+# pure IEEE division of identical operands, where ln() is not guaranteed
+# correctly rounded across libms (q_n3 precedent). Per-term scores are
+# floor-quantized to integer nano-units so the per-document SUM is an
+# exact BIGINT aggregation — order-independent across partitions and
+# engines (the PageRank pico-fold precedent).
+_BM25_QUERIES = (
+    (0, "hash"), (0, "join"),
+    (1, "window"), (1, "agg"),
+    (2, "table"), (2, "scan"),
+    (3, "data"), (3, "column"),
+    (4, "fast"), (4, "filter"),
+    (5, "stream"), (5, "batch"),
+    (6, "query"), (6, "merge"),
+    (7, "row"), (7, "vector"),
+)
+_BM25_K1, _BM25_B, _BM25_1MB = 1.2, 0.75, 0.25
+_BM25_NANO = 1000000000.0
+
+
+@register(
+    "q_x28_bm25_retrieval",
+    oracle=f"""
+        WITH qt(qid, term) AS (VALUES {", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)}),
+        toks AS (
+            SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents
+        ),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+            FROM dl
+        ),
+        tf AS (
+            SELECT t.doc_id, t.tok AS term, COUNT(*) AS tf
+            FROM toks t JOIN (SELECT DISTINCT term FROM qt) q ON t.tok = q.term
+            GROUP BY t.doc_id, t.tok
+        ),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT tf.term, tf.doc_id,
+                   CAST(floor(
+                       (
+                           (CAST(stats.n_docs - df.df AS DOUBLE) + 0.5)
+                           / (CAST(df.df AS DOUBLE) + 0.5)
+                           * (
+                               CAST(tf.tf AS DOUBLE)
+                               / (
+                                   CAST(tf.tf AS DOUBLE)
+                                   + {_BM25_K1} * ({_BM25_1MB}
+                                       + {_BM25_B} * CAST(dl.dl AS DOUBLE) / stats.avgdl)
+                               )
+                           )
+                       ) * {_BM25_NANO}
+                   ) AS BIGINT) AS nano
+            FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+        ),
+        per_doc AS (
+            SELECT qt.qid, s.doc_id, COUNT(*) AS n_terms, SUM(s.nano) AS score_nano
+            FROM scored s JOIN qt ON s.term = qt.term
+            GROUP BY qt.qid, s.doc_id
+        ),
+        ranked AS (
+            SELECT qid, doc_id, CAST(n_terms AS BIGINT) AS n_terms, score_nano,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY score_nano DESC, doc_id) AS rk
+            FROM per_doc
+        )
+        SELECT CAST(qid AS BIGINT) AS qid, doc_id, n_terms,
+               CAST(score_nano AS DOUBLE) / {_BM25_NANO} AS score,
+               CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5
+        ORDER BY qid, rk
+    """,
+    doc=(
+        "BM25 ranked retrieval: top-5 documents for 8 fixed two-term "
+        "keyword queries (k1=1.2, b=0.75) — the search primitive behind "
+        "topical curation and eval-set mining. Log-free Robertson IDF "
+        "odds and nano-quantized integer score sums keep every step "
+        "bit-deterministic across engines (see module comment). Scale "
+        "design: the token stream is filtered by a BROADCAST semi-join "
+        "on the query-term list BEFORE the tf shuffle, so shuffle volume "
+        "is O(matching tokens), not O(corpus tokens); df and the "
+        "corpus stats are one-row/10-row broadcasts; ranking shuffles "
+        "only (qid, doc) partial scores. At 100 TB this is the standard "
+        "term-at-a-time scatter-gather — no posting list materializes "
+        "outside the pruned term set."
+    ),
+    tags=("text", "retrieval", "ranking", "topk"),
+)
+def q_x28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    qt = spark.createDataFrame(list(_BM25_QUERIES), "qid long, term string")
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    terms = qt.select("term").distinct()
+    tf = (
+        toks.join(F.broadcast(terms), toks.tok == terms.term)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            F.floor(
+                (
+                    ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                    * (
+                        F.col("tf").cast("double")
+                        / (
+                            F.col("tf").cast("double")
+                            + F.lit(_BM25_K1)
+                            * (
+                                F.lit(_BM25_1MB)
+                                + F.lit(_BM25_B)
+                                * F.col("dl").cast("double")
+                                / F.col("avgdl")
+                            )
+                        )
+                    )
+                )
+                * F.lit(_BM25_NANO)
+            ).alias("nano"),
+        )
+    )
+    per_doc = (
+        scored.join(F.broadcast(qt), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.count("*").alias("n_terms"), F.sum("nano").alias("score_nano"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score_nano"), "doc_id")
+    return (
+        per_doc.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .select(
+            "qid",
+            "doc_id",
+            "n_terms",
+            (F.col("score_nano").cast("double") / F.lit(_BM25_NANO)).alias("score"),
+            "rk",
+        )
+        .orderBy("qid", "rk")
+    )

@@ -576,6 +576,7 @@ DRIVER_NAMES: tuple = (
     # entity resolution
     "q_er1_fuzzy_match",
     "q_er2_qgram_edit_join",
+    "q_er3_linkage_scoring",
     # scalar functions
     "q_f1_string_money",
     "q_f2_date_json",
@@ -620,6 +621,7 @@ DRIVER_NAMES: tuple = (
     "q_x22_portable_ml",
     "q_x24_curation_pipeline",
     "q_x25_model_scoring",
+    "q_x28_bm25_retrieval",
 )
 
 
