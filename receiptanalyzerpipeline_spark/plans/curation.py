@@ -1197,17 +1197,18 @@ def _fs_md5_sql(salt: str) -> str:
         "identical IEEE doubles is bit-deterministic across engines, "
         "where ln() is not (q_n3 precedent); thresholds are just "
         "exponentiated versions of the usual log-weight cuts. "
-        "Scale design — MULTI-PASS BLOCKING (the Spark side generates "
-        "candidates as the union of three fine passes: (nation,name), "
-        "(nation,segment), (nation,balance-bucket)), while the ORACLE "
-        "blocks on nation alone: a pair agreeing on NO field has every "
-        "likelihood ratio below 1 (NM_f < 1 - u_f for all fields), so "
-        "its weight is < 1 << the emit threshold, and skipping it is "
-        "provably lossless — the driver's hash match IS that proof "
-        "(q_er2 precedent). Fine passes keep per-block candidate counts "
-        "bounded (name is near-unique; segment/bucket passes have "
-        "125/300 blocks vs nation's 25), and u-estimation is three "
-        "one-row aggs broadcast to the pass joins."
+        "Scale design — MULTI-PASS BLOCKING: the Spark side generates "
+        "candidates as the union of a (nation,name) pass (near-unique, "
+        "~O(matches)) and a COMPOSITE (nation,segment,bucket) pass "
+        "(single low-cardinality block keys grow pair counts "
+        "quadratically; composing them multiplies block cardinalities), "
+        "while the ORACLE blocks on nation alone. A pair skipped by "
+        "both passes disagrees on name and on >=1 of segment/bucket, "
+        "bounding its weight at ~0.7 << the emit threshold (see inline "
+        "derivation), so the skip is provably lossless and the driver's "
+        "hash match IS that proof (q_er2 precedent). u-estimation is "
+        "three one-row aggs broadcast to the pass joins; measured 10x: "
+        "candidates scale with matches, not corpus^2."
     ),
     tags=("entity-resolution", "linkage", "dedup", "statistics"),
 )
@@ -1251,21 +1252,30 @@ def q_er3(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(out)
         )
 
-    # Multi-pass blocking: a pair becomes a candidate iff it agrees on at
-    # least one comparison field (within its nation block). All-disagree
-    # pairs are provably sub-threshold (see doc), so this equals the
-    # oracle's nation-only blocking at the emit thresholds.
-    def _pass(field_a: str, field_b: str) -> DataFrame:
-        return a.join(
-            b, (a["nat"] == b["nat"]) & (a[field_a] == b[field_b])
-        ).select(
+    # Multi-pass blocking. Pass 1 joins on (nation, name) — near-unique,
+    # so candidates ~ O(true matches). Pass 2 joins on the COMPOSITE
+    # (nation, segment, bucket): single low-cardinality fields make
+    # blocks (hence pairs) grow quadratically with the corpus, while the
+    # composite key multiplies their cardinalities (25x6x~11 blocks).
+    # A pair skipped by both passes disagrees on name AND on at least one
+    # of {segment, bucket}: its weight is at most
+    # NM_name/(1-u_name) * max(m_seg/u_seg * NM_bal/(1-u_bal),
+    #                          NM_seg/(1-u_seg) * m_bal/u_bal)
+    # <= 0.26 * max(4.8*0.12, 0.26*10.8) ~ 0.7 << W_POSSIBLE, using
+    # u_seg >= 1/6 and u_bal >= 1/11 (Cauchy-Schwarz over <=6 segment and
+    # <=11 bucket values) — so the skip is lossless, and the oracle's
+    # nation-only-blocked replay proves it via the driver hash.
+    def _pass(*fields: tuple) -> DataFrame:
+        cond = a["nat"] == b["nat"]
+        for fa, fb in fields:
+            cond = cond & (a[fa] == b[fb])
+        return a.join(b, cond).select(
             "key_a", "name_a", "seg_a", "bb_a", "key_b", "name_b", "seg_b", "bb_b"
         )
 
     cands = (
-        _pass("name_a", "name_b")
-        .unionByName(_pass("seg_a", "seg_b"))
-        .unionByName(_pass("bb_a", "bb_b"))
+        _pass(("name_a", "name_b"))
+        .unionByName(_pass(("seg_a", "seg_b"), ("bb_a", "bb_b")))
         .dropDuplicates(["key_a", "key_b"])
     )
     pairs = (
