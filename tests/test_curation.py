@@ -205,3 +205,59 @@ def test_qgram_edit_join_lossless_on_sub_qgram_strings(spark, tmp_path):
         for r in REGISTRY["q_er2_qgram_edit_join"].spark(spark, str(tmp_path)).collect()
     }
     assert got == want, (sorted(want - got)[:5], sorted(got - want)[:5])
+
+
+def test_fs_linkage_multipass_lossless_vs_unblocked(spark, tmp_path):
+    """q_er3's multi-pass blocking must equal the fully UNBLOCKED
+    Fellegi-Sunter join (no nation blocking either) at the emit
+    thresholds, on a skew-hostile corpus: one dominant segment (large
+    u_seg), two balance buckets (u_bal = ~0.5), two nations. The inline
+    derivation bounds every skipped pair's weight at << the threshold;
+    this replays it against the exhaustive all-pairs oracle."""
+    import duckdb
+
+    from receiptanalyzerpipeline_spark.oracle import compare
+    from receiptanalyzerpipeline_spark.plans import REGISTRY
+
+    d = tmp_path / "hostile_cust"
+    d.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE c (c_custkey BIGINT, c_name VARCHAR, c_nationkey INTEGER, "
+        "c_acctbal DOUBLE, c_mktsegment VARCHAR)"
+    )
+    rows = []
+    for i in range(60):
+        seg = "DOMINANT" if i % 10 < 8 else ("RARE1" if i % 2 == 0 else "RARE2")
+        bal = 1500.0 if i % 4 else 2500.0  # two buckets, heavy one dominant
+        rows.append((i, f"Cust-{i:03d}", i % 2, bal, seg))
+    con.executemany("INSERT INTO c VALUES (?, ?, ?, ?, ?)", rows)
+    con.execute(f"COPY c TO '{d}/customer.parquet' (FORMAT PARQUET)")
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{d}/customer.parquet'")
+
+    q = REGISTRY["q_er3_linkage_scoring"]
+    blocked = "FROM a JOIN b ON a.nat = b.nat,"
+    assert blocked in q.oracle, "oracle shape changed; update this test"
+    unblocked_sql = q.oracle.replace(blocked, "FROM a CROSS JOIN b,")
+    res = compare("q_er3_unblocked", q.spark(spark, str(d)), unblocked_sql, con)
+    assert res.ok, str(res)
+
+    # Premises of the losslessness derivation hold on this corpus too:
+    # every disagree-ratio stays below ~1.3 (u_f bounded away from 1).
+    us = con.execute(
+        """
+        WITH a AS (SELECT c_name AS name_a, c_mktsegment AS seg_a,
+                          CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bb_a
+                   FROM customer)
+        SELECT
+          (SELECT CAST(SUM(cnt*cnt) AS DOUBLE)/(CAST(SUM(cnt) AS DOUBLE)*CAST(SUM(cnt) AS DOUBLE))
+           FROM (SELECT COUNT(*) cnt FROM a GROUP BY name_a) t),
+          (SELECT CAST(SUM(cnt*cnt) AS DOUBLE)/(CAST(SUM(cnt) AS DOUBLE)*CAST(SUM(cnt) AS DOUBLE))
+           FROM (SELECT COUNT(*) cnt FROM a GROUP BY seg_a) t),
+          (SELECT CAST(SUM(cnt*cnt) AS DOUBLE)/(CAST(SUM(cnt) AS DOUBLE)*CAST(SUM(cnt) AS DOUBLE))
+           FROM (SELECT COUNT(*) cnt FROM a GROUP BY bb_a) t)
+        """
+    ).fetchone()
+    u_name, u_seg, u_bal = us
+    assert u_name < 0.05  # names unique -> disagree-name ratio ~0.25
+    assert 0.2 / (1.0 - u_seg) < 1.3 and 0.1 / (1.0 - u_bal) < 1.3

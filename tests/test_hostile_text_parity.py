@@ -28,6 +28,7 @@ TOKEN_QUERIES = [
     "q_x18_dsir_importance",
     "q_x23_span_removal",
     "q_x25_lm_perplexity",
+    "q_x28_bm25_retrieval",
 ]
 
 HOSTILE_DOCS = [
