@@ -1211,6 +1211,7 @@ def _fs_md5_sql(salt: str) -> str:
         "candidates scale with matches, not corpus^2."
     ),
     tags=("entity-resolution", "linkage", "dedup", "statistics"),
+    bench=True,
 )
 def q_er3(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer")

@@ -1484,6 +1484,7 @@ _BM25_NANO = 1000000000.0
         "outside the pruned term set."
     ),
     tags=("text", "retrieval", "ranking", "topk"),
+    bench=True,
 )
 def q_x28(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)

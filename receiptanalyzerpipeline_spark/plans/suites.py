@@ -3,7 +3,7 @@
 The driver's correctness gate records at most 50 queries (alphabetically
 first), so the long-tail variants are fused into *suite* queries — a
 UNION ALL of the member queries' outputs projected onto one typed common
-schema with a ``part`` tag column — while the 18 headline bench queries
+schema with a ``part`` tag column — while the 20 headline bench queries
 stay standalone. Every §2 operator keeps a driver-checked entry; the
 individual member queries remain registered (pytest replica + bench)
 but are NOT exposed through ``__spark_entry__.queries()``.

@@ -19,12 +19,14 @@ from receiptanalyzerpipeline_spark.plans import (
     SUITE_MEMBERS,
 )
 
-# The 18 headline queries benched against BASELINE.md — must stay standalone.
+# The 20 headline queries benched against BASELINE.md — must stay standalone.
 HEADLINE = [
     "q_a3_tpch_q1",
     "q_as2_prepurchase_window",
     "q_d3_minhash_lsh",
     "q_er2_qgram_edit_join",
+    "q_er3_linkage_scoring",
+    "q_x28_bm25_retrieval",
     "q_j1_multijoin_revenue",
     "q_j2_reconciliation",
     "q_n2_embedding_topk",

@@ -353,3 +353,29 @@ def test_q_x27_ivf_cell_equi_join(spark, registry):
     # centroids broadcast; the corpus never enters a nested loop.
     plan = _executed_plan(registry["q_x27_ivf_portable"].spark(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_q_er3_linkage_blocked_equi_joins_only(spark, registry):
+    # Candidate pairs must come from the two blocking-pass equi-joins;
+    # the u-probability one-row aggs are broadcast; the scoring predicate
+    # never becomes a nested loop over all customer pairs (the one-row
+    # u-agg cross joins are BNLJ by construction — assert no nested loop
+    # carries the CUSTOMER side on both inputs instead of banning BNLJ).
+    plan = _executed_plan(registry["q_er3_linkage_scoring"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan  # pass joins are hash/SMJ
+    # every nested-loop join in the plan is a broadcast of a 1-row agg
+    import re
+
+    for frag in re.findall(r"BroadcastNestedLoopJoin[^\n]*", plan):
+        assert "Cross" in frag  # only the u-probability broadcasts
+
+
+def test_q_x28_bm25_prunes_tokens_before_shuffle(spark, registry):
+    # The query-term semi-join must be a broadcast hash join sitting
+    # below the tf aggregation's shuffle, so only matching tokens are
+    # ever shuffled; df/stats re-joins are broadcasts too.
+    plan = _executed_plan(registry["q_x28_bm25_retrieval"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # everything joinable is broadcast-size
