@@ -1318,3 +1318,112 @@ def q_er3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_a", "key_b")
     )
+
+
+@register(
+    "q_x29_temperature_mixture",
+    oracle="""
+        WITH c AS (
+            SELECT source, COUNT(*) AS n,
+                   CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1048576.0) AS BIGINT) AS wq
+            FROM documents GROUP BY source
+        ),
+        s AS (
+            SELECT CAST(SUM(wq) AS BIGINT) AS sum_wq,
+                   CAST(SUM(n) AS BIGINT) AS n_corpus
+            FROM c
+        ),
+        r AS (
+            SELECT c.source, c.n,
+                   CASE WHEN (CAST(s.n_corpus AS DOUBLE) * 0.5)
+                             * CAST(c.wq AS DOUBLE) / CAST(s.sum_wq AS DOUBLE)
+                             / CAST(c.n AS DOUBLE) > 1.0
+                        THEN 1.0
+                        ELSE (CAST(s.n_corpus AS DOUBLE) * 0.5)
+                             * CAST(c.wq AS DOUBLE) / CAST(s.sum_wq AS DOUBLE)
+                             / CAST(c.n AS DOUBLE) END AS rate
+            FROM c, s
+        ),
+        kept AS (
+            SELECT d.source,
+                   CASE WHEN CAST(('0x' || substr(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 4))
+                             AS BIGINT) < CAST(floor(r.rate * 65536.0) AS BIGINT)
+                        THEN 1 ELSE 0 END AS keep
+            FROM documents d JOIN r USING (source)
+        )
+        SELECT source, CAST(r.n AS BIGINT) AS n_total, r.rate,
+               CAST(SUM(k.keep) AS BIGINT) AS n_kept,
+               CAST(SUM(k.keep) AS DOUBLE) / r.n AS kept_frac
+        FROM kept k JOIN r USING (source)
+        GROUP BY source, r.n, r.rate
+        ORDER BY source
+    """,
+    doc=(
+        "Temperature-based mixture sampling (tau = 0.5, the multilingual-"
+        "pretraining reweighting): source s's target share becomes "
+        "n_s^tau / sum_t n_t^tau of a half-corpus budget, flattening head "
+        "sources and boosting the tail. Per-source keep RATES are derived "
+        "from data in one tiny agg (sqrt is IEEE-754 correctly rounded — "
+        "portable across engines, unlike ln/pow — and the divisions run "
+        "in one fixed order); per-doc membership is the md5 16-bit bucket "
+        "vs floor(rate*65536), so reruns, retries, and repartitioning "
+        "keep the identical sample (q_x10's contract, now with "
+        "data-derived rates). Scale: counts agg + broadcast rate join + "
+        "map-side hash compare — one shuffle on source, no RNG state."
+    ),
+    tags=("sampling", "curation", "mixture"),
+)
+def q_x29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    # Source weights n^0.5 are floor-quantized to 2^-20 units so the
+    # cross-source SUM is exact BIGINT math — a float sum's accumulation
+    # order is partition-dependent and would differ between engines.
+    # sqrt itself is IEEE-754 correctly rounded (unlike ln/pow), so the
+    # quantized weights are identical on both sides.
+    c = docs.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.floor(F.sqrt(F.count("*").cast("double")) * 1048576.0)
+        .cast("long")
+        .alias("wq"),
+    )
+    s = c.agg(
+        F.sum("wq").cast("long").alias("sum_wq"),
+        F.sum("n").cast("long").alias("n_corpus"),
+    )
+    raw_rate = (
+        (F.col("n_corpus").cast("double") * F.lit(0.5))
+        * F.col("wq").cast("double")
+        / F.col("sum_wq").cast("double")
+        / F.col("n").cast("double")
+    )
+    r = c.crossJoin(F.broadcast(s)).select(
+        "source",
+        "n",
+        F.when(raw_rate > 1.0, F.lit(1.0)).otherwise(raw_rate).alias("rate"),
+    )
+    kept = docs.join(F.broadcast(r), "source").select(
+        "source",
+        "n",
+        "rate",
+        (
+            C.hash_bucket(F.col("doc_id"), salt="tmix")
+            < F.floor(F.col("rate") * 65536.0).cast("long")
+        )
+        .cast("long")
+        .alias("keep"),
+    )
+    return (
+        kept.groupBy("source", "n", "rate")
+        .agg(
+            F.sum("keep").alias("n_kept"),
+            (F.sum("keep").cast("double") / F.col("n")).alias("kept_frac"),
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_total"),
+            "rate",
+            "n_kept",
+            "kept_frac",
+        )
+        .orderBy("source")
+    )

@@ -399,6 +399,7 @@ _SUITES = [
         parts=[
             Part("split", "q_x7_leakage_safe_split", {"doc_id": "doc_id", "grp": "split", "n1": "split_key"}),
             Part("mixture", "q_x10_data_mixture", {"grp": "source", "n1": "n_total", "n2": "n_kept", "v": "kept_frac"}),
+            Part("temperature", "q_x29_temperature_mixture", {"grp": "source", "n1": "n_total", "n2": "n_kept", "v": "rate"}),
             Part("quantile", "q_x14_quantile_filter", {"doc_id": "doc_id", "grp": "lang", "n1": "rn", "n2": "cnt", "v": "stop_ratio"}),
             Part("dsir", "q_x18_dsir_importance", {"doc_id": "doc_id", "grp": "source", "n1": "n_feats", "v": "log_weight"}),
             Part("quota", "q_x19_quota_capping", {"doc_id": "doc_id", "grp": "lang", "n1": "rk", "b": "kept"}),
@@ -406,7 +407,8 @@ _SUITES = [
         order=["doc_id", "grp", "n1"],
         doc=(
             "Training-data selection family: leakage-safe hash split, mixture "
-            "rebalancing, per-lang quantile filter, DSIR importance weights, "
+            "rebalancing, temperature-based (tau=0.5) source reweighting, "
+            "per-lang quantile filter, DSIR importance weights, "
             "per-source quota capping."
         ),
         tags=("curation", "sampling"),

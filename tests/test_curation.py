@@ -261,3 +261,38 @@ def test_fs_linkage_multipass_lossless_vs_unblocked(spark, tmp_path):
     u_name, u_seg, u_bal = us
     assert u_name < 0.05  # names unique -> disagree-name ratio ~0.25
     assert 0.2 / (1.0 - u_seg) < 1.3 and 0.1 / (1.0 - u_bal) < 1.3
+
+
+def test_temperature_mixture_flattens_skewed_sources(spark, tmp_path):
+    """The driver corpus has uniform sources (every rate = budget/corpus),
+    so the actual temperature behavior is pinned here on a skewed corpus:
+    tau=0.5 boosts tail sources toward rate 1.0 and downsamples the head,
+    with kept counts tracking the sqrt-share targets."""
+    import duckdb
+
+    from receiptanalyzerpipeline_spark.plans import REGISTRY
+
+    d = tmp_path / "skewed"
+    d.mkdir()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR)")
+    rows = [(i, f"doc {i}", "en", "head") for i in range(900)]
+    rows += [(1000 + i, f"doc {1000+i}", "en", "tail") for i in range(36)]
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    con.execute(
+        f"COPY (SELECT *, len(text) AS n_chars FROM t) TO '{d}/documents.parquet' (FORMAT PARquet)"
+    )
+
+    out = {
+        r["source"]: r
+        for r in REGISTRY["q_x29_temperature_mixture"]
+        .spark(spark, str(d))
+        .collect()
+    }
+    # Weights: sqrt(900)=30, sqrt(36)=6 -> shares 30/36, 6/36 of a
+    # 468-doc budget -> head target 390 of 900 (rate ~0.433), tail
+    # target 78 of 36 -> capped at rate 1.0 (boosted).
+    assert out["tail"]["rate"] == 1.0 and out["tail"]["n_kept"] == 36
+    assert abs(out["head"]["rate"] - 390.0 / 900.0) < 1e-9
+    # md5-bucket sampling tracks the target rate closely at n=900
+    assert abs(out["head"]["kept_frac"] - out["head"]["rate"]) < 0.05
