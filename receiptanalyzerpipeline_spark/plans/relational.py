@@ -781,3 +781,60 @@ def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(single.select(F.lit("unique:(l_orderkey,l_linenumber)").alias("chk"), F.col("v_uniqueness").alias("n_violations")))
     )
     return checks.withColumn("passed", F.col("n_violations") == 0).orderBy("chk")
+
+
+@register(
+    "q_w5_distribution_ranks",
+    oracle="""
+        SELECT c_mktsegment, c_custkey, c_acctbal, rn, nt, prk, cd, next_bal
+        FROM (
+            SELECT c_mktsegment, c_custkey, c_acctbal,
+                   ROW_NUMBER()   OVER (PARTITION BY c_mktsegment
+                                        ORDER BY c_acctbal DESC, c_custkey) AS rn,
+                   NTILE(4)       OVER (PARTITION BY c_mktsegment
+                                        ORDER BY c_acctbal DESC, c_custkey) AS nt,
+                   PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY c_acctbal DESC) AS prk,
+                   CUME_DIST()    OVER (PARTITION BY c_mktsegment
+                                        ORDER BY c_acctbal DESC) AS cd,
+                   LEAD(c_acctbal) OVER (PARTITION BY c_mktsegment
+                                         ORDER BY c_acctbal DESC, c_custkey) AS next_bal
+            FROM customer
+        ) t
+        WHERE rn <= 10
+        ORDER BY c_mktsegment, rn
+    """,
+    doc=(
+        "Distribution window functions (SURVEY §2.5's remaining class): "
+        "NTILE(4) and LEAD over the tie-broken UNIQUE ordering (their "
+        "outputs depend on row order, so determinism requires the "
+        "c_custkey tiebreak), PERCENT_RANK and CUME_DIST over the raw "
+        "value ordering (they depend only on rank/peer counts, and both "
+        "engines compute them as one integer-ratio IEEE division — "
+        "(rank-1)/(n-1), peers/n — so ties are handled identically). "
+        "One shuffle on the partition key, top-10 per segment emitted."
+    ),
+    tags=("window",),
+)
+def q_w5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = table(spark, sf_dir, "customer")
+    w_unique = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_value = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w_unique).cast("long").alias("rn"),
+            F.ntile(4).over(w_unique).cast("long").alias("nt"),
+            F.percent_rank().over(w_value).alias("prk"),
+            F.cume_dist().over(w_value).alias("cd"),
+            F.lead("c_acctbal").over(w_unique).alias("next_bal"),
+        )
+        .where(F.col("rn") <= 10)
+        .orderBy("c_mktsegment", "rn")
+    )

@@ -369,6 +369,8 @@ _SUITES = [
             ("id2", "bigint"),
             ("s", "string"),
             ("v", "double"),
+            ("v2", "double"),
+            ("v3", "double"),
             ("n1", "bigint"),
             ("n2", "bigint"),
             ("n3", "bigint"),
@@ -382,6 +384,11 @@ _SUITES = [
                 "q_w1_ranking",
                 {"id": "c_custkey", "s": "c_mktsegment", "v": "c_acctbal", "n1": "rn", "n2": "rnk", "n3": "drnk"},
             ),
+            Part(
+                "distribution",
+                "q_w5_distribution_ranks",
+                {"id": "c_custkey", "s": "c_mktsegment", "v": "COALESCE(next_bal, -1.0)", "v2": "prk", "v3": "cd", "n1": "rn", "n2": "nt"},
+            ),
             Part("rangeframe", "q_w3_range_frame", {"id": "o_orderkey", "id2": "o_custkey", "ts1": "o_orderdate", "v": "trail7d_total"}),
             Part(
                 "scd2",
@@ -390,7 +397,7 @@ _SUITES = [
             ),
         ],
         order=["id", "ts1"],
-        doc="Window functions: ranking trio, 7-day range frame, SCD2 validity intervals (SURVEY §2.5).",
+        doc="Window functions: ranking trio, distribution ranks (ntile/percent_rank/cume_dist/lead), 7-day range frame, SCD2 validity intervals (SURVEY §2.5).",
         tags=("window",),
     ),
     Suite(
