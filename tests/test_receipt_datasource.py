@@ -1,0 +1,201 @@
+"""Python DataSource (`receipts` format): batch partition planning,
+listing-time filter pushdown, and watermark-offset streaming.
+
+Reference parity target: the watcher topology
+(/root/reference/anarcpt/watcher.py:32-147) — directory polling with a
+complete-files-only contract — re-expressed as a Spark 4 DataSource so
+the landing zone is a planned table, not a side thread.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pytest
+
+from receiptanalyzerpipeline_spark.sources.receipt_datasource import (
+    ReceiptBatchReader,
+    ReceiptDataSource,
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(ReceiptDataSource)
+    return spark
+
+
+def _land(d: Path, name: str, payload: bytes, mtime_s: float | None = None) -> None:
+    p = d / name
+    p.write_bytes(payload)
+    if mtime_s is not None:
+        os.utime(p, (mtime_s, mtime_s))
+
+
+@pytest.fixture()
+def landing(tmp_path: Path) -> Path:
+    d = tmp_path / "landing"
+    d.mkdir()
+    # Deterministic mtimes — also exercises the equal-mtime name tiebreak.
+    _land(d, "scan_001.png", b"\x89PNG-alpha" * 40, mtime_s=1_700_000_001)
+    _land(d, "scan_002.jpg", b"\xff\xd8-beta" * 999, mtime_s=1_700_000_002)
+    _land(d, "scan_003.png", b"\x89PNG-gamma" * 3, mtime_s=1_700_000_002)
+    _land(d, "notes.txt", b"not an image", mtime_s=1_700_000_003)  # glob-filtered
+    return d
+
+
+def test_batch_read_matches_binary_file_source(registered, landing):
+    spark = registered
+    got = (
+        spark.read.format("receipts")
+        .load(str(landing))
+        .select("img_id", "path", "length", "content")
+        .orderBy("path")
+        .collect()
+    )
+    ref = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{png,jpg,jpeg}")
+        .load(str(landing))
+        .orderBy("path")
+        .collect()
+    )
+    assert [r.img_id for r in got] == ["scan_001", "scan_002", "scan_003"]
+    assert [os.path.basename(r.path) for r in got] == [
+        os.path.basename(r.path) for r in ref
+    ]
+    assert [r.length for r in got] == [r.length for r in ref]
+    assert [bytes(r.content) for r in got] == [bytes(r.content) for r in ref]
+
+
+def test_partition_planning_is_size_balanced(landing):
+    # 5 files with one giant: LPT puts the giant alone and spreads the rest.
+    for i, size in enumerate([10, 10, 10, 10], start=4):
+        _land(landing, f"scan_00{i}.png", b"x" * size, mtime_s=1_700_000_010 + i)
+    _land(landing, "scan_big.png", b"x" * 100_000, mtime_s=1_700_000_020)
+
+    reader = ReceiptBatchReader({"path": str(landing), "numPartitions": "3"})
+    parts = reader.partitions()
+    assert len(parts) == 3
+    loads = sorted(sum(f[3] for f in p.files) for p in parts)
+    # The giant dominates; the other two bins share the small files.
+    assert loads[-1] >= 100_000
+    assert all(any("scan_big" not in f[1] for f in p.files) or len(p.files) == 1 for p in parts)
+    names = sorted(os.path.basename(f[1]) for p in parts for f in p.files)
+    assert len(names) == 8 and len(set(names)) == 8  # every file exactly once
+
+
+def test_filter_pushdown_prunes_listing(registered, landing):
+    spark = registered
+    df = spark.read.format("receipts").load(str(landing)).filter("img_id = 'scan_002'")
+    rows = df.collect()
+    assert [r.img_id for r in rows] == ["scan_002"]
+
+    # Unit-level: the pushed filter must shrink partitions() itself.
+    reader = ReceiptBatchReader({"path": str(landing)})
+    from pyspark.sql.datasource import EqualTo
+
+    rest = list(reader.pushFilters([EqualTo(("img_id",), "scan_002")]))
+    assert rest == []  # fully absorbed
+    files = [f for p in reader.partitions() for f in p.files]
+    assert [os.path.basename(f[1]) for f in files] == ["scan_002.jpg"]
+
+    # Prefix pushdown too.
+    from pyspark.sql.datasource import StringStartsWith
+
+    reader2 = ReceiptBatchReader({"path": str(landing)})
+    rest2 = list(reader2.pushFilters([StringStartsWith(("img_id",), "scan_00")]))
+    assert rest2 == []
+    assert len([f for p in reader2.partitions() for f in p.files]) == 3
+
+    # Unsupported filters are returned to Spark untouched.
+    reader3 = ReceiptBatchReader({"path": str(landing)})
+    from pyspark.sql.datasource import GreaterThan
+
+    gt = GreaterThan(("length",), 5)
+    assert list(reader3.pushFilters([gt])) == [gt]
+
+
+def test_stream_watermark_offsets_exactly_once(registered, landing, tmp_path):
+    spark = registered
+    chk = str(tmp_path / "chk")
+    out: list[tuple[str, int]] = []
+
+    def run_available():
+        q = (
+            spark.readStream.format("receipts")
+            .load(str(landing))
+            .writeStream.foreachBatch(
+                lambda b, _id: out.extend((r.img_id, r.length) for r in b.collect())
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_available()
+    first = sorted(out)
+    assert [i for i, _ in first] == ["scan_001", "scan_002", "scan_003"]
+
+    # Restart with no new files: watermark offset replays nothing.
+    out.clear()
+    run_available()
+    assert out == []
+
+    # New file above the watermark: picked up exactly once.
+    _land(landing, "scan_004.png", b"\x89PNG-delta", mtime_s=1_700_000_099)
+    out.clear()
+    run_available()
+    assert [i for i, _ in out] == ["scan_004"]
+
+
+def test_ingest_topology_parity_with_binary_file_source(registered, tmp_path):
+    """run_ingest(source='receipts') produces byte-identical curated rows to
+    the binaryFile topology — the watcher swap is invisible downstream."""
+    from receiptanalyzerpipeline_spark.multimodal.images import STUB_MAGIC
+    from receiptanalyzerpipeline_spark.multimodal.ocr import StubBackend
+    from receiptanalyzerpipeline_spark.streaming.ingest import run_ingest
+
+    spark = registered
+    img_a = STUB_MAGIC + bytes([10] * 32 + [200] * 32)
+    img_b = STUB_MAGIC + bytes([0, 255] * 32)
+
+    outs = {}
+    for source in ("binaryFile", "receipts"):
+        d = {
+            k: str(tmp_path / source / k)
+            for k in ["landing", "checkpoint", "raw", "summary", "items"]
+        }
+        Path(d["landing"]).mkdir(parents=True)
+        _land(Path(d["landing"]), "scan_001.png", img_a, mtime_s=1_700_000_001)
+        _land(Path(d["landing"]), "scan_002.png", img_b, mtime_s=1_700_000_002)
+        run_ingest(
+            spark,
+            d["landing"],
+            d["checkpoint"],
+            d["raw"],
+            d["summary"],
+            d["items"],
+            StubBackend(),
+            available_now=True,
+            source=source,
+        )
+        outs[source] = sorted(
+            map(repr, spark.read.parquet(d["summary"]).collect())
+        )
+    assert outs["receipts"] == outs["binaryFile"]
+    assert len(outs["receipts"]) == 2
+
+
+def test_stream_composes_with_ahash_pipeline(registered, landing, tmp_path):
+    """The DataSource's rows feed the same downstream transforms as
+    binaryFile (with_ahash keys on content) — batch/stream unification."""
+    from receiptanalyzerpipeline_spark.multimodal.images import with_ahash
+
+    spark = registered
+    batch = spark.read.format("receipts").load(str(landing))
+    hashed = with_ahash(batch.withColumnRenamed("modification_time", "modificationTime"))
+    rows = hashed.select("img_id", "ahash").collect()
+    assert len(rows) == 3 and all(r.ahash for r in rows)
