@@ -26,13 +26,19 @@ def portable_kmeans(
 ) -> tuple[DataFrame, DataFrame]:
     """``emb`` has (vec_id, v: array<double>). Returns (centroids, assignment):
     centroids = (cid, c: array<double>), assignment = (vec_id, cid, dist2)."""
-    seed_w = Window.orderBy(
-        F.md5(F.concat(F.lit("km:"), F.col("vec_id").cast("string"))), F.col("vec_id")
+    # Seeds = the k smallest md5 keys. orderBy+limit plans as a per-partition
+    # top-k merged on the driver (k·P rows), NOT a global window over every
+    # vector on one task; the unpartitioned row_number that assigns cids then
+    # runs over the k surviving rows only (bounded by construction).
+    seed_key = F.md5(F.concat(F.lit("km:"), F.col("vec_id").cast("string")))
+    seeds = (
+        emb.select(F.col("vec_id"), F.col("v"), seed_key.alias("_sk"))
+        .orderBy("_sk", "vec_id")
+        .limit(k)
     )
-    cent = (
-        emb.withColumn("cid", F.row_number().over(seed_w) - 1)
-        .where(F.col("cid") < k)
-        .select("cid", F.col("v").alias("c"))
+    seed_w = Window.orderBy("_sk", "vec_id")
+    cent = seeds.withColumn("cid", F.row_number().over(seed_w) - 1).select(
+        "cid", F.col("v").alias("c")
     )
     asg = None
     for _ in range(iters):

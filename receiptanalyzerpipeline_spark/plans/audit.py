@@ -1,0 +1,187 @@
+"""Physical-plan audit: the engine's scale invariants as a runnable tool.
+
+SCALE.md states the 100 TB posture in prose; tests/test_plan_shapes.py
+freezes it for a handful of marquee queries. This module makes it an
+operator a USER can run over any DataFrame (or the whole registry) before
+pointing a job at a cluster:
+
+    from receiptanalyzerpipeline_spark.plans.audit import audit_plan
+    findings = audit_plan(df, name="my_query")
+
+The audit walks the physical-plan TREE (pre-AQE, so structure is stable
+across runtime re-planning) rather than grepping plan text — hazards are
+defined by node class plus CONTEXT (what consumes the node), which is what
+separates a presentation `orderBy` from a sort that feeds a join:
+
+- ``cartesian_product``     — CartesianProductExec: O(n·m) pair blow-up.
+- ``broadcast_nested_loop`` — BroadcastNestedLoopJoinExec: per-row scan of
+                              the broadcast side. Only sane when that side
+                              is provably O(1) rows (k centroids, 1-row
+                              totals) — callers allowlist those cases with
+                              a written justification.
+- ``python_row_udf``        — BatchEvalPythonExec: row-at-a-time Python
+                              with pickle transfer. Arrow-batched
+                              boundaries (ArrowEvalPython, MapInPandas,
+                              FlatMapGroupsInPandas, MapInArrow) do not
+                              trigger this.
+- ``unpartitioned_window``  — a window function with an empty PARTITION BY:
+                              every row flows through ONE task regardless
+                              of cluster size. Exempt when a LIMIT sits
+                              below it (the input is bounded by
+                              construction, e.g. numbering k seed rows).
+- ``computed_global_sort``  — a global (range-exchange) sort whose output
+                              feeds further computation (join/aggregate/
+                              window/generate). A final presentation sort —
+                              consumed only by project/union/limit/root —
+                              is NOT flagged: bounded result ordering is
+                              how every query presents deterministically.
+
+The audit reports; POLICY lives with the caller (tests allowlist specific
+(query, hazard) pairs, so every exception is documented and new ones fail
+loudly)."""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class PlanFinding:
+    query: str
+    hazard: str
+    detail: str
+
+    def __str__(self) -> str:  # readable pytest diffs
+        return f"{self.query}: {self.hazard} ({self.detail})"
+
+
+@dataclass
+class _Node:
+    cls: str
+    raw: dict
+    children: list
+
+
+def _physical_tree(df: DataFrame) -> _Node:
+    """Physical plan as a tree (AQE wrapper unwrapped; build-only, the
+    query never executes)."""
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.inputPlan()
+    nodes = json.loads(plan.toJSON())
+
+    def build(i: int) -> tuple[_Node, int]:
+        raw = nodes[i]
+        node = _Node(cls=raw["class"].rsplit(".", 1)[-1], raw=raw, children=[])
+        j = i + 1
+        for _ in range(int(raw.get("num-children", 0))):
+            child, j = build(j)
+            node.children.append(child)
+        return node, j
+
+    root, _ = build(0)
+    return root
+
+
+# Consumers that preserve "this is just presentation output" status.
+_PRESENTATION = {
+    "ProjectExec",
+    "UnionExec",
+    "SortExec",
+    "CollectLimitExec",
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "TakeOrderedAndProjectExec",
+    "SerializeFromObjectExec",
+    "DeserializeToObjectExec",
+    "ColumnarToRowExec",
+    "InputAdapter",
+    "WholeStageCodegenExec",
+}
+
+
+def _is_global_sort(n: _Node) -> bool:
+    return n.cls == "SortExec" and bool(n.raw.get("global"))
+
+
+def _window_partition_spec(n: _Node):
+    return n.raw.get("partitionSpec", [])
+
+
+_BOUNDING_NODES = {"GlobalLimitExec", "CollectLimitExec", "TakeOrderedAndProjectExec"}
+
+
+def _has_limit_below(n: _Node) -> bool:
+    stack = list(n.children)
+    while stack:
+        x = stack.pop()
+        if x.cls in _BOUNDING_NODES:
+            return True
+        stack.extend(x.children)
+    return False
+
+
+def audit_plan(df: DataFrame, name: str = "<df>") -> list[PlanFinding]:
+    """Scan one DataFrame's physical plan for scale hazards."""
+    findings: list[PlanFinding] = []
+    root = _physical_tree(df)
+
+    def walk(n: _Node, computed_above: bool) -> None:
+        if n.cls == "CartesianProductExec":
+            findings.append(PlanFinding(name, "cartesian_product", n.cls))
+        elif n.cls == "BroadcastNestedLoopJoinExec":
+            findings.append(PlanFinding(name, "broadcast_nested_loop", n.cls))
+        elif n.cls == "BatchEvalPythonExec":
+            findings.append(PlanFinding(name, "python_row_udf", n.cls))
+        elif (
+            n.cls in ("WindowExec", "WindowGroupLimitExec")
+            and not _window_partition_spec(n)
+            and not _has_limit_below(n)
+        ):
+            findings.append(PlanFinding(name, "unpartitioned_window", n.cls))
+        elif _is_global_sort(n) and computed_above:
+            findings.append(
+                PlanFinding(name, "computed_global_sort", "global sort feeds computation")
+            )
+        below_is_computed = computed_above or n.cls not in _PRESENTATION
+        for c in n.children:
+            walk(c, below_is_computed)
+
+    walk(root, computed_above=False)
+    return findings
+
+
+def plan_metrics(df: DataFrame) -> dict[str, int]:
+    """Shuffle/boundary counts for quick plan diffing: total exchanges,
+    hash exchanges, Python boundaries (from the executed plan TEXT, which
+    includes EnsureRequirements' exchanges; codegen spans are an AQE
+    runtime artifact and deliberately not counted pre-execution)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "exchanges": plan.count("Exchange "),
+        "hash_exchanges": plan.count("Exchange hashpartitioning"),
+        "arrow_python_boundaries": (
+            plan.count("ArrowEvalPython")
+            + plan.count("MapInPandas")
+            + plan.count("FlatMapGroupsInPandas")
+            + plan.count("MapInArrow")
+        ),
+        "python_row_boundaries": plan.count("BatchEvalPython"),
+    }
+
+
+def audit_registry(spark, sf_dir: str, names: list[str] | None = None) -> list[PlanFinding]:
+    """Audit every registered query's plan (build-only, nothing executes).
+
+    This is the preflight a reference user runs after adding a query:
+    zero findings (or a consciously-allowlisted one) before it ships."""
+    from receiptanalyzerpipeline_spark.plans import REGISTRY
+
+    findings: list[PlanFinding] = []
+    for qname in sorted(names or REGISTRY):
+        df = REGISTRY[qname].spark(spark, sf_dir)
+        findings.extend(audit_plan(df, name=qname))
+    return findings

@@ -1,0 +1,137 @@
+"""Registry-wide physical-plan audit (plans/audit.py): every scale hazard
+in every registered query's plan is either absent or consciously
+allowlisted here with its boundedness argument. A new query (or an edit to
+an old one) that introduces a cartesian product, a row-at-a-time Python
+UDF, an unpartitioned window, a computation-feeding global sort, or an
+un-reviewed nested-loop join fails this test by name."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from receiptanalyzerpipeline_spark.plans.audit import (
+    audit_plan,
+    audit_registry,
+    plan_metrics,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Every entry is (query, hazard) -> why the nested loop is bounded.
+# BroadcastNestedLoopJoin is ONLY acceptable when the broadcast side is
+# O(1)-row by construction — aggregates to a fixed row count, never
+# corpus-proportional.
+ALLOWED: dict[tuple[str, str], str] = {
+    ("q_a5_sketch_accuracy", "broadcast_nested_loop"): "1-row exact-vs-sketch totals cross",
+    ("q_er3_linkage_scoring", "broadcast_nested_loop"): "1-row match/unmatch u-probability aggregates (3 passes)",
+    ("q_n1_text_profile", "broadcast_nested_loop"): "1-row corpus-total cross for tf-idf normalization",
+    ("q_n2_embedding_topk", "broadcast_nested_loop"): "8 probe vectors broadcast against the corpus (brute-force baseline)",
+    ("q_n3_distinctive_terms", "broadcast_nested_loop"): "1-row totals cross; df side aggregates to vocabulary",
+    ("q_x10_selection_suite", "broadcast_nested_loop"): "per-source mixture weights (k sources) + 1-row totals",
+    ("q_x18_dsir_importance", "broadcast_nested_loop"): "1-row feature-total cross (128-bucket tables broadcast-hash)",
+    ("q_x22_kmeans_portable", "broadcast_nested_loop"): "k centroid rows broadcast per iteration",
+    ("q_x22_portable_ml", "broadcast_nested_loop"): "k centroid rows broadcast per iteration (suite = kmeans + ivf parts)",
+    ("q_x25_lm_perplexity", "broadcast_nested_loop"): "1-row corpus log-mass total",
+    ("q_x25_model_scoring", "broadcast_nested_loop"): "1-row corpus log-mass total (suite)",
+    ("q_x27_ivf_portable", "broadcast_nested_loop"): "k centroid rows broadcast (fit + nprobe cell selection)",
+    ("q_x28_bm25_retrieval", "broadcast_nested_loop"): "1-row avgdl/N corpus statistics cross",
+    ("q_x29_temperature_mixture", "broadcast_nested_loop"): "k-source tau-weight table cross (k sources, not rows)",
+}
+
+
+def test_registry_plans_have_no_unexplained_hazards(spark):
+    findings = audit_registry(spark, SF_DIR)
+    unexplained = sorted(str(f) for f in findings if (f.query, f.hazard) not in ALLOWED)
+    assert not unexplained, f"new plan hazards need review: {unexplained}"
+    # Allowlist hygiene: entries that stopped firing must be pruned so the
+    # list documents the present, not history.
+    fired = {(f.query, f.hazard) for f in findings}
+    stale = sorted(set(ALLOWED) - fired)
+    assert not stale, f"allowlisted hazards no longer occur: {stale}"
+
+
+def test_registry_has_no_forbidden_hazard_classes(spark):
+    """The three never-acceptable classes are absent across ALL queries:
+    no cartesian product, no row-at-a-time Python, no unpartitioned
+    window over unbounded input."""
+    findings = audit_registry(spark, SF_DIR)
+    by_hazard = {f.hazard for f in findings}
+    assert "cartesian_product" not in by_hazard
+    assert "python_row_udf" not in by_hazard
+    assert "unpartitioned_window" not in by_hazard
+    assert "computed_global_sort" not in by_hazard
+
+
+# --- unit behavior of the auditor on crafted plans ---
+
+
+def test_audit_flags_unpartitioned_window(spark):
+    from pyspark.sql.window import Window
+
+    df = spark.range(100).withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    assert any(f.hazard == "unpartitioned_window" for f in audit_plan(df))
+
+    bounded = (
+        spark.range(100)
+        .orderBy("id")
+        .limit(5)
+        .withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    )
+    assert not any(f.hazard == "unpartitioned_window" for f in audit_plan(bounded))
+
+    keyed = spark.range(100).withColumn(
+        "rn", F.row_number().over(Window.partitionBy(F.col("id") % 10).orderBy("id"))
+    )
+    assert not any(f.hazard == "unpartitioned_window" for f in audit_plan(keyed))
+
+
+def test_audit_distinguishes_presentation_sort_from_computed_sort(spark):
+    presentation = spark.range(100).groupBy((F.col("id") % 10).alias("k")).count().orderBy("k")
+    assert not any(f.hazard == "computed_global_sort" for f in audit_plan(presentation))
+
+    # A redundant sort under an aggregate is ELIMINATED by Catalyst (so it
+    # never reaches the auditor); to craft a surviving computed sort, feed
+    # an order-SENSITIVE consumer (mapInPandas) before the aggregate.
+    def ident(it):
+        yield from it
+
+    computed = (
+        spark.range(100)
+        .orderBy("id")  # global sort...
+        .mapInPandas(ident, "id long")  # ...order-sensitive consumer...
+        .groupBy((F.col("id") % 10).alias("k"))  # ...feeding an aggregate
+        .count()
+    )
+    assert any(f.hazard == "computed_global_sort" for f in audit_plan(computed))
+
+
+def test_audit_flags_row_at_a_time_python_udf(spark):
+    from pyspark.sql.types import LongType
+
+    plain = F.udf(lambda x: x + 1, LongType(), useArrow=False)
+    df = spark.range(10).select(plain("id").alias("y"))
+    assert any(f.hazard == "python_row_udf" for f in audit_plan(df))
+
+    @F.pandas_udf("long")
+    def vec(s):
+        return s + 1
+
+    df2 = spark.range(10).select(vec("id").alias("y"))
+    assert not any(f.hazard == "python_row_udf" for f in audit_plan(df2))
+
+
+def test_audit_flags_nested_loop_join(spark):
+    left = spark.range(100).withColumnRenamed("id", "a")
+    right = spark.range(50).withColumnRenamed("id", "b")
+    df = left.crossJoin(F.broadcast(right))
+    hazards = {f.hazard for f in audit_plan(df)}
+    assert "broadcast_nested_loop" in hazards or "cartesian_product" in hazards
+
+
+def test_plan_metrics_counts_boundaries(spark):
+    df = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    m = plan_metrics(df)
+    assert m["hash_exchanges"] == 1
+    assert m["arrow_python_boundaries"] == 0
+    assert m["python_row_boundaries"] == 0
