@@ -132,6 +132,21 @@ def cmd_oracle(args: argparse.Namespace) -> int:
     return 0 if ok else 1
 
 
+def cmd_audit(args: argparse.Namespace) -> int:
+    """Preflight the registry's physical plans for scale hazards
+    (plans/audit.py): cartesian products, row-at-a-time Python, windows
+    with no PARTITION BY, global sorts feeding computation, nested-loop
+    joins. Exit 1 if anything fires so CI can gate on it."""
+    from receiptanalyzerpipeline_spark.plans.audit import audit_registry
+
+    names = args.query or None
+    findings = audit_registry(_spark(), args.sf_dir, names=names)
+    for f in findings:
+        print(f)
+    print(f"{len(findings)} finding(s)")
+    return 1 if findings else 0
+
+
 def cmd_curate(args: argparse.Namespace) -> int:
     """End-to-end training-data curation (the q_x24 pipeline, user-facing):
     quality rules -> exact-content dedup -> optional eval-set 5-gram
@@ -218,6 +233,11 @@ def build_parser() -> argparse.ArgumentParser:
     o = sub.add_parser("oracle", help="run the DuckDB correctness sweep")
     o.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     o.set_defaults(fn=cmd_oracle)
+
+    pa = sub.add_parser("audit", help="physical-plan scale-hazard preflight")
+    pa.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pa.add_argument("--query", action="append", help="limit to specific queries (repeatable)")
+    pa.set_defaults(fn=cmd_audit)
 
     c = sub.add_parser("curate", help="end-to-end corpus curation -> training shards")
     c.add_argument("--input", required=True, help="documents parquet path")

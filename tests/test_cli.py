@@ -100,3 +100,16 @@ def test_cli_curate_non_default_id_col(spark, tmp_path):
     got = spark.read.parquet(out)
     assert "record_id" in got.columns
     assert got.count() > 0
+
+
+def test_cli_audit_clean_and_dirty(spark, capsys):
+    from receiptanalyzerpipeline_spark.cli import main
+
+    # Clean plans exit 0 with no findings.
+    assert main(["audit", "--query", "q_j1_multijoin_revenue"]) == 0
+    assert "0 finding(s)" in capsys.readouterr().out
+
+    # A query with a (documented) nested-loop hazard exits 1 and names it.
+    assert main(["audit", "--query", "q_n2_embedding_topk"]) == 1
+    out = capsys.readouterr().out
+    assert "broadcast_nested_loop" in out
