@@ -22,15 +22,19 @@ from pyspark.sql.window import Window
 
 
 def portable_kmeans(
-    emb: DataFrame, k: int, iters: int
+    emb: DataFrame, k: int, iters: int, seed_salt: str = "km:"
 ) -> tuple[DataFrame, DataFrame]:
     """``emb`` has (vec_id, v: array<double>). Returns (centroids, assignment):
-    centroids = (cid, c: array<double>), assignment = (vec_id, cid, dist2)."""
+    centroids = (cid, c: array<double>), assignment = (vec_id, cid, dist2).
+
+    ``seed_salt`` namespaces the md5 seed ranking so independent codebooks
+    (e.g. product-quantization blocks) draw distinct seed sets from the
+    same ids."""
     # Seeds = the k smallest md5 keys. orderBy+limit plans as a per-partition
     # top-k merged on the driver (k·P rows), NOT a global window over every
     # vector on one task; the unpartitioned row_number that assigns cids then
     # runs over the k surviving rows only (bounded by construction).
-    seed_key = F.md5(F.concat(F.lit("km:"), F.col("vec_id").cast("string")))
+    seed_key = F.md5(F.concat(F.lit(seed_salt), F.col("vec_id").cast("string")))
     seeds = (
         emb.select(F.col("vec_id"), F.col("v"), seed_key.alias("_sk"))
         .orderBy("_sk", "vec_id")

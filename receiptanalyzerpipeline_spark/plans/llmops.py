@@ -1390,6 +1390,170 @@ def q_x27(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_oracle(
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 1,
+    dims: int = 64,
+    shortlist: int = 50,
+    top_k: int = 5,
+) -> str:
+    """q_x30: product quantization replayed end to end — m per-block
+    k-means codebooks (same unrolled-Lloyd toolkit as _kmeans_ctes, with
+    per-block 'pq{b}:' seed salts), codes = final per-block assignments,
+    ADC shortlisting as floor(d2·1e9) BIGINT nano-units summed per (probe,
+    vector), then an exact L2 rerank of the shortlist. Every stage is
+    exact integer math or one fixed IEEE fold."""
+    w = dims // m
+    body = """
+        WITH emb AS (
+            SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+            FROM embeddings
+        )"""
+    for b in range(m):
+        lo, hi = b * w + 1, (b + 1) * w
+        body += f""",
+        emb{b} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM emb),
+        seeds{b} AS (
+            SELECT vec_id, ROW_NUMBER() OVER (
+                ORDER BY md5('pq{b}:' || CAST(vec_id AS VARCHAR)), vec_id
+            ) - 1 AS cid
+            FROM embeddings
+        ),
+        cent{b}_0 AS (
+            SELECT s.cid, e.v AS c FROM seeds{b} s JOIN emb{b} e USING (vec_id)
+            WHERE s.cid < {ks}
+        )"""
+        prev = f"cent{b}_0"
+        for it in range(1, iters + 1):
+            body += f""",
+        d{b}_{it} AS (
+            SELECT e.vec_id, c.cid,
+                   list_reduce(
+                       list_prepend(0.0, [ (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])
+                                           for i in range(1, {w} + 1)]),
+                       (acc, x) -> acc + x) AS dist2
+            FROM emb{b} e CROSS JOIN {prev} c
+        ),
+        a{b}_{it} AS (
+            SELECT vec_id, cid, dist2 FROM (
+                SELECT vec_id, cid, dist2, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+                FROM d{b}_{it}
+            ) WHERE rn = 1
+        ),
+        q{b}_{it} AS (
+            SELECT a.cid, generate_subscripts(e.v, 1) AS dim,
+                   CAST(FLOOR(unnest(e.v) * 1e6) AS BIGINT) AS qv
+            FROM a{b}_{it} a JOIN emb{b} e USING (vec_id)
+        ),
+        n{b}_{it} AS (SELECT cid, COUNT(*) AS n FROM a{b}_{it} GROUP BY cid),
+        cent{b}_{it} AS (
+            SELECT p.cid, list((CAST(s AS DOUBLE) / 1e6) / n.n ORDER BY dim) AS c
+            FROM (SELECT cid, dim, CAST(SUM(qv) AS BIGINT) AS s
+                  FROM q{b}_{it} GROUP BY 1, 2) p
+            JOIN n{b}_{it} n USING (cid)
+            GROUP BY p.cid, n.n
+        )"""
+            prev = f"cent{b}_{it}"
+    codes_union = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS block, cid AS code FROM a{b}_{iters}" for b in range(m)
+    )
+    cbs_union = " UNION ALL ".join(
+        f"SELECT {b} AS block, cid, c FROM cent{b}_{iters}" for b in range(m)
+    )
+    pb_union = " UNION ALL ".join(
+        f"SELECT q_id, {b} AS block, v[{b * w + 1}:{(b + 1) * w}] AS qv FROM probes"
+        for b in range(m)
+    )
+    body += f""",
+        codes AS ({codes_union}),
+        cbs AS ({cbs_union}),
+        probes AS (SELECT vec_id AS q_id, v FROM emb WHERE vec_id < 10),
+        pb AS ({pb_union}),
+        pbd AS (
+            SELECT p.q_id, p.block, c.cid AS code,
+                   CAST(FLOOR(list_reduce(
+                       list_prepend(0.0, [ (p.qv[i] - c.c[i]) * (p.qv[i] - c.c[i])
+                                           for i in range(1, {w} + 1)]),
+                       (acc, x) -> acc + x) * 1e9) AS BIGINT) AS d2n
+            FROM pb p JOIN cbs c ON c.block = p.block
+        ),
+        scored AS (
+            SELECT d.q_id, cd.vec_id, CAST(SUM(d.d2n) AS BIGINT) AS qn
+            FROM codes cd JOIN pbd d ON d.block = cd.block AND d.code = cd.code
+            WHERE cd.vec_id <> d.q_id
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, qn, ROW_NUMBER() OVER (
+                PARTITION BY q_id ORDER BY qn, vec_id) AS rank
+            FROM scored
+        ),
+        cand AS (SELECT q_id, vec_id FROM ranked WHERE rank <= {shortlist}),
+        rer AS (
+            SELECT c.q_id, c.vec_id,
+                   list_reduce(
+                       list_prepend(0.0, [ (eq.v[i] - ec.v[i]) * (eq.v[i] - ec.v[i])
+                                           for i in range(1, {dims} + 1)]),
+                       (acc, x) -> acc + x) AS qdist
+            FROM cand c
+            JOIN emb eq ON eq.vec_id = c.q_id
+            JOIN emb ec ON ec.vec_id = c.vec_id
+        ),
+        rranked AS (
+            SELECT q_id, vec_id, qdist, ROW_NUMBER() OVER (
+                PARTITION BY q_id ORDER BY qdist, vec_id) AS rank
+            FROM rer
+        )
+        SELECT q_id, vec_id, qdist, CAST(rank AS BIGINT) AS rank
+        FROM rranked WHERE rank <= {top_k}
+        ORDER BY q_id, rank
+    """
+    return body
+
+
+@register(
+    "q_x30_pq_ann",
+    oracle=_pq_oracle(),
+    doc=(
+        "Product-quantization ANN, fully hash-checked: 8 per-block "
+        "codebooks (16 codes each) from the engine-portable k-means with "
+        "per-block seed salts, vectors stored as 8 half-byte codes, "
+        "asymmetric-distance shortlisting — probes build one broadcast "
+        "(block, code) distance table in floor(d2*1e9) BIGINT nano-units "
+        "and each corpus vector's approximate distance is an exact "
+        "integer SUM of 8 lookups — then an exact L2 rerank of the "
+        "50-candidate shortlist (measured: 74% of the exact top-5 "
+        "survives a 10%-of-corpus shortlist on these near-uniform "
+        "synthetic vectors; recall@5 vs brute force is pinned in "
+        "test_properties). Completes the ANN triptych: q_n2 exact brute "
+        "force, q_x5/q_x27 candidate pruning (LSH/IVF), q_x30 "
+        "storage/scan compression (PQ). Plan: codebooks and the probe "
+        "table broadcast (KB-sized at any corpus); the corpus side is "
+        "one (block, code) equi-join + one BIGINT-sum aggregate; the "
+        "rerank touches only P*shortlist candidate vectors."
+    ),
+    tags=("similarity", "embedding", "ann", "pq", "iterative"),
+)
+def q_x30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from receiptanalyzerpipeline_spark.operators.pq import (
+        pq_fit_encode,
+        pq_search_rerank,
+    )
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", S.as_double(F.col("embedding")).alias("v")
+    )
+    codebooks, codes = pq_fit_encode(emb, dims=64, m=8, ks=16, iters=1)
+    probes = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    return pq_search_rerank(
+        probes, codebooks, codes, emb, dims=64, m=8, shortlist=50, top_k=5
+    ).orderBy("q_id", "rank")
+
+
 # --- BM25 ranked retrieval (q_x28) --------------------------------------
 #
 # Fixed keyword queries over the documents table (two terms each, drawn

@@ -463,9 +463,10 @@ _SUITES = [
         parts=[
             Part("kmeans", "q_x22_kmeans_portable", {"id1": "vec_id", "id2": "cluster", "v": "dist2"}),
             Part("ivf", "q_x27_ivf_portable", {"id1": "q_id", "id2": "vec_id", "v": "sim", "rk": "rank"}),
+            Part("pq", "q_x30_pq_ann", {"id1": "q_id", "id2": "vec_id", "v": "qdist", "rk": "rank"}),
         ],
         order=["id1", "rk", "id2"],
-        doc="DuckDB-replayable iterative ML: pico-quantized k-means + IVF ANN search over its cells.",
+        doc="DuckDB-replayable iterative ML: pico-quantized k-means + IVF ANN search over its cells + product-quantization ADC search.",
         tags=("similarity", "ml"),
     ),
     Suite(
