@@ -1535,6 +1535,7 @@ def _pq_oracle(
         "rerank touches only P*shortlist candidate vectors."
     ),
     tags=("similarity", "embedding", "ann", "pq", "iterative"),
+    bench=True,
 )
 def q_x30(spark: SparkSession, sf_dir: str) -> DataFrame:
     from receiptanalyzerpipeline_spark.operators.pq import (
