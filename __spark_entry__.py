@@ -27,9 +27,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented query/operator from SURVEY.md §2.
 
     The driver's correctness gate records at most 50 queries, so this is
-    the consolidated DRIVER_REGISTRY (≤50 entries): the 18 headline bench
-    queries standalone plus suite queries that fuse the remaining registry
-    variants (plans/suites.py). The full 110+-entry REGISTRY — every
+    the consolidated DRIVER_REGISTRY (≤50 entries): the headline bench
+    queries standalone (q_x30 via its portable-ML suite) plus suite
+    queries that fuse the remaining registry variants (plans/suites.py).
+    Every entry has an oracle (zero rows-only
+    checks). The full 110+-entry REGISTRY — every
     individual member — stays covered by the local replica of the gate
     (tests/test_oracle_queries.py) and bench.py."""
     return {name: q.spark for name, q in sorted(DRIVER_REGISTRY.items())}

@@ -636,14 +636,39 @@ def q_x5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_x6_ann_ivf",
-    oracle=None,  # approximate by design; determinism + recall pinned in tests
+    oracle="""
+        WITH probes AS (
+            SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10
+        ),
+        pairs AS (
+            SELECT p.q_id, e.vec_id,
+                   round(list_cosine_similarity(CAST(p.q_emb AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])), 4) AS sim
+            FROM probes p JOIN embeddings e ON e.vec_id != p.q_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+            FROM pairs
+        )
+        SELECT q_id, vec_id, sim, rank, TRUE AS ivf_recall_ok
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank
+    """,
     doc=(
-        "IVF approximate top-3: k-means cells fitted from a deterministic "
-        "sample, corpus assigned map-side (Arrow pandas UDF), probes search "
-        "their nprobe=4 nearest cells of 16 — ~25% of the corpus scored "
-        "(SURVEY N4 scale path, the centroid-partitioned sibling of q_x5). "
-        "Rows-only driver check; tests/test_llmops.py pins determinism and "
-        "recall vs brute force."
+        "IVF approximate top-3 with the invariant-as-data oracle pattern "
+        "(same trick as q_a5_sketch_accuracy): k-means cells fitted from a "
+        "deterministic ORDER BY id LIMIT sample, corpus assigned map-side "
+        "(Arrow pandas UDF), probes search their nprobe=4 nearest cells of "
+        "16 — ~25% of the corpus scored (SURVEY N4 scale path, the "
+        "centroid-partitioned sibling of q_x5). The emitted rows are the "
+        "EXACT brute-force top-3 (DuckDB replays them bit-for-bit, as in "
+        "q_n2) plus an ivf_recall_ok boolean computed Spark-side: overall "
+        "recall@3 of the IVF search vs the exact top-3 across all 10 "
+        "probes must be ≥ 0.6 (measured 0.90–0.97 at sf0.001/0.01/0.1; the "
+        "fit is bit-reproducible so the boolean is stable across runs and "
+        "partition counts). If IVF pruning ever degrades, the literal TRUE "
+        "in the oracle hash-mismatches — the driver gate now checks what "
+        "three rounds of 'no_oracle' rows could not."
     ),
     tags=("similarity", "embedding", "ann", "ivf"),
 )
@@ -655,7 +680,15 @@ def q_x6(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     centroids = ivf.fit_centroids(emb, n_cells=16)
-    return ivf.ivf_topk(emb, probes, centroids, k=3, nprobe=4)
+    approx = ivf.ivf_topk(emb, probes, centroids, k=3, nprobe=4)
+    exact = S.brute_force_topk(emb, probes, k=3).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+    # 10 probes × k=3 → 30 exact pairs at every SF; ≥18 hits = recall ≥ 0.6.
+    hits = exact.join(
+        approx.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi"
+    ).agg((F.count(F.lit(1)) >= F.lit(18)).alias("ivf_recall_ok"))
+    return exact.crossJoin(F.broadcast(hits)).orderBy("q_id", "rank")
 
 
 @register(

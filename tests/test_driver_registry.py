@@ -43,9 +43,10 @@ HEADLINE = [
     "q_x24_curation_pipeline",
 ]
 
-# Exposed without an oracle, by design (IVF assignment is engine-specific;
-# its DuckDB-replayable sibling is q_x22_portable_ml).
-ROWS_ONLY_OK = {"q_x6_ann_ivf"}
+# Every driver entry now carries an oracle: q_x6_ann_ivf emits the exact
+# brute-force top-3 plus a recall-invariant boolean (q_a5 pattern), so the
+# rows-only escape hatch is empty — additions here need a written reason.
+ROWS_ONLY_OK: set[str] = set()
 
 
 def test_driver_registry_fits_the_window():

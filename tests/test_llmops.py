@@ -99,11 +99,22 @@ def test_simhash_identical_token_sets_collide(spark):
 
 
 def test_ann_ivf_deterministic_and_useful(spark, sf_dir):
+    from receiptanalyzerpipeline_spark.catalog import table
+    from receiptanalyzerpipeline_spark.operators import ivf
     from receiptanalyzerpipeline_spark.plans import REGISTRY
 
-    q = REGISTRY["q_x6_ann_ivf"]
-    r1 = sorted(map(tuple, q.spark(spark, sf_dir).collect()))
-    r2 = sorted(map(tuple, q.spark(spark, sf_dir).collect()))
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    centroids = ivf.fit_centroids(emb, n_cells=16)
+
+    def run():
+        return sorted(
+            map(tuple, ivf.ivf_topk(emb, probes, centroids, k=3, nprobe=4).collect())
+        )
+
+    r1, r2 = run(), run()
     assert r1 == r2, "IVF top-k must be deterministic (fit + assign + search)"
 
     bf = {
@@ -116,6 +127,10 @@ def test_ann_ivf_deterministic_and_useful(spark, sf_dir):
     # nprobe=4 of 16 cells scores ~25% of a *uniform* corpus — the floor
     # here reflects that worst case; clustered embeddings recall higher.
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+    # q_x6's driver surface: exact top-3 rows + the recall invariant as data.
+    rows = REGISTRY["q_x6_ann_ivf"].spark(spark, sf_dir).collect()
+    assert len(rows) == 30 and all(r["ivf_recall_ok"] for r in rows)
 
 
 def test_ivf_cells_partition_corpus(spark, sf_dir):

@@ -33,6 +33,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("q_x22_kmeans_portable", "broadcast_nested_loop"): "k centroid rows broadcast per iteration",
     ("q_x22_portable_ml", "broadcast_nested_loop"): "k centroid rows broadcast per iteration (suite = kmeans + ivf + pq parts)",
     ("q_x30_pq_ann", "broadcast_nested_loop"): "per-block ks-row codebooks broadcast (fit) + P*m*ks probe table",
+    ("q_x6_ann_ivf", "broadcast_nested_loop"): "10 probe vectors (exact baseline) + 1-row recall-invariant boolean cross",
     ("q_x25_lm_perplexity", "broadcast_nested_loop"): "1-row corpus log-mass total",
     ("q_x25_model_scoring", "broadcast_nested_loop"): "1-row corpus log-mass total (suite)",
     ("q_x27_ivf_portable", "broadcast_nested_loop"): "k centroid rows broadcast (fit + nprobe cell selection)",
