@@ -1,0 +1,159 @@
+"""Distributed BPE tokenizer training — the iterative pair-merge loop
+(Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+Subword Units", ACL) expressed as vocabulary-sized Spark aggregates.
+
+The brief's text-analysis family asks for "token counting (whitespace +
+a BPE-ish regex)"; this goes one step further and TRAINS the merge
+table. The classical algorithm: split every word into characters plus
+an end-of-word marker, then repeatedly (1) count adjacent symbol pairs
+weighted by word frequency, (2) merge the globally most frequent pair
+everywhere it appears, leftmost-first. The merge table IS the tokenizer.
+
+Distributed shape — the part that matters at 100 TB:
+
+- The corpus is touched ONCE: one explode + map-side-combined groupBy
+  produces the word-frequency table. Everything after runs on the
+  vocabulary (distinct words), which is orders of magnitude smaller
+  than the corpus and grows sub-linearly with it (Heaps' law). The
+  vocabulary table is persisted — bounded by construction, the same
+  class as the IVF fit sample.
+- BPE is inherently sequential: iteration i's argmax must be known
+  before iteration i+1 can count anything, and each argmax both feeds
+  the merge rewrite AND must be recorded — a twice-referenced
+  self-dependency that makes a fully-lazy unrolled plan EXPONENTIAL in
+  the merge count (each sym(i) embeds sym(i-1) twice; measured: 8
+  unrolled merges OOM the driver just printing the plan). So the merge
+  table is driver-held model state, exactly like MLlib KMeansModel
+  centroids: the training loop runs one vocabulary-sized aggregate +
+  orderBy/limit(1) job per merge (a bounded 1-row ``first()`` — the
+  documented driver-side-scalar exception class) and chains the winning
+  pairs into the next iteration's plan as string literals, keeping
+  every plan linear and map-side past the one word-count shuffle.
+- The RETURNED DataFrame is not a transcript of driver state: it is one
+  lazy single-pass plan that recomputes every step's pair count from
+  the vocabulary table with the merges embedded as literals — 8
+  chained-replace projections fused by whole-stage codegen into one
+  map, one 1-row aggregate, one explode. If the driver loop had picked
+  any wrong pair or count, this recomputation (and the DuckDB oracle's
+  independent replay) would expose it.
+
+Determinism (what makes the DuckDB oracle replay bit-for-bit, see
+plans/llmops.py q_x31): all counts are exact BIGINT sums; the top pair
+tie-breaks on the pair string; and the merge rewrite is plain
+non-overlapping leftmost-first ``replace`` on space-separated symbol
+strings — identical semantics in Spark and DuckDB (probed, plus pinned
+by the q_x31 oracle hash match at sf0.001/0.01/0.1), and identical to
+the reference algorithm's greedy left-to-right merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+__all__ = ["word_frequencies", "bpe_train"]
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, freq): lowercase whitespace tokens and their corpus counts.
+    One corpus pass; map-side partial counts collapse the shuffle to
+    distinct words."""
+    return (
+        docs.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _pairs(sym: Column) -> Column:
+    """Array of adjacent symbol pairs 'a b' of a space-separated symbol
+    string (overlapping occurrences all counted, per the reference
+    algorithm). Caller guards the single-symbol case."""
+    toks = F.split(sym, " ")
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda j: F.concat(F.get(toks, j), F.lit(" "), F.get(toks, j + 1)),
+    )
+
+
+def _merge(sym: Column, pair: str) -> Column:
+    """Leftmost-first non-overlapping merge of ``pair`` ('a b' -> 'ab')."""
+    merged = pair.replace(" ", "")
+    return F.trim(
+        F.replace(
+            F.concat(F.lit(" "), sym, F.lit(" ")),
+            F.lit(f" {pair} "),
+            F.lit(f" {merged} "),
+        )
+    )
+
+
+def bpe_train(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges; returns the merge table
+    (step BIGINT, merged STRING, pair_count BIGINT) in merge order.
+
+    ``merged`` is the new symbol created at that step (concatenation of
+    the merged pair); ``pair_count`` is the pair's corpus frequency at
+    merge time. Deterministic: ties break on the pair string.
+    """
+    base = (
+        word_frequencies(docs, text_col)
+        .select(
+            # 'abc' -> 'a b c </w>' : space-separated symbols, marker last.
+            F.concat(
+                F.regexp_replace(F.col("w"), "(.)", "$1 "), F.lit(END_OF_WORD)
+            ).alias("sym"),
+            "freq",
+        )
+        .persist()
+    )
+
+    # --- training loop: one vocabulary-sized job per merge ---------------
+    merges: list[tuple[int, str]] = []
+    cur = base
+    for step in range(1, n_merges + 1):
+        top = (
+            cur.where(F.size(F.split(F.col("sym"), " ")) >= 2)
+            .select(F.explode(_pairs(F.col("sym"))).alias("p"), "freq")
+            .groupBy("p")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "p")
+            .limit(1)
+            .first()
+        )
+        merges.append((step, top["p"]))
+        cur = cur.select(_merge(F.col("sym"), top["p"]).alias("sym"), "freq")
+
+    # --- returned plan: recompute every step's count in ONE pass ---------
+    agg_cols = []
+    sym: Column = F.col("sym")
+    for step, pair in merges:
+        occurrences = F.when(
+            F.size(F.split(sym, " ")) >= 2,
+            F.size(F.filter(_pairs(sym), lambda x: x == F.lit(pair))),
+        ).otherwise(F.lit(0))
+        agg_cols.append(
+            F.sum(occurrences * F.col("freq")).cast("long").alias(f"c{step}")
+        )
+        sym = _merge(sym, pair)
+    counted = base.agg(*agg_cols)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(step).cast("long").alias("step"),
+                F.lit(pair.replace(" ", "")).alias("merged"),
+                F.col(f"c{step}").alias("pair_count"),
+            )
+            for step, pair in merges
+        ]
+    )
+    return (
+        counted.select(F.explode(rows).alias("r"))
+        .select("r.step", "r.merged", "r.pair_count")
+        .orderBy("step")
+    )

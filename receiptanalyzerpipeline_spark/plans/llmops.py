@@ -1588,6 +1588,72 @@ def q_x30(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+def _bpe_oracle(n_merges: int = 8) -> str:
+    """q_x31: the BPE training loop replayed with unrolled CTEs — exact
+    BIGINT pair counts, ORDER BY count DESC, pair LIMIT 1 top pair, and
+    the same leftmost-first non-overlapping replace() merge (operator
+    docstring documents the cross-engine semantics probe)."""
+    body = r"""
+        WITH words AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+                SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+                FROM documents
+            ) WHERE w <> '' GROUP BY w
+        ),
+        sym0 AS (
+            SELECT regexp_replace(w, '(.)', '\1 ', 'g') || '</w>' AS sym, freq
+            FROM words
+        )"""
+    for i in range(1, n_merges + 1):
+        body += f""",
+        p{i} AS (
+            SELECT unnest(list_transform(range(1, len(t)),
+                                         j -> t[j] || ' ' || t[j+1])) AS p, freq
+            FROM (SELECT string_split(sym, ' ') AS t, freq FROM sym{i - 1})
+        ),
+        t{i} AS (
+            SELECT p, CAST(SUM(freq) AS BIGINT) AS pair_count
+            FROM p{i} GROUP BY p ORDER BY pair_count DESC, p LIMIT 1
+        ),
+        sym{i} AS (
+            SELECT trim(replace(' ' || s.sym || ' ', ' ' || t.p || ' ',
+                                ' ' || replace(t.p, ' ', '') || ' ')) AS sym,
+                   s.freq
+            FROM sym{i - 1} s CROSS JOIN t{i} t
+        )"""
+    merges = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, replace(p, ' ', '') AS merged,"
+        f" pair_count FROM t{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return body + f" SELECT * FROM ({merges}) ORDER BY step"
+
+
+@register(
+    "q_x31_bpe_train",
+    oracle=_bpe_oracle(),
+    doc=(
+        "Distributed BPE tokenizer training (Sennrich 2016), fully "
+        "hash-checked: 8 merge iterations over the word-frequency table. "
+        "The corpus is scanned once (explode + map-side-combined word "
+        "count); every iteration after that is a VOCABULARY-sized pair "
+        "aggregate + orderBy/limit(1) top pair + a map-side merge rewrite "
+        "under a 1-row broadcast — the shuffle never carries corpus rows, "
+        "and vocabulary grows sub-linearly with the corpus (Heaps' law). "
+        "All counts are exact BIGINT, ties break on the pair string, and "
+        "the merge is plain non-overlapping leftmost-first replace() — "
+        "identical in both engines, so the DuckDB oracle replays the "
+        "whole training loop bit-for-bit with unrolled CTEs (the same "
+        "pattern as the portable k-means / PQ codebooks)."
+    ),
+    tags=("text", "tokenizer", "curation", "iterative"),
+)
+def q_x31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from receiptanalyzerpipeline_spark.operators.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), text_col="text", n_merges=8)
+
+
 # --- BM25 ranked retrieval (q_x28) --------------------------------------
 #
 # Fixed keyword queries over the documents table (two terms each, drawn

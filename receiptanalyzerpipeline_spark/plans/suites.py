@@ -459,14 +459,15 @@ _SUITES = [
     ),
     Suite(
         "q_x22_portable_ml",
-        cols=[("id1", "bigint"), ("id2", "bigint"), ("v", "double"), ("rk", "bigint")],
+        cols=[("id1", "bigint"), ("id2", "bigint"), ("v", "double"), ("rk", "bigint"), ("s", "string")],
         parts=[
             Part("kmeans", "q_x22_kmeans_portable", {"id1": "vec_id", "id2": "cluster", "v": "dist2"}),
             Part("ivf", "q_x27_ivf_portable", {"id1": "q_id", "id2": "vec_id", "v": "sim", "rk": "rank"}),
             Part("pq", "q_x30_pq_ann", {"id1": "q_id", "id2": "vec_id", "v": "qdist", "rk": "rank"}),
+            Part("bpe", "q_x31_bpe_train", {"id1": "step", "id2": "pair_count", "s": "merged"}),
         ],
         order=["id1", "rk", "id2"],
-        doc="DuckDB-replayable iterative ML: pico-quantized k-means + IVF ANN search over its cells + product-quantization ADC search.",
+        doc="DuckDB-replayable iterative ML: pico-quantized k-means + IVF ANN search over its cells + product-quantization ADC search + BPE tokenizer training.",
         tags=("similarity", "ml"),
     ),
     Suite(

@@ -31,7 +31,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("q_x10_selection_suite", "broadcast_nested_loop"): "per-source mixture weights (k sources) + 1-row totals",
     ("q_x18_dsir_importance", "broadcast_nested_loop"): "1-row feature-total cross (128-bucket tables broadcast-hash)",
     ("q_x22_kmeans_portable", "broadcast_nested_loop"): "k centroid rows broadcast per iteration",
-    ("q_x22_portable_ml", "broadcast_nested_loop"): "k centroid rows broadcast per iteration (suite = kmeans + ivf + pq parts)",
+    ("q_x22_portable_ml", "broadcast_nested_loop"): "k centroid rows broadcast per iteration (suite = kmeans + ivf + pq + bpe parts)",
     ("q_x30_pq_ann", "broadcast_nested_loop"): "per-block ks-row codebooks broadcast (fit) + P*m*ks probe table",
     ("q_x6_ann_ivf", "broadcast_nested_loop"): "10 probe vectors (exact baseline) + 1-row recall-invariant boolean cross",
     ("q_x25_lm_perplexity", "broadcast_nested_loop"): "1-row corpus log-mass total",
