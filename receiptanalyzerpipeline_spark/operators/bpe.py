@@ -53,7 +53,7 @@ from pyspark.sql import functions as F
 
 END_OF_WORD = "</w>"
 
-__all__ = ["word_frequencies", "bpe_train"]
+__all__ = ["word_frequencies", "bpe_train", "bpe_encode"]
 
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -157,3 +157,38 @@ def bpe_train(
         .select("r.step", "r.merged", "r.pair_count")
         .orderBy("step")
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[str],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a trained merge list (pair strings 'a b', in merge order) to
+    tokenize ``text_col``; adds ``out_col`` array<string> of subword
+    tokens (end-of-word markers kept, word order preserved).
+
+    Entirely map-side: per word, character-split then one chained
+    ``replace`` per merge — whole-stage codegen fuses the chain into a
+    single projection, so encoding shards the corpus with zero shuffle
+    (the property that matters when tokenizing 100 TB: it composes with
+    any upstream partitioning and adds no stage boundary). The merge
+    list is plan-embedded literals — KB-sized for real vocabularies,
+    the same class as a broadcast codebook.
+    """
+    tokens = F.flatten(
+        F.transform(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""),
+            lambda w: F.split(_encode_word_expr(w, merges), " "),
+        )
+    )
+    return docs.withColumn(out_col, tokens)
+
+
+def _encode_word_expr(w: Column, merges: list[str]) -> Column:
+    """'word' -> merged space-separated symbol string, as one expression."""
+    sym = F.concat(F.regexp_replace(w, "(.)", "$1 "), F.lit(END_OF_WORD))
+    for pair in merges:
+        sym = _merge(sym, pair)
+    return sym

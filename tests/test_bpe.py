@@ -44,6 +44,22 @@ def test_bpe_overlap_counts_vs_leftmost_merge(spark):
     assert got == [(1, "aa", 2), (2, "a</w>", 1)]
 
 
+def test_bpe_encode_applies_merges_in_order(spark):
+    from receiptanalyzerpipeline_spark.operators.bpe import bpe_encode
+
+    docs = _corpus(spark, {"lowest": 1, "low": 1})
+    # merges from the Sennrich corpus above: es, est, est</w>, lo, low
+    merges = ["e s", "es t", "est </w>", "l o", "lo w"]
+    rows = {
+        r["text"].split(" ")[0]: r["bpe_tokens"]
+        for r in bpe_encode(docs, merges).collect()
+    }
+    (only,) = rows.values()
+    # 'lowest low' -> low+est</w>  +  lo+w+</w> ('low </w>' never merged:
+    # merge 5 is 'lo w', giving 'low', but 'low </w>' is not in the list)
+    assert only == ["low", "est</w>", "low", "</w>"]
+
+
 def test_bpe_deterministic_across_runs(spark, sf_dir):
     from receiptanalyzerpipeline_spark.plans import REGISTRY
 
