@@ -273,8 +273,39 @@ def q_a11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_a5_sketch_accuracy",
-    oracle="""
+    oracle=r"""
+        WITH cms_words AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+                SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+                FROM documents
+            ) WHERE w <> '' GROUP BY w
+        ),
+        cms_buckets AS (
+            SELECT w, freq, j,
+                   CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR)
+                                             || ':' || w), 1, 15)) AS BIGINT)
+                       % 64 AS b
+            FROM cms_words, (SELECT unnest(range(3)) AS j)
+        ),
+        cms_sketch AS (
+            SELECT j, b, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM cms_buckets GROUP BY j, b
+        ),
+        cms_top AS (SELECT w, freq FROM cms_words ORDER BY freq DESC, w LIMIT 10),
+        cms_est AS (
+            SELECT t.w, t.freq, MIN(s.cnt) AS est
+            FROM cms_top t
+            JOIN cms_buckets p ON p.w = t.w
+            JOIN cms_sketch s ON s.j = p.j AND s.b = p.b
+            GROUP BY t.w, t.freq
+        ),
+        cms_n AS (SELECT CAST(SUM(freq) AS BIGINT) AS n FROM cms_words)
         SELECT * FROM (
+            SELECT 'cms' AS part, w AS grp, CAST(freq AS DOUBLE) AS exact,
+                   (est >= freq AND CAST(est AS DOUBLE)
+                        <= CAST(freq AS DOUBLE) + 2.0 * n / 64) AS within_tol
+            FROM cms_est CROSS JOIN cms_n
+            UNION ALL
             SELECT 'cd' AS part, g AS grp, e AS exact, TRUE AS within_tol
             FROM (
                 SELECT 'parts' AS g, CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS e FROM lineitem
@@ -306,16 +337,23 @@ def q_a11(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Sketch-accuracy surface: every approximate operator (HLL++ "
         "approx_count_distinct, GK approx_percentile, DataSketches HLL "
-        "merge) emitted NEXT TO the exact value it estimates, plus a "
-        "within_tol boolean computed Spark-side. The oracle replays the "
-        "exact side and asserts the bound AS DATA (literal TRUE): if a "
-        "sketch ever drifts outside tolerance the hash mismatches — the "
-        "driver gate now checks what three rounds of 'no_oracle' rows "
-        "could not. Tolerances: 5% relative for distinct counts (HLL rsd "
-        "0.01 ⇒ ~5σ headroom), ±1.0 absolute for quartiles of integer "
-        "l_quantity (GK rank error n/10000 ⇒ well inside one integer "
-        "step). All sketches are deterministic for fixed input, so the "
-        "booleans are stable across runs and partition counts."
+        "merge, and a portable count-min sketch) emitted NEXT TO the "
+        "exact value it estimates, plus a within_tol boolean computed "
+        "Spark-side. The oracle replays the exact side and asserts the "
+        "bound AS DATA (literal TRUE): if a sketch ever drifts outside "
+        "tolerance the hash mismatches — the driver gate now checks what "
+        "three rounds of 'no_oracle' rows could not. Tolerances: 5% "
+        "relative for distinct counts (HLL rsd 0.01 ⇒ ~5σ headroom), "
+        "±1.0 absolute for quartiles of integer l_quantity (GK rank "
+        "error n/10000 ⇒ well inside one integer step). The cms part is "
+        "stronger still: the d=3 × w=64 count-min sketch is built from "
+        "md5-derived bucket hashes, so DuckDB replays the ENTIRE sketch "
+        "— build, heavy-hitter point queries, and both CMS guarantees "
+        "(est ≥ exact always; est ≤ exact + 2N/w here) — as computed "
+        "data, not a literal. Build is one vocabulary-sized aggregate to "
+        "d·w mergeable counters (the streaming-frequency sibling of the "
+        "HLL merge row). All sketches are deterministic for fixed input, "
+        "so the booleans are stable across runs and partition counts."
     ),
     tags=("agg", "sketch", "suite"),
 )
@@ -393,4 +431,52 @@ def q_a5_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact",
         rel_ok(F.col("est"), F.col("exact")).alias("within_tol"),
     )
-    return cd.unionByName(pq).unionByName(hll_groups).unionByName(hll_all).orderBy("part", "grp")
+    # --- cms: portable count-min sketch, replayed in full by the oracle --
+    from receiptanalyzerpipeline_spark.operators.bpe import word_frequencies
+    from receiptanalyzerpipeline_spark.operators.dedup import md5_hash60
+
+    d_rows, width = 3, 64
+    wf = word_frequencies(table(spark, sf_dir, "documents"))
+    buckets = wf.select(
+        "w",
+        "freq",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (md5_hash60(F.col("w"), seed=f"cms{j}") % width).alias("b"),
+                    )
+                    for j in range(d_rows)
+                ]
+            )
+        ).alias("k"),
+    ).select("w", "freq", "k.j", "k.b")
+    sketch = buckets.groupBy("j", "b").agg(F.sum("freq").alias("cnt"))
+    top = wf.orderBy(F.col("freq").desc(), "w").limit(10)
+    est = (
+        top.join(buckets.select("w", "j", "b"), "w")
+        .join(sketch, ["j", "b"])
+        .groupBy("w", "freq")
+        .agg(F.min("cnt").alias("est"))
+    )
+    n_tokens = wf.agg(F.sum("freq").alias("n"))
+    cms = est.crossJoin(F.broadcast(n_tokens)).select(
+        F.lit("cms").alias("part"),
+        F.col("w").alias("grp"),
+        F.col("freq").cast("double").alias("exact"),
+        (
+            (F.col("est") >= F.col("freq"))
+            & (
+                F.col("est").cast("double")
+                <= F.col("freq").cast("double") + 2.0 * F.col("n") / width
+            )
+        ).alias("within_tol"),
+    )
+    return (
+        cd.unionByName(pq)
+        .unionByName(hll_groups)
+        .unionByName(hll_all)
+        .unionByName(cms)
+        .orderBy("part", "grp")
+    )
