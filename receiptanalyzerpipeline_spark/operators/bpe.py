@@ -51,6 +51,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from receiptanalyzerpipeline_spark.operators.textanalysis import WS_RE
+
 END_OF_WORD = "</w>"
 
 __all__ = ["word_frequencies", "bpe_train", "bpe_encode"]
@@ -61,7 +63,7 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     One corpus pass; map-side partial counts collapse the shuffle to
     distinct words."""
     return (
-        docs.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"))
+        docs.select(F.explode(F.split(F.lower(F.col(text_col)), WS_RE)).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -100,6 +102,10 @@ def bpe_train(
     ``merged`` is the new symbol created at that step (concatenation of
     the merged pair); ``pair_count`` is the pair's corpus frequency at
     merge time. Deterministic: ties break on the pair string.
+
+    If the corpus exhausts its pairs before ``n_merges`` (every word
+    fully merged — only possible on near-trivial corpora), training
+    stops early and fewer rows are returned.
     """
     base = (
         word_frequencies(docs, text_col)
@@ -126,8 +132,16 @@ def bpe_train(
             .limit(1)
             .first()
         )
+        if top is None:  # pair exhaustion: every word is a single symbol
+            break
         merges.append((step, top["p"]))
         cur = cur.select(_merge(F.col("sym"), top["p"]).alias("sym"), "freq")
+    # The cache only serves the training loop's 8 jobs; the returned plan
+    # references the vocabulary table ONCE, so release the memory now —
+    # otherwise a 50-query sweep in a default-heap driver session
+    # accumulates pinned cache blocks (observed: later sf0.1 aggregations
+    # OOM at spark.driver.memory=1g).
+    base.unpersist(blocking=False)
 
     # --- returned plan: recompute every step's count in ONE pass ---------
     agg_cols = []
@@ -179,7 +193,7 @@ def bpe_encode(
     """
     tokens = F.flatten(
         F.transform(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""),
+            F.filter(F.split(F.lower(F.col(text_col)), WS_RE), lambda w: w != ""),
             lambda w: F.split(_encode_word_expr(w, merges), " "),
         )
     )

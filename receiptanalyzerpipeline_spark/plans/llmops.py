@@ -1595,8 +1595,11 @@ def _bpe_oracle(n_merges: int = 8) -> str:
     docstring documents the cross-engine semantics probe)."""
     body = r"""
         WITH words AS (
+            -- same whitespace class as operators/textanalysis.WS_RE
+            -- (Java \s spelled out so RE2 matches it exactly)
             SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-                SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+                SELECT unnest(string_split_regex(lower(text),
+                                                 '[ \t\n\x0B\f\r]+')) AS w
                 FROM documents
             ) WHERE w <> '' GROUP BY w
         ),

@@ -275,8 +275,10 @@ def q_a11(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_a5_sketch_accuracy",
     oracle=r"""
         WITH cms_words AS (
+            -- same whitespace class as operators/textanalysis.WS_RE
             SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-                SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+                SELECT unnest(string_split_regex(lower(text),
+                                                 '[ \t\n\x0B\f\r]+')) AS w
                 FROM documents
             ) WHERE w <> '' GROUP BY w
         ),

@@ -29,6 +29,7 @@ TOKEN_QUERIES = [
     "q_x23_span_removal",
     "q_x25_lm_perplexity",
     "q_x28_bm25_retrieval",
+    "q_x31_bpe_train",
 ]
 
 HOSTILE_DOCS = [
