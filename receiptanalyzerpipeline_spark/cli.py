@@ -200,6 +200,35 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_tokenize(args: argparse.Namespace) -> int:
+    """Train a BPE merge table on a corpus (q_x31's operator, user-facing)
+    and optionally encode the corpus with it: --out-merges writes the
+    merge table as parquet (step, merged, pair_count); --encode-to writes
+    the corpus with a bpe_tokens array column. Encoding is zero-shuffle
+    (chained literal replaces in one projection)."""
+    from pyspark.sql import functions as F
+
+    from receiptanalyzerpipeline_spark.operators.bpe import (
+        bpe_encode,
+        bpe_fit,
+        merge_table,
+    )
+
+    spark = _spark()
+    docs = spark.read.parquet(args.input)
+    pairs = bpe_fit(docs, text_col=args.text_col, n_merges=args.merges)
+    merge_df = merge_table(docs, args.text_col, pairs)
+    merge_df.show(truncate=False)
+    if args.out_merges:
+        merge_df.write.mode("overwrite").parquet(args.out_merges)
+    if args.encode_to:
+        enc = bpe_encode(docs, pairs, text_col=args.text_col)
+        enc.withColumn("n_bpe_tokens", F.size("bpe_tokens")).write.mode(
+            "overwrite"
+        ).parquet(args.encode_to)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="anarcpt-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -248,6 +277,14 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--shards", type=int, default=16)
     c.add_argument("--sample-rate", type=float, default=1.0)
     c.set_defaults(fn=cmd_curate)
+
+    t = sub.add_parser("tokenize", help="train a BPE merge table; optionally encode the corpus")
+    t.add_argument("--input", required=True, help="documents parquet path")
+    t.add_argument("--text-col", default="text")
+    t.add_argument("--merges", type=int, default=8)
+    t.add_argument("--out-merges", help="write the merge table parquet here")
+    t.add_argument("--encode-to", help="write the corpus + bpe_tokens column here")
+    t.set_defaults(fn=cmd_tokenize)
 
     return p
 

@@ -55,7 +55,7 @@ from receiptanalyzerpipeline_spark.operators.textanalysis import WS_RE
 
 END_OF_WORD = "</w>"
 
-__all__ = ["word_frequencies", "bpe_train", "bpe_encode"]
+__all__ = ["word_frequencies", "bpe_fit", "bpe_train", "merge_table", "bpe_encode"]
 
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -93,20 +93,14 @@ def _merge(sym: Column, pair: str) -> Column:
     )
 
 
-def bpe_train(
+def bpe_fit(
     docs: DataFrame, text_col: str = "text", n_merges: int = 8
-) -> DataFrame:
-    """Train ``n_merges`` BPE merges; returns the merge table
-    (step BIGINT, merged STRING, pair_count BIGINT) in merge order.
-
-    ``merged`` is the new symbol created at that step (concatenation of
-    the merged pair); ``pair_count`` is the pair's corpus frequency at
-    merge time. Deterministic: ties break on the pair string.
-
-    If the corpus exhausts its pairs before ``n_merges`` (every word
-    fully merged — only possible on near-trivial corpora), training
-    stops early and fewer rows are returned.
-    """
+) -> list[str]:
+    """The training loop: one vocabulary-sized job per merge. Returns the
+    winning pair strings ('a b', in merge order) — the model, driver-held
+    like MLlib centroids. Stops early on pair exhaustion (every word a
+    single symbol — only possible on near-trivial corpora). Deterministic:
+    ties break on the pair string."""
     base = (
         word_frequencies(docs, text_col)
         .select(
@@ -118,11 +112,9 @@ def bpe_train(
         )
         .persist()
     )
-
-    # --- training loop: one vocabulary-sized job per merge ---------------
-    merges: list[tuple[int, str]] = []
+    pairs: list[str] = []
     cur = base
-    for step in range(1, n_merges + 1):
+    for _ in range(n_merges):
         top = (
             cur.where(F.size(F.split(F.col("sym"), " ")) >= 2)
             .select(F.explode(_pairs(F.col("sym"))).alias("p"), "freq")
@@ -132,18 +124,44 @@ def bpe_train(
             .limit(1)
             .first()
         )
-        if top is None:  # pair exhaustion: every word is a single symbol
+        if top is None:
             break
-        merges.append((step, top["p"]))
+        pairs.append(top["p"])
         cur = cur.select(_merge(F.col("sym"), top["p"]).alias("sym"), "freq")
-    # The cache only serves the training loop's 8 jobs; the returned plan
-    # references the vocabulary table ONCE, so release the memory now —
+    # The cache only serves the training loop's jobs; downstream plans
+    # reference the vocabulary table ONCE, so release the memory now —
     # otherwise a 50-query sweep in a default-heap driver session
     # accumulates pinned cache blocks (observed: later sf0.1 aggregations
     # OOM at spark.driver.memory=1g).
     base.unpersist(blocking=False)
+    return pairs
 
-    # --- returned plan: recompute every step's count in ONE pass ---------
+
+def bpe_train(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges; returns the merge table
+    (step BIGINT, merged STRING, pair_count BIGINT) in merge order.
+
+    ``merged`` is the new symbol created at that step (concatenation of
+    the merged pair); ``pair_count`` is the pair's corpus frequency at
+    merge time. If the corpus exhausts its pairs early, fewer rows are
+    returned. Equivalent to ``merge_table(docs, text_col, bpe_fit(...))``.
+    """
+    return merge_table(docs, text_col, bpe_fit(docs, text_col, n_merges))
+
+
+def merge_table(docs: DataFrame, text_col: str, pairs: list[str]) -> DataFrame:
+    """Lazy verification/model table for an already-fitted merge list:
+    recomputes every step's pair count from the vocabulary in ONE
+    codegen-fused pass with the merges embedded as literals."""
+    base = word_frequencies(docs, text_col).select(
+        F.concat(
+            F.regexp_replace(F.col("w"), "(.)", "$1 "), F.lit(END_OF_WORD)
+        ).alias("sym"),
+        "freq",
+    )
+    merges = list(enumerate(pairs, start=1))
     agg_cols = []
     sym: Column = F.col("sym")
     for step, pair in merges:

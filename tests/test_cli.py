@@ -113,3 +113,34 @@ def test_cli_audit_clean_and_dirty(spark, capsys):
     assert main(["audit", "--query", "q_n2_embedding_topk"]) == 1
     out = capsys.readouterr().out
     assert "broadcast_nested_loop" in out
+
+
+def test_cli_tokenize_trains_and_encodes(spark, tmp_path):
+    """`tokenize` writes the merge table and a bpe_tokens-encoded corpus;
+    encoding with the trained merges reproduces each document's words."""
+    docs = spark.createDataFrame(
+        [(1, "low low low low low lower lower"), (2, "newest newest newest widest")],
+        ["doc_id", "text"],
+    )
+    src = tmp_path / "docs"
+    docs.write.parquet(str(src))
+    merges_out, enc_out = tmp_path / "merges", tmp_path / "enc"
+    rc = main(
+        [
+            "tokenize",
+            "--input", str(src),
+            "--merges", "4",
+            "--out-merges", str(merges_out),
+            "--encode-to", str(enc_out),
+        ]
+    )
+    assert rc == 0
+    mt = spark.read.parquet(str(merges_out)).orderBy("step").collect()
+    assert [r["step"] for r in mt] == [1, 2, 3, 4]
+    assert all(r["pair_count"] > 0 for r in mt)
+    enc = spark.read.parquet(str(enc_out)).orderBy("doc_id").collect()
+    for r in enc:
+        # tokens concatenate back to the original words (markers removed)
+        rebuilt = "".join(r["bpe_tokens"]).replace("</w>", " ").strip()
+        assert rebuilt == r["text"]
+        assert r["n_bpe_tokens"] == len(r["bpe_tokens"])
