@@ -155,6 +155,10 @@ def merge_table(docs: DataFrame, text_col: str, pairs: list[str]) -> DataFrame:
     """Lazy verification/model table for an already-fitted merge list:
     recomputes every step's pair count from the vocabulary in ONE
     codegen-fused pass with the merges embedded as literals."""
+    if not pairs:  # trivial corpus exhausted before the first merge
+        return docs.sparkSession.createDataFrame(
+            [], "step bigint, merged string, pair_count bigint"
+        )
     base = word_frequencies(docs, text_col).select(
         F.concat(
             F.regexp_replace(F.col("w"), "(.)", "$1 "), F.lit(END_OF_WORD)

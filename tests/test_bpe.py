@@ -67,3 +67,12 @@ def test_bpe_deterministic_across_runs(spark, sf_dir):
     r1 = [tuple(r) for r in q.spark(spark, sf_dir).collect()]
     r2 = [tuple(r) for r in q.spark(spark, sf_dir).collect()]
     assert r1 == r2 and len(r1) == 8
+
+
+def test_bpe_trivial_corpus_returns_empty_table(spark):
+    docs = spark.createDataFrame([(1, "a a a")], ["doc_id", "text"])
+    # 'a </w>' has one pair -> 1 merge, then 'a</w>' exhausts
+    rows = bpe_train(docs, n_merges=5).collect()
+    assert [(r["step"], r["merged"]) for r in rows] == [(1, "a</w>")]
+    empty = spark.createDataFrame([(1, "   ")], ["doc_id", "text"])
+    assert bpe_train(empty, n_merges=3).collect() == []
