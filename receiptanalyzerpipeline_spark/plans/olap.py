@@ -435,33 +435,13 @@ def q_a5_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # --- cms: portable count-min sketch, replayed in full by the oracle --
     from receiptanalyzerpipeline_spark.operators.bpe import word_frequencies
-    from receiptanalyzerpipeline_spark.operators.dedup import md5_hash60
+    from receiptanalyzerpipeline_spark.operators.cms import cms_build, cms_point_query
 
     d_rows, width = 3, 64
     wf = word_frequencies(table(spark, sf_dir, "documents"))
-    buckets = wf.select(
-        "w",
-        "freq",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        (md5_hash60(F.col("w"), seed=f"cms{j}") % width).alias("b"),
-                    )
-                    for j in range(d_rows)
-                ]
-            )
-        ).alias("k"),
-    ).select("w", "freq", "k.j", "k.b")
-    sketch = buckets.groupBy("j", "b").agg(F.sum("freq").alias("cnt"))
+    sketch = cms_build(wf, "w", "freq", d=d_rows, w=width)
     top = wf.orderBy(F.col("freq").desc(), "w").limit(10)
-    est = (
-        top.join(buckets.select("w", "j", "b"), "w")
-        .join(sketch, ["j", "b"])
-        .groupBy("w", "freq")
-        .agg(F.min("cnt").alias("est"))
-    )
+    est = cms_point_query(sketch, top, "w", d=d_rows, w=width)
     n_tokens = wf.agg(F.sum("freq").alias("n"))
     cms = est.crossJoin(F.broadcast(n_tokens)).select(
         F.lit("cms").alias("part"),
