@@ -68,7 +68,37 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    violations = check_floors(timings)
+    if violations is not None:
+        out["floor_violations"] = violations
+        for v in violations:
+            print(f"# FLOOR VIOLATION: {v}", file=sys.stderr)
     print(json.dumps(out))
+
+
+def check_floors(timings: dict[str, float]) -> list[str] | None:
+    """Compare warm timings against the committed quiet-host references.
+
+    A query regresses when it exceeds max(ref * multiplier, ref + slack);
+    the absolute slack absorbs scheduler jitter on sub-100 ms measurements.
+    Returns None when no floors file exists (e.g. a fresh checkout).
+    """
+    floors_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FLOORS.json")
+    if not os.path.exists(floors_path):
+        return None
+    with open(floors_path) as f:
+        floors = json.load(f)
+    mult = floors["multiplier"]
+    slack = floors["absolute_slack_sec"]
+    violations = []
+    for name, ref in floors["reference"].items():
+        got = timings.get(name)
+        if got is None:
+            continue
+        bound = max(ref * mult, ref + slack)
+        if got > bound:
+            violations.append(f"{name}: {got:.4f}s > bound {bound:.4f}s (ref {ref:.4f}s)")
+    return violations
 
 
 if __name__ == "__main__":
