@@ -40,10 +40,12 @@ Distributed shape — the part that matters at 100 TB:
 Determinism (what makes the DuckDB oracle replay bit-for-bit, see
 plans/llmops.py q_x31): all counts are exact BIGINT sums; the top pair
 tie-breaks on the pair string; and the merge rewrite is plain
-non-overlapping leftmost-first ``replace`` on space-separated symbol
-strings — identical semantics in Spark and DuckDB (probed, plus pinned
-by the q_x31 oracle hash match at sf0.001/0.01/0.1), and identical to
-the reference algorithm's greedy left-to-right merge.
+non-overlapping leftmost-first ``replace`` over DOUBLE-SPACE-separated
+symbol strings (see ``_merge`` — the double-space encoding is what makes
+one replace pass equal the reference's ``(?<!\\S)L R(?!\\S)`` greedy
+re.sub even when adjacent occurrences share a separator), identical
+semantics in Spark and DuckDB (probed, plus pinned by the q_x31 oracle
+hash match at sf0.001/0.01/0.1).
 """
 
 from __future__ import annotations
@@ -82,15 +84,31 @@ def _pairs(sym: Column) -> Column:
 
 
 def _merge(sym: Column, pair: str) -> Column:
-    """Leftmost-first non-overlapping merge of ``pair`` ('a b' -> 'ab')."""
+    """Leftmost-first non-overlapping merge of ``pair`` ('a b' -> 'ab'),
+    with Sennrich semantics for separator-sharing runs.
+
+    A single-space padded replace is WRONG for adjacent occurrences: the
+    match consumes the shared separator, so 'a a a a' -> 'aa a a' instead
+    of 'aa aa' (and iterating that replace to a fixpoint is not a fix:
+    6 a's reach the 'aa a aa a' fixpoint, while the reference greedy scan
+    gives 'aa aa aa'). The double-space encoding makes one plain replace
+    pass exact: with TWO spaces between symbols, the pattern ' L  R '
+    consumes only one space from each shared gap, so the between-token
+    two-space invariant survives every substitution and all adjacent
+    occurrences merge left-to-right non-overlapping — precisely the
+    reference regex ``(?<!\\S)L R(?!\\S)`` re.sub (which RE2/DuckDB cannot
+    express directly; plain ``replace`` has identical scan semantics in
+    both engines, so the oracle replays this bit-for-bit)."""
     merged = pair.replace(" ", "")
-    return F.trim(
-        F.replace(
-            F.concat(F.lit(" "), sym, F.lit(" ")),
-            F.lit(f" {pair} "),
-            F.lit(f" {merged} "),
-        )
+    padded = F.concat(
+        F.lit("  "), F.replace(sym, F.lit(" "), F.lit("  ")), F.lit("  ")
     )
+    replaced = F.replace(
+        padded,
+        F.lit(" " + pair.replace(" ", "  ") + " "),
+        F.lit(f" {merged} "),
+    )
+    return F.trim(F.replace(replaced, F.lit("  "), F.lit(" ")))
 
 
 def bpe_fit(

@@ -1619,8 +1619,14 @@ def _bpe_oracle(n_merges: int = 8) -> str:
             FROM p{i} GROUP BY p ORDER BY pair_count DESC, p LIMIT 1
         ),
         sym{i} AS (
-            SELECT trim(replace(' ' || s.sym || ' ', ' ' || t.p || ' ',
-                                ' ' || replace(t.p, ' ', '') || ' ')) AS sym,
+            -- double-space encoding (operators/bpe.py _merge): ' L  R '
+            -- consumes one space from each shared gap, so adjacent
+            -- occurrences all merge in one pass (Sennrich semantics)
+            SELECT trim(replace(
+                     replace('  ' || replace(s.sym, ' ', '  ') || '  ',
+                             ' ' || replace(t.p, ' ', '  ') || ' ',
+                             ' ' || replace(t.p, ' ', '') || ' '),
+                     '  ', ' ')) AS sym,
                    s.freq
             FROM sym{i - 1} s CROSS JOIN t{i} t
         )"""
@@ -1644,7 +1650,10 @@ def _bpe_oracle(n_merges: int = 8) -> str:
         "under a 1-row broadcast — the shuffle never carries corpus rows, "
         "and vocabulary grows sub-linearly with the corpus (Heaps' law). "
         "All counts are exact BIGINT, ties break on the pair string, and "
-        "the merge is plain non-overlapping leftmost-first replace() — "
+        "the merge is non-overlapping leftmost-first replace() over a "
+        "double-space symbol encoding (so separator-sharing adjacent "
+        "occurrences all merge — exact Sennrich greedy semantics, see "
+        "operators/bpe.py _merge) — replace() scan semantics are "
         "identical in both engines, so the DuckDB oracle replays the "
         "whole training loop bit-for-bit with unrolled CTEs (the same "
         "pattern as the portable k-means / PQ codebooks)."

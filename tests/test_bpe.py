@@ -60,6 +60,97 @@ def test_bpe_encode_applies_merges_in_order(spark):
     assert only == ["low", "est</w>", "low", "</w>"]
 
 
+def test_bpe_merge_adjacent_runs_sennrich(spark):
+    """ADVICE r4: the single-space padded replace consumed the shared
+    separator, so 'a a a a' merged to 'aa a a' instead of 'aa aa'. The
+    double-space encoding in _merge fixes it; pin the exact trajectory."""
+    docs = _corpus(spark, {"aaaa": 1})
+    got = [
+        (r["step"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=3).collect()
+    ]
+    # 'a a a a </w>': 'a a' count 3 (overlapping); merge -> 'aa aa </w>'
+    # (NOT 'aa a a </w>'); then 'aa </w>' tie-beats 'aa aa'; then done.
+    assert got == [(1, "aa", 3), (2, "aa</w>", 1), (3, "aaaa</w>", 1)]
+
+
+def test_bpe_merge_six_run_beats_fixpoint_semantics(spark):
+    """6-symbol run: iterating the OLD padded replace to a fixpoint stalls
+    at 'aa a aa a' (no ' a a ' left), while Sennrich greedy gives
+    'aa aa aa' — i.e. fixpointing was not a valid fix, only the
+    double-space encoding is. Pin the Sennrich trajectory."""
+    docs = _corpus(spark, {"aaaaaa": 1})
+    got = [
+        (r["step"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=2).collect()
+    ]
+    # 'a a a a a a </w>': 'a a' count 5; merge -> 'aa aa aa </w>';
+    # then pairs 'aa aa'(2) beats 'aa </w>'(1) -> 'aaaa'.
+    assert got == [(1, "aa", 5), (2, "aaaa", 2)]
+
+
+def test_bpe_encode_adjacent_occurrences(spark):
+    """The ADVICE 'banana' case: pair 'a n' on 'b a n a n a </w>' must
+    merge BOTH separator-sharing occurrences -> 'b an an a </w>'."""
+    from receiptanalyzerpipeline_spark.operators.bpe import bpe_encode
+
+    docs = _corpus(spark, {"banana": 1})
+    (row,) = bpe_encode(docs, ["a n"]).collect()
+    assert row["bpe_tokens"] == ["b", "an", "an", "a", "</w>"]
+
+
+def _ref_sennrich(word_counts: dict[str, int], n_merges: int):
+    """Pure-Python reference: Sennrich et al. 2016 learn_bpe — count all
+    adjacent pairs weighted by word freq, merge the most frequent pair
+    greedily left-to-right non-overlapping, ties on the pair string."""
+    vocab = {tuple(w) + ("</w>",): n for w, n in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))[0]
+        merges.append((best[0] + best[1], pairs[best]))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(best[0] + best[1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_pure_python_sennrich_reference(spark):
+    """End-to-end parity with an independent in-test reference
+    implementation on a corpus full of separator-sharing runs."""
+    word_counts = {
+        "aaaa": 3,
+        "aaaaaa": 2,
+        "banana": 4,
+        "abab": 2,
+        "low": 5,
+        "newest": 6,
+        "papa": 1,
+    }
+    docs = _corpus(spark, word_counts)
+    got = [
+        (r["merged"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=10).collect()
+    ]
+    assert got == _ref_sennrich(word_counts, 10)
+
+
 def test_bpe_deterministic_across_runs(spark, sf_dir):
     from receiptanalyzerpipeline_spark.plans import REGISTRY
 
