@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import fnmatch
 import os
+import time
 from dataclasses import dataclass
 from datetime import datetime, timezone
 from typing import Iterator, Sequence, Tuple
@@ -162,12 +163,35 @@ class ReceiptBatchReader(DataSourceReader):
 class ReceiptStreamReader(DataSourceStreamReader):
     """Directory watcher with O(1) watermark offsets and executor-side reads.
 
-    Offset = ``{"mtime_ns": int, "name": str}`` of the newest file already
-    ingested; a micro-batch is every file whose (mtime_ns, name) key sorts
-    strictly above the start watermark and at-or-below the end watermark.
+    Offset = ``{"mtime_ns": int, "names": [str, ...]}`` — the newest mtime
+    seen plus the basenames of ALL files already ingested AT that boundary
+    mtime. A micro-batch is every file strictly newer than the start
+    watermark, plus files AT the start mtime whose name is not yet in the
+    start set (bounded above by the end offset the same way). The boundary
+    name-set is what makes coarse mtime granularity safe: on a 1 s / 1 ms
+    filesystem many files routinely share the newest timestamp, and a file
+    landing at the committed boundary mtime with a lexically smaller name
+    must still be picked up — a plain (mtime, name) watermark would skip it
+    forever (silent data loss, found by the round-4 advisor). The offset
+    stays small: it carries names for ONE timestamp only, never the full
+    history. Legacy ``{"mtime_ns", "name"}`` checkpoints are read as a
+    single-name boundary set.
+
+    POSIX ``rename`` preserves mtime, so under the write-then-rename
+    landing contract a slow writer can land a file whose mtime is already
+    STRICTLY BEHIND the committed watermark. ``maturityMs`` closes that
+    window: ``latestOffset`` never claims files younger than
+    ``now - maturityMs``, so as long as write→rename lag stays under the
+    configured maturity, a late-renamed file always lands at-or-above the
+    un-advanced watermark (the at-boundary case is then covered by the
+    name-set). Default 0 keeps the original claim-immediately behavior for
+    writers that touch mtime on completion.
+
     Files are immutable once renamed into the landing dir, so replaying
     (start, end] after a crash re-lists the same file set — deterministic
-    exactly-once with the checkpoint. The full DataSourceStreamReader API
+    exactly-once with the checkpoint. (Corollary: retention/cleanup jobs
+    must only delete files already BEHIND the committed watermark, or the
+    newest-listed offset could regress across a restart.) The full DataSourceStreamReader API
     (not the Simple variant) keeps the driver's work at offset arithmetic
     plus one listing; file BYTES are only ever read inside executor tasks,
     which is what lets a backlog drain at cluster width.
@@ -179,28 +203,57 @@ class ReceiptStreamReader(DataSourceStreamReader):
             raise ValueError("receipts source requires a path: .load(landing_dir)")
         self.globs = _globs(options)
         self.num_partitions = int(options.get("numPartitions", "8"))
+        self.maturity_ns = int(options.get("maturityMs", "0")) * 1_000_000
+        self._hwm: dict | None = None  # intra-run monotonicity clamp
 
     def initialOffset(self) -> dict:  # noqa: N802
-        return {"mtime_ns": -1, "name": ""}
+        return {"mtime_ns": -1, "names": []}
 
     @staticmethod
-    def _key(off: dict) -> tuple:
-        return (off["mtime_ns"], off["name"])
+    def _boundary(off: dict) -> tuple[int, frozenset]:
+        """(mtime_ns, ingested-names-at-that-mtime); accepts legacy
+        single-name offsets from pre-round-5 checkpoints."""
+        if "names" in off:
+            return off["mtime_ns"], frozenset(off["names"])
+        return off["mtime_ns"], (
+            frozenset((off["name"],)) if off.get("name") else frozenset()
+        )
+
+    @staticmethod
+    def _selected(mtime_ns: int, name: str, start: tuple, end: tuple) -> bool:
+        s_mt, s_names = start
+        e_mt, e_names = end
+        after_start = mtime_ns > s_mt or (mtime_ns == s_mt and name not in s_names)
+        at_or_before_end = mtime_ns < e_mt or (mtime_ns == e_mt and name in e_names)
+        return after_start and at_or_before_end
 
     def latestOffset(self) -> dict:  # noqa: N802
-        newest = {"mtime_ns": -1, "name": ""}
+        newest_mt, names = -1, []
+        claim_ceiling = time.time_ns() - self.maturity_ns if self.maturity_ns else None
         for _img_id, fpath, mtime_ns, _size in _list_files(self.path, self.globs):
-            cand = {"mtime_ns": mtime_ns, "name": os.path.basename(fpath)}
-            if self._key(cand) > self._key(newest):
-                newest = cand
-        return newest
+            if claim_ceiling is not None and mtime_ns > claim_ceiling:
+                continue  # too young: may still have unrenamed siblings
+            if mtime_ns > newest_mt:
+                newest_mt, names = mtime_ns, [os.path.basename(fpath)]
+            elif mtime_ns == newest_mt:
+                names.append(os.path.basename(fpath))
+        off = {"mtime_ns": newest_mt, "names": sorted(names)}
+        # Never regress within a run (wall-clock stepping backwards under a
+        # maturity ceiling would otherwise shrink the offset, and Spark
+        # commits whatever latestOffset returns). Listings themselves are
+        # monotone: landing files are immutable and retention must not
+        # delete past the committed watermark (see class docstring).
+        if self._hwm is not None and self._boundary(off) < self._boundary(self._hwm):
+            return self._hwm
+        self._hwm = off
+        return off
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        lo, hi = self._key(start), self._key(end)
+        lo, hi = self._boundary(start), self._boundary(end)
         files = [
             f
             for f in _list_files(self.path, self.globs)
-            if lo < (f[2], os.path.basename(f[1])) <= hi
+            if self._selected(f[2], os.path.basename(f[1]), lo, hi)
         ]
         if not files:
             return [FilesPartition(files=())]

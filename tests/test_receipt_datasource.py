@@ -151,6 +151,91 @@ def test_stream_watermark_offsets_exactly_once(registered, landing, tmp_path):
     assert [i for i, _ in out] == ["scan_004"]
 
 
+def test_stream_picks_up_equal_mtime_late_lander(registered, landing, tmp_path):
+    """ADVICE r4: a file landing AT the committed boundary mtime with a
+    lexically smaller basename must still be ingested. The offset's
+    boundary name-set (not a strict (mtime, name) watermark) makes this
+    work even on coarse-mtime filesystems."""
+    spark = registered
+    chk = str(tmp_path / "chk")
+    out: list[str] = []
+
+    def run_available():
+        q = (
+            spark.readStream.format("receipts")
+            .load(str(landing))
+            .writeStream.foreachBatch(
+                lambda b, _id: out.extend(r.img_id for r in b.collect())
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_available()
+    assert sorted(out) == ["scan_001", "scan_002", "scan_003"]
+    # Boundary mtime committed is 1_700_000_003 (notes.txt is glob-filtered,
+    # so the boundary file is scan_003 at 1_700_000_002... list again to be
+    # exact: the newest CLAIMED mtime among matching files is 2).
+    # Land a file AT that boundary mtime with a lexically SMALLER name.
+    _land(landing, "scan_000.png", b"\x89PNG-late", mtime_s=1_700_000_002)
+    out.clear()
+    run_available()
+    assert out == ["scan_000"]
+    # And exactly once: nothing on the next restart.
+    out.clear()
+    run_available()
+    assert out == []
+
+
+def test_stream_offset_boundary_unit_semantics(landing):
+    from receiptanalyzerpipeline_spark.sources.receipt_datasource import (
+        ReceiptStreamReader,
+    )
+
+    r = ReceiptStreamReader({"path": str(landing)})
+    off = r.latestOffset()
+    # Both files at the newest claimed mtime are in the boundary set.
+    assert off["mtime_ns"] == 1_700_000_002 * 10**9
+    assert off["names"] == ["scan_002.jpg", "scan_003.png"]
+    # Full range from the initial offset selects everything.
+    files = [f for p in r.partitions(r.initialOffset(), off) for f in p.files]
+    assert sorted(os.path.basename(f[1]) for f in files) == [
+        "scan_001.png",
+        "scan_002.jpg",
+        "scan_003.png",
+    ]
+    # Legacy single-name checkpoints still parse (pre-round-5 format).
+    legacy = {"mtime_ns": 1_700_000_002 * 10**9, "name": "scan_002.jpg"}
+    files2 = [f for p in r.partitions(legacy, off) for f in p.files]
+    assert [os.path.basename(f[1]) for f in files2] == ["scan_003.png"]
+
+
+def test_stream_maturity_window_defers_young_files(landing):
+    import time as _time
+
+    from receiptanalyzerpipeline_spark.sources.receipt_datasource import (
+        ReceiptStreamReader,
+    )
+
+    now = _time.time()
+    _land(landing, "scan_009.png", b"\x89PNG-young", mtime_s=now)
+    # A huge maturity window: the fresh file is not claimable yet, the old
+    # (mature) files are.
+    r = ReceiptStreamReader({"path": str(landing), "maturityMs": str(60 * 60 * 1000)})
+    off = r.latestOffset()
+    assert off["mtime_ns"] == 1_700_000_002 * 10**9  # old fixtures only
+    # maturity 0 claims it immediately.
+    r0 = ReceiptStreamReader({"path": str(landing)})
+    assert r0.latestOffset()["mtime_ns"] >= int(now * 10**9) // 10**9 * 10**9
+    # Monotonicity clamp: a reader that has claimed the young file never
+    # regresses, even if asked again under an (artificially) older clock.
+    off_hi = r0.latestOffset()
+    r0.maturity_ns = 10**18  # ceiling now far in the past -> candidate regresses
+    assert r0.latestOffset() == off_hi
+
+
 def test_ingest_topology_parity_with_binary_file_source(registered, tmp_path):
     """run_ingest(source='receipts') produces byte-identical curated rows to
     the binaryFile topology — the watcher swap is invisible downstream."""
