@@ -113,13 +113,28 @@ def _window_partition_spec(n: _Node):
 
 _BOUNDING_NODES = {"GlobalLimitExec", "CollectLimitExec", "TakeOrderedAndProjectExec"}
 
+# Row-multiplying unary nodes: a limit BELOW one of these does not bound the
+# rows arriving above it (explode fan-out is per-row unbounded).
+_ROW_MULTIPLYING = {"GenerateExec", "ExpandExec"}
+
 
 def _has_limit_below(n: _Node) -> bool:
+    """True iff a limit node provably bounds ``n``'s input cardinality.
+
+    ADVICE r4 fix: only traverse paths where the limit's bound survives to
+    ``n`` — single-child nodes that don't multiply rows. Stop at joins,
+    unions and cogroups (a limit on ONE side of a multi-child node says
+    nothing about the node's output) and at Generate/Expand (per-row
+    fan-out). Aggregates/filters/projects/exchanges are row-non-increasing
+    or row-preserving, so the bound propagates through them.
+    """
     stack = list(n.children)
     while stack:
         x = stack.pop()
         if x.cls in _BOUNDING_NODES:
             return True
+        if len(x.children) > 1 or x.cls in _ROW_MULTIPLYING:
+            continue
         stack.extend(x.children)
     return False
 

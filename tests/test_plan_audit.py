@@ -87,6 +87,26 @@ def test_audit_flags_unpartitioned_window(spark):
     )
     assert not any(f.hazard == "unpartitioned_window" for f in audit_plan(keyed))
 
+    # ADVICE r4: a limit on the OTHER side of a join must not excuse an
+    # unbounded window above the join.
+    joined = (
+        spark.range(100_000)
+        .join(spark.range(100).limit(5).withColumnRenamed("id", "k"), F.expr("id % 100 = k"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    )
+    assert any(f.hazard == "unpartitioned_window" for f in audit_plan(joined))
+
+    # ...while a limit below a row-non-increasing chain (filter/aggregate)
+    # still bounds the window's own input.
+    through_agg = (
+        spark.range(100_000)
+        .limit(50)
+        .groupBy((F.col("id") % 10).alias("g"))
+        .count()
+        .withColumn("rn", F.row_number().over(Window.orderBy("g")))
+    )
+    assert not any(f.hazard == "unpartitioned_window" for f in audit_plan(through_agg))
+
 
 def test_audit_distinguishes_presentation_sort_from_computed_sort(spark):
     presentation = spark.range(100).groupBy((F.col("id") % 10).alias("k")).count().orderBy("k")
