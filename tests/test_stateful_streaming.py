@@ -10,6 +10,7 @@ at end-of-stream are excluded from the comparison on both sides.
 from __future__ import annotations
 
 import json
+from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import functions as F
@@ -43,13 +44,45 @@ def _sessionizer(name):
     return sessionize_stream
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def _state_store_for(spark, impl):
+    """transformWithState needs per-key column families, which only the
+    RocksDB state store supports (HDFSBackedStateStoreProvider raises
+    UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_FAMILIES) — the same
+    provider a production deployment would run. v1 keeps the default."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    if impl != "v2":
+        yield
+        return
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 import pytest  # noqa: E402
 
 
 def _has_protobuf() -> bool:
-    """transformWithState's Python runner speaks protobuf to the JVM; this
-    container ships no google.protobuf, so v2 STREAM runs are gated (the
-    processor logic itself is unit-tested without Spark below)."""
+    """transformWithState's Python runner speaks protobuf to the JVM.
+    compat.ensure_protobuf() locates a vendored pure-Python runtime when
+    pip's protobuf is absent (this container); only if THAT fails is the
+    v2 stream run gated (the processor logic itself is unit-tested
+    without Spark below)."""
+    from receiptanalyzerpipeline_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        return False
     try:
         from google.protobuf import descriptor  # noqa: F401
 
@@ -146,14 +179,15 @@ def test_stateful_sessionizer_matches_batch(spark, sf_dir, tmp_path: Path, impl)
     )
     sessions = _sessionizer(impl)(stream, gap_seconds=GAP_S, watermark="30 minutes")
     qname = f"closed_sessions_{impl}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout=300)
+    with _state_store_for(spark, impl):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
     got = {
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
         for r in spark.sql(f"SELECT * FROM {qname}").collect()
@@ -282,14 +316,15 @@ def test_out_of_order_event_extends_session_backwards(spark, tmp_path, impl):
     )
     sessions = _sessionizer(impl)(stream, gap_seconds=GAP_S, watermark="30 minutes")
     qname = f"ooo_sessions_{impl}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout=300)
+    with _state_store_for(spark, impl):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
     rows = spark.sql(f"SELECT * FROM {qname}").collect()
     assert len(rows) == 1, rows
     r = rows[0]
