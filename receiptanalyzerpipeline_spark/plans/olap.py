@@ -366,24 +366,36 @@ def q_a5_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rel_ok(est: F.Column, exact: F.Column) -> F.Column:
         return (F.abs(est - exact) / exact) <= F.lit(0.05)
 
-    # --- cd: one pass computes exact and HLL++ side by side -------------
-    cd_agg = li.agg(
-        F.countDistinct("l_partkey").cast("double").alias("ep"),
-        F.approx_count_distinct("l_partkey", 0.01).cast("double").alias("ap"),
-        F.countDistinct("l_suppkey").cast("double").alias("es"),
-        F.approx_count_distinct("l_suppkey", 0.01).cast("double").alias("asu"),
-        F.countDistinct("l_orderkey").cast("double").alias("eo"),
-        F.approx_count_distinct("l_orderkey", 0.01).cast("double").alias("ao"),
+    # --- cd: exact vs HLL++, one single-column pass per key -------------
+    # NOT one 6-way aggregate: mixing three exact COUNT DISTINCTs compiles
+    # to a single Expand ×6 whose per-task hash state is the UNION of all
+    # three columns' distinct sets — the one shape that OOMed a default
+    # 1 GB heap at sf0.1 (SCALE.md honest-deltas; VERDICT r4 task 4).
+    # Three column-pruned scans instead: each exact side is a spillable
+    # two-phase distinct on ONE int column, each approx side a plain
+    # mergeable HLL aggregate, crossed 1-row × 1-row. Memory per task is
+    # one column's partial distinct set — the shape that survives any SF.
+    def _cd_one(key: str, grp: str) -> DataFrame:
+        exact = (
+            li.select(key)
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("double").alias("exact"))
+        )
+        est = li.agg(
+            F.approx_count_distinct(key, 0.01).cast("double").alias("est")
+        )
+        return exact.crossJoin(F.broadcast(est)).select(
+            F.lit("cd").alias("part"),
+            F.lit(grp).alias("grp"),
+            "exact",
+            rel_ok(F.col("est"), F.col("exact")).alias("within_tol"),
+        )
+
+    cd = (
+        _cd_one("l_partkey", "parts")
+        .unionAll(_cd_one("l_suppkey", "supps"))
+        .unionAll(_cd_one("l_orderkey", "orders"))
     )
-    cd = cd_agg.select(
-        F.explode(
-            F.array(
-                F.struct(F.lit("parts").alias("grp"), F.col("ep").alias("exact"), rel_ok(F.col("ap"), F.col("ep")).alias("within_tol")),
-                F.struct(F.lit("supps").alias("grp"), F.col("es").alias("exact"), rel_ok(F.col("asu"), F.col("es")).alias("within_tol")),
-                F.struct(F.lit("orders").alias("grp"), F.col("eo").alias("exact"), rel_ok(F.col("ao"), F.col("eo")).alias("within_tol")),
-            )
-        ).alias("r")
-    ).select(F.lit("cd").alias("part"), "r.grp", "r.exact", "r.within_tol")
 
     # --- pq: exact percentile vs GK sketch, same single aggregate -------
     acc = F.lit(10000)
