@@ -28,11 +28,18 @@ def _spark():
     return spark
 
 
-def _backend(name: str):
+def _backend(name: str, rate_per_sec: float | None = None):
     if name == "textract":  # pragma: no cover - needs AWS
-        from receiptanalyzerpipeline_spark.multimodal.ocr import TextractBackend
+        from receiptanalyzerpipeline_spark.multimodal.ocr import (
+            RateLimitedBackend,
+            TextractBackend,
+        )
 
-        return TextractBackend()
+        b = TextractBackend()
+        # --ocr-rate is PER concurrent OCR task (see RateLimitedBackend);
+        # Textract AnalyzeExpense's default quota is single-digit TPS, so
+        # an unlimited fan-out is how the reference pipeline falls over.
+        return RateLimitedBackend(b, rate_per_sec) if rate_per_sec else b
     from receiptanalyzerpipeline_spark.multimodal.ocr import StubBackend
 
     return StubBackend()
@@ -52,7 +59,9 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     path = args.image_file or args.path
     images = with_ahash(read_images(spark, path, glob=args.glob))
     work = Path(args.work_dir)
-    ocr = ocr_with_cache(spark, images, str(work / "raw_zone"), _backend(args.backend))
+    ocr = ocr_with_cache(
+        spark, images, str(work / "raw_zone"), _backend(args.backend, args.ocr_rate)
+    )
     docs = parse_ocr_documents(ocr)
     summary = pivot_receipt_summary(flatten_summary_fields(docs))
     items = extract_line_items(docs)
@@ -78,7 +87,7 @@ def cmd_watch(args: argparse.Namespace) -> int:
         str(work / "raw_zone"),
         str(work / "receipt_summary"),
         str(work / "receipt_line_item"),
-        _backend(args.backend),
+        _backend(args.backend, args.ocr_rate),
         available_now=args.once,
     )
     return 0
@@ -240,6 +249,8 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--work-dir", default="./anarcpt_spark_data")
     a.add_argument("--glob", default="*.{png,jpg,jpeg}")
     a.add_argument("--backend", choices=["stub", "textract"], default="stub")
+    a.add_argument("--ocr-rate", type=float, default=None,
+                   help="per-task OCR calls/sec (token bucket + throttle retry)")
     a.add_argument("--write", action="store_true", help="persist curated tables")
     a.set_defaults(fn=cmd_analyze)
 
@@ -247,6 +258,8 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("--scan-dir", required=True)
     w.add_argument("--work-dir", default="./anarcpt_spark_data")
     w.add_argument("--backend", choices=["stub", "textract"], default="stub")
+    w.add_argument("--ocr-rate", type=float, default=None,
+                   help="per-task OCR calls/sec (token bucket + throttle retry)")
     w.add_argument("--once", action="store_true", help="availableNow: drain backlog and exit")
     w.set_defaults(fn=cmd_watch)
 

@@ -21,7 +21,8 @@ Here OCR is a ``mapInPandas`` stage with:
 from __future__ import annotations
 
 import json
-from collections.abc import Iterator
+import time
+from collections.abc import Callable, Iterator
 from typing import Protocol
 
 import pandas as pd
@@ -35,6 +36,130 @@ OCR_RESULT_SCHEMA = "ahash string, doc_json string, ocr_error string"
 
 class OcrBackend(Protocol):
     def analyze(self, content: bytes, ahash: str) -> dict: ...
+
+
+class RateLimiter:
+    """Blocking token bucket with an injectable clock/sleeper (tests drive
+    virtual time; production uses ``time.monotonic``/``time.sleep``).
+
+    ``acquire()`` blocks until a token is available, so a caller can never
+    exceed ``burst + rate_per_sec * elapsed`` calls in any window — the
+    classic bucket guarantee. Tokens may go briefly negative if a sleeper
+    under-sleeps; that only makes later acquires wait longer (conservative,
+    never faster than the configured rate)."""
+
+    def __init__(
+        self,
+        rate_per_sec: float,
+        burst: float = 1.0,
+        clock: Callable[[], float] | None = None,
+        sleeper: Callable[[float], None] | None = None,
+    ):
+        if rate_per_sec <= 0:
+            raise ValueError("rate_per_sec must be positive")
+        self.rate = float(rate_per_sec)
+        self.burst = max(1.0, float(burst))
+        self._clock = clock or time.monotonic
+        self._sleeper = sleeper or time.sleep
+        self._tokens = self.burst
+        self._last: float | None = None
+
+    def _refill(self) -> None:
+        now = self._clock()
+        if self._last is None:
+            self._last = now
+        self._tokens = min(self.burst, self._tokens + (now - self._last) * self.rate)
+        self._last = now
+
+    # Tolerance for float round-trip: wait*(rate) can land a hair under the
+    # missing token count, which would otherwise spin on ~1e-17 sleeps.
+    _EPS = 1e-9
+
+    def acquire(self) -> None:
+        self._refill()
+        while self._tokens < 1.0 - self._EPS:
+            self._sleeper((1.0 - self._tokens) / self.rate)
+            self._refill()
+        self._tokens -= 1.0
+
+
+# Throttle signatures across AWS SDK surfaces: botocore raises ClientError
+# with response["Error"]["Code"] in this family (or a subclass whose NAME
+# carries the code).
+_THROTTLE_MARKERS = (
+    "ThrottlingException",
+    "ProvisionedThroughputExceededException",
+    "LimitExceededException",
+    "TooManyRequestsException",
+    "Throttling",
+    "SlowDown",
+)
+
+
+def _default_is_throttle(ex: Exception) -> bool:
+    resp = getattr(ex, "response", None)
+    code = ""
+    if isinstance(resp, dict):
+        code = (resp.get("Error") or {}).get("Code") or ""
+    name = type(ex).__name__
+    return any(m in code or m in name for m in _THROTTLE_MARKERS)
+
+
+class RateLimitedBackend:
+    """Token-bucket + bounded-retry/backoff wrapper for any ``OcrBackend``
+    (SURVEY §7.3.4: the reference's real throughput ceiling is Textract
+    TPS — ref anarcpt/anarcptlib.py:113,121 calls the service bare).
+
+    Scope: the limiter lives inside ONE task (the backend object is
+    pickled per mapInPandas task), so ``rate_per_sec`` is a PER-PARTITION
+    rate. To bound cluster-wide TPS, set
+    ``rate_per_sec = TPS_budget / max_concurrent_ocr_tasks`` (and cap
+    concurrency with ``spark.dynamicAllocation.maxExecutors`` /
+    ``maxFilesPerTrigger`` on the ingest stream). A cluster-global bucket
+    would need an external coordinator — deliberately out of scope.
+
+    Retry policy: throttle-classified errors (botocore ClientError codes
+    ThrottlingException / ProvisionedThroughputExceededException / ... —
+    see ``_THROTTLE_MARKERS``) are retried up to ``max_retries`` times
+    with deterministic exponential backoff (base·2^attempt, capped); the
+    retry call re-acquires a token, so backoff never bypasses the bucket.
+    Anything else — and throttles past the budget — re-raises, which
+    ``ocr_expense`` turns into a quarantine row (per-event isolation, T5):
+    a hard-throttled batch converges with zero lost rows."""
+
+    def __init__(
+        self,
+        inner: OcrBackend,
+        rate_per_sec: float,
+        burst: float = 1.0,
+        max_retries: int = 4,
+        backoff_base_s: float = 0.5,
+        backoff_cap_s: float = 30.0,
+        clock: Callable[[], float] | None = None,
+        sleeper: Callable[[float], None] | None = None,
+        is_throttle: Callable[[Exception], bool] | None = None,
+    ):
+        self.inner = inner
+        self.limiter = RateLimiter(rate_per_sec, burst, clock=clock, sleeper=sleeper)
+        self.max_retries = int(max_retries)
+        self.backoff_base_s = float(backoff_base_s)
+        self.backoff_cap_s = float(backoff_cap_s)
+        self._sleeper = sleeper or time.sleep
+        self._is_throttle = is_throttle or _default_is_throttle
+
+    def analyze(self, content: bytes, ahash: str) -> dict:
+        attempt = 0
+        while True:
+            self.limiter.acquire()
+            try:
+                return self.inner.analyze(content, ahash)
+            except Exception as ex:
+                if attempt >= self.max_retries or not self._is_throttle(ex):
+                    raise
+                self._sleeper(
+                    min(self.backoff_cap_s, self.backoff_base_s * (2.0**attempt))
+                )
+                attempt += 1
 
 
 class StubBackend:
