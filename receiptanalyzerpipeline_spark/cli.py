@@ -156,6 +156,31 @@ def cmd_audit(args: argparse.Namespace) -> int:
     return 1 if findings else 0
 
 
+def cmd_sql(args: argparse.Namespace) -> int:
+    """Ad-hoc SQL over the sf tables (+ curated receipt tables if a work
+    dir is given), with the scale-hazard plan audit as a per-statement
+    preflight (sqlfront.EngineSession)."""
+    from receiptanalyzerpipeline_spark.sqlfront import EngineSession, SqlHazardError
+
+    engine = EngineSession(
+        _spark(),
+        sf_dir=args.sf_dir,
+        work_dir=args.work_dir,
+        on_hazard=args.on_hazard,
+    )
+    try:
+        df = engine.sql(args.execute)
+    except SqlHazardError as ex:
+        print(f"REJECTED: {ex}", file=sys.stderr)
+        return 1
+    if args.format == "json":
+        for row in df.limit(args.max_rows).toJSON().collect():
+            print(row)
+    else:
+        df.show(n=args.max_rows, truncate=False)
+    return 0
+
+
 def cmd_curate(args: argparse.Namespace) -> int:
     """End-to-end training-data curation (the q_x24 pipeline, user-facing):
     quality rules -> exact-content dedup -> optional eval-set 5-gram
@@ -275,6 +300,15 @@ def build_parser() -> argparse.ArgumentParser:
     o = sub.add_parser("oracle", help="run the DuckDB correctness sweep")
     o.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     o.set_defaults(fn=cmd_oracle)
+
+    q = sub.add_parser("sql", help="ad-hoc SQL with plan-audit preflight")
+    q.add_argument("-e", "--execute", required=True, help="SQL statement")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--work-dir", default=None, help="register curated tables from here")
+    q.add_argument("--on-hazard", choices=["warn", "error", "ignore"], default="warn")
+    q.add_argument("--max-rows", type=int, default=100)
+    q.add_argument("--format", choices=["show", "json"], default="show")
+    q.set_defaults(fn=cmd_sql)
 
     pa = sub.add_parser("audit", help="physical-plan scale-hazard preflight")
     pa.add_argument("--sf-dir", default="/root/testdata/sf0.001")

@@ -1,0 +1,125 @@
+"""SQL front door (sqlfront.EngineSession + `anarcpt-spark sql`).
+
+The parity tests submit ONE ANSI-SQL string to BOTH engines — Spark via
+EngineSession.sql (temp views over the sf tables) and DuckDB via the
+oracle connection — and hash-compare results with the same canonicalizer
+the driver gate uses. The hazard tests pin the preflight policies.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from receiptanalyzerpipeline_spark.oracle import compare
+from receiptanalyzerpipeline_spark.sqlfront import EngineSession, SqlHazardError
+
+# §2.12-class queries, written once in cross-engine ANSI SQL (output
+# contract: BIGINT/DOUBLE/STRING only — see verify skill notes).
+PARITY_SQL = {
+    # Q-A3 family: TPC-H Q1-shaped grouped aggregate with arithmetic.
+    "sql_a3": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+               CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS sum_disc_price,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    # Q-J1 family: FK multi-join revenue by nation.
+    "sql_j1": """
+        SELECT n.n_name,
+               CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n.n_name
+    """,
+    # §2.5 family: ranking window (top order per customer by price).
+    "sql_w1": """
+        SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn
+        FROM (
+            SELECT o_custkey, o_orderkey,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+        ) t
+        WHERE rn <= 2
+        ORDER BY o_custkey, rn
+    """,
+}
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return EngineSession(spark, sf_dir=sf_dir)
+
+
+@pytest.mark.parametrize("qname", sorted(PARITY_SQL))
+def test_sql_front_door_matches_duckdb(engine, oracle_con, qname):
+    sql = PARITY_SQL[qname]
+    r = compare(qname, engine.sql(sql, name=qname), sql, oracle_con)
+    assert r.ok, str(r)
+
+
+def test_hazard_error_policy_rejects_unpartitioned_window(spark, sf_dir):
+    eng = EngineSession(spark, sf_dir=sf_dir, on_hazard="error")
+    with pytest.raises(SqlHazardError) as ei:
+        eng.sql("SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_totalprice) FROM orders")
+    assert any(f.hazard == "unpartitioned_window" for f in ei.value.findings)
+    # The same session still accepts clean statements afterwards.
+    assert eng.sql("SELECT COUNT(*) AS n FROM orders").collect()[0]["n"] > 0
+
+
+def test_hazard_warn_policy_returns_df_and_prints(spark, sf_dir, capsys):
+    eng = EngineSession(spark, sf_dir=sf_dir, on_hazard="warn")
+    df = eng.sql(
+        "SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn FROM orders",
+        name="risky",
+    )
+    err = capsys.readouterr().err
+    assert "plan-audit WARNING [risky]: unpartitioned_window" in err
+    assert df.limit(1).count() == 1  # still executable
+
+
+def test_curated_views_from_work_dir(spark, sf_dir, tmp_path):
+    # Build a tiny curated work dir through the analyze CLI path.
+    from receiptanalyzerpipeline_spark.cli import main
+    from receiptanalyzerpipeline_spark.multimodal.images import STUB_MAGIC
+
+    imgs = tmp_path / "in"
+    imgs.mkdir()
+    (imgs / "a.png").write_bytes(STUB_MAGIC + bytes([10] * 32 + [200] * 32))
+    work = tmp_path / "work"
+    assert main(["analyze", "--image-file", str(imgs), "--work-dir", str(work), "--write"]) == 0
+
+    eng = EngineSession(spark, sf_dir=sf_dir, work_dir=str(work))
+    assert "receipt_summary" in eng.views
+    rows = eng.sql("SELECT img_id, vendor_name FROM receipt_summary").collect()
+    assert len(rows) == 1 and rows[0]["img_id"]
+
+
+def test_cli_sql_subcommand(capsys):
+    from receiptanalyzerpipeline_spark.cli import main
+
+    rc = main([
+        "sql", "-e",
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM region",
+        "--sf-dir", "/root/testdata/sf0.001", "--format", "json",
+    ])
+    assert rc == 0
+    assert '"n":5' in capsys.readouterr().out.replace(" ", "")
+
+    # error policy: hazardous statement exits 1 before running any job
+    rc2 = main([
+        "sql", "-e",
+        "SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_totalprice) FROM orders",
+        "--sf-dir", "/root/testdata/sf0.001", "--on-hazard", "error",
+    ])
+    assert rc2 == 1
+    assert "REJECTED" in capsys.readouterr().err
