@@ -1,0 +1,108 @@
+"""Occupancy-targeted automatic blocking for entity resolution.
+
+The ER quadratic trap (round-4, q_er3's own 10× experiment): blocking on
+a single low-cardinality field makes candidate pairs grow as
+sum-over-blocks(cnt²) — quadratic in corpus size. The fix that round was a
+HAND-derived composite key (nation, segment, balance-bucket). This module
+generalizes the idea the ANN path already ships as
+``similarity.auto_n_planes`` (pick hash planes so bucket occupancy stays
+constant): pick/compose BLOCKING KEYS from data statistics until the
+candidate-pair mass is ~linear in the corpus.
+
+The statistic: for a key set S, ``pair_mass(S) = Σ_blocks cnt²`` is the
+exact number of candidate pairs a self-join on S generates (up to the
+diagonal). Requiring ``pair_mass ≤ target_pairs_per_record × N`` bounds
+the expected per-record candidate list by a constant — the same invariant
+``auto_n_planes`` maintains, expressed on categorical keys instead of
+hyperplane counts.
+
+The search is greedy: at each step add the candidate column whose
+composite most reduces pair mass, stop as soon as the budget holds (or
+keys run out — then the caller knows blocking alone cannot bound this
+corpus and needs a cap, cf. ``similarity.BUCKET_CAP``). Each evaluation
+is ONE map-side-combined aggregate returning a 2-value row; the stats are
+bounded driver-held model state, the documented exception class (MLlib
+fit / IVF sample / BPE argmax). At 100 TB the stats jobs scan the key
+columns only (column-pruned) and everything downstream is plain equi-join
+blocking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pair_mass", "auto_blocking_keys", "blocked_pairs"]
+
+TARGET_PAIRS_PER_RECORD = 32.0
+
+
+def pair_mass(df: DataFrame, cols: list[str]) -> tuple[int, int]:
+    """(Σ_blocks cnt², N) for blocks keyed by ``cols`` (NULL keys form
+    their own block, matching equi-join-on-null-safe semantics only if
+    the caller uses eqNullSafe; plain equi-joins drop NULL blocks, so
+    this is an upper bound there)."""
+    if not cols:
+        n = df.count()
+        return n * n, n
+    row = (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("m"),
+            F.sum("cnt").cast("long").alias("n"),
+        )
+        .first()
+    )
+    return (int(row["m"] or 0), int(row["n"] or 0))
+
+
+def auto_blocking_keys(
+    df: DataFrame,
+    candidates: list[str],
+    target_pairs_per_record: float = TARGET_PAIRS_PER_RECORD,
+    max_keys: int = 4,
+) -> list[str]:
+    """Greedily compose blocking keys until candidate-pair mass is linear:
+    ``pair_mass(keys) ≤ target_pairs_per_record × N``.
+
+    Returns the chosen key list IN SELECTION ORDER (most discriminating
+    first). If the budget still doesn't hold after ``max_keys`` (e.g.
+    exact-duplicate piles no key can split), the best-found keys are
+    returned anyway — callers should then add an occupancy cap; use
+    ``pair_mass`` on the result to detect that case.
+    """
+    if not candidates:
+        raise ValueError("need at least one candidate blocking column")
+    chosen: list[str] = []
+    remaining = list(candidates)
+    n = df.count()
+    budget = target_pairs_per_record * max(n, 1)
+    mass = n * n
+    while remaining and mass > budget and len(chosen) < max_keys:
+        scored = [(pair_mass(df, chosen + [c])[0], c) for c in remaining]
+        best_mass, best_col = min(scored)
+        if best_mass >= mass:  # no candidate improves: stop
+            break
+        chosen.append(best_col)
+        remaining.remove(best_col)
+        mass = best_mass
+    return chosen
+
+
+def blocked_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str] | list[tuple[str, str]],
+) -> DataFrame:
+    """Candidate pairs via equi-join on the blocking keys — the shape that
+    shuffles on the composite key and never goes all-pairs. ``keys`` may
+    be shared column names or (col_in_a, col_in_b) pairs."""
+    cond: Column | None = None
+    for k in keys:
+        ka, kb = (k, k) if isinstance(k, str) else k
+        term = a[ka] == b[kb]
+        cond = term if cond is None else (cond & term)
+    if cond is None:
+        raise ValueError("need at least one blocking key")
+    return a.join(b, cond)
