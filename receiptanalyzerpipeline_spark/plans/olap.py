@@ -334,6 +334,24 @@ def q_a11(spark: SparkSession, sf_dir: str) -> DataFrame:
             UNION ALL
             SELECT 'hll', '_ALL_', CAST(COUNT(DISTINCT o_custkey) AS DOUBLE), TRUE
             FROM orders
+            UNION ALL
+            -- blk: auto-blocking pair-mass ladder (operators/blocking.py)
+            SELECT 'blk', g, e, tol FROM (
+                SELECT 'k1_nat' AS g, CAST(SUM(cnt*cnt) AS DOUBLE) AS e,
+                       SUM(cnt*cnt) <= 32 * SUM(cnt) AS tol
+                FROM (SELECT COUNT(*) AS cnt FROM customer GROUP BY c_nationkey)
+                UNION ALL
+                SELECT 'k2_nat_seg', CAST(SUM(cnt*cnt) AS DOUBLE),
+                       SUM(cnt*cnt) <= 32 * SUM(cnt)
+                FROM (SELECT COUNT(*) AS cnt FROM customer
+                      GROUP BY c_nationkey, c_mktsegment)
+                UNION ALL
+                SELECT 'k3_nat_seg_bb', CAST(SUM(cnt*cnt) AS DOUBLE),
+                       SUM(cnt*cnt) <= 32 * SUM(cnt)
+                FROM (SELECT COUNT(*) AS cnt FROM customer
+                      GROUP BY c_nationkey, c_mktsegment,
+                               FLOOR(c_acctbal / 1000.0))
+            ) AS _b
         ) AS _u ORDER BY part, grp
     """,
     doc=(
@@ -341,7 +359,12 @@ def q_a11(spark: SparkSession, sf_dir: str) -> DataFrame:
         "approx_count_distinct, GK approx_percentile, DataSketches HLL "
         "merge, and a portable count-min sketch) emitted NEXT TO the "
         "exact value it estimates, plus a within_tol boolean computed "
-        "Spark-side. The oracle replays the exact side and asserts the "
+        "Spark-side. Round 5 adds a 'blk' part: the exact auto-blocking "
+        "pair-mass statistic (sum of squared block counts, "
+        "operators/blocking.py) for the q_er3 key ladder, with its "
+        "32-pairs-per-record occupancy budget emitted as data — the "
+        "coarse key fails the budget, the composites hold it. "
+        "The oracle replays the exact side and asserts the "
         "bound AS DATA (literal TRUE): if a sketch ever drifts outside "
         "tolerance the hash mismatches — the driver gate now checks what "
         "three rounds of 'no_oracle' rows could not. Tolerances: 5% "
@@ -467,10 +490,45 @@ def q_a5_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("within_tol"),
     )
+    # --- blk: auto-blocking pair-mass statistic (operators/blocking.py) -
+    # The EXACT candidate-pair count Σ_blocks cnt² for the q_er3 key
+    # ladder, with the ≤32·N occupancy budget emitted as data: the oracle
+    # recomputes both sides, so the driver hash pins the statistic the
+    # greedy auto_blocking_keys search ranks keys by (the booleans show
+    # the single coarse key failing the budget and the composites holding
+    # it — the round-4 ER quadratic trap, verified every round).
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bb"),
+    )
+
+    def _blk(keys: list, gname: str) -> DataFrame:
+        return (
+            cust.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(
+                F.sum(F.col("cnt") * F.col("cnt")).cast("double").alias("exact"),
+                F.sum("cnt").cast("double").alias("n"),
+            )
+            .select(
+                F.lit("blk").alias("part"),
+                F.lit(gname).alias("grp"),
+                "exact",
+                (F.col("exact") <= 32.0 * F.col("n")).alias("within_tol"),
+            )
+        )
+
+    blk = (
+        _blk(["nat"], "k1_nat")
+        .unionByName(_blk(["nat", "seg"], "k2_nat_seg"))
+        .unionByName(_blk(["nat", "seg", "bb"], "k3_nat_seg_bb"))
+    )
     return (
         cd.unionByName(pq)
         .unionByName(hll_groups)
         .unionByName(hll_all)
         .unionByName(cms)
+        .unionByName(blk)
         .orderBy("part", "grp")
     )
