@@ -1691,10 +1691,13 @@ _BM25_K1, _BM25_B, _BM25_1MB = 1.2, 0.75, 0.25
 _BM25_NANO = 1000000000.0
 
 
-@register(
-    "q_x28_bm25_retrieval",
-    oracle=f"""
-        WITH qt(qid, term) AS (VALUES {", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)}),
+def _bm25_ctes() -> str:
+    """Shared oracle CTE chain ending at per_doc(qid, doc_id, n_terms,
+    score_nano) — used verbatim by q_x28 (BM25 top-5) and q_x32 (hybrid
+    RRF fusion) so the two replays can never drift apart."""
+    values = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+    return f"""
+        WITH qt(qid, term) AS (VALUES {values}),
         toks AS (
             SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents
         ),
@@ -1732,37 +1735,15 @@ _BM25_NANO = 1000000000.0
             SELECT qt.qid, s.doc_id, COUNT(*) AS n_terms, SUM(s.nano) AS score_nano
             FROM scored s JOIN qt ON s.term = qt.term
             GROUP BY qt.qid, s.doc_id
-        ),
-        ranked AS (
-            SELECT qid, doc_id, CAST(n_terms AS BIGINT) AS n_terms, score_nano,
-                   ROW_NUMBER() OVER (PARTITION BY qid
-                                      ORDER BY score_nano DESC, doc_id) AS rk
-            FROM per_doc
-        )
-        SELECT CAST(qid AS BIGINT) AS qid, doc_id, n_terms,
-               CAST(score_nano AS DOUBLE) / {_BM25_NANO} AS score,
-               CAST(rk AS BIGINT) AS rk
-        FROM ranked WHERE rk <= 5
-        ORDER BY qid, rk
-    """,
-    doc=(
-        "BM25 ranked retrieval: top-5 documents for 8 fixed two-term "
-        "keyword queries (k1=1.2, b=0.75) — the search primitive behind "
-        "topical curation and eval-set mining. Log-free Robertson IDF "
-        "odds and nano-quantized integer score sums keep every step "
-        "bit-deterministic across engines (see module comment). Scale "
-        "design: the token stream is filtered by a BROADCAST semi-join "
-        "on the query-term list BEFORE the tf shuffle, so shuffle volume "
-        "is O(matching tokens), not O(corpus tokens); df and the "
-        "corpus stats are one-row/10-row broadcasts; ranking shuffles "
-        "only (qid, doc) partial scores. At 100 TB this is the standard "
-        "term-at-a-time scatter-gather — no posting list materializes "
-        "outside the pruned term set."
-    ),
-    tags=("text", "retrieval", "ranking", "topk"),
-    bench=True,
-)
-def q_x28(spark: SparkSession, sf_dir: str) -> DataFrame:
+        )"""
+
+
+
+def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, doc_id, n_terms, score_nano): BM25 partial scores for the
+    fixed keyword queries — the shared engine behind q_x28 (top-5) and
+    q_x32 (hybrid RRF). Scale shape: broadcast query-term semi-join
+    prunes the token stream BEFORE the tf shuffle."""
     docs = _docs(spark, sf_dir)
     qt = spark.createDataFrame(list(_BM25_QUERIES), "qid long, term string")
     toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
@@ -1807,11 +1788,47 @@ def q_x28(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nano"),
         )
     )
-    per_doc = (
+    return (
         scored.join(F.broadcast(qt), "term")
         .groupBy("qid", "doc_id")
         .agg(F.count("*").alias("n_terms"), F.sum("nano").alias("score_nano"))
     )
+
+
+@register(
+    "q_x28_bm25_retrieval",
+    oracle=_bm25_ctes() + f""",
+        ranked AS (
+            SELECT qid, doc_id, CAST(n_terms AS BIGINT) AS n_terms, score_nano,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY score_nano DESC, doc_id) AS rk
+            FROM per_doc
+        )
+        SELECT CAST(qid AS BIGINT) AS qid, doc_id, n_terms,
+               CAST(score_nano AS DOUBLE) / {_BM25_NANO} AS score,
+               CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5
+        ORDER BY qid, rk
+    """,
+    doc=(
+        "BM25 ranked retrieval: top-5 documents for 8 fixed two-term "
+        "keyword queries (k1=1.2, b=0.75) — the search primitive behind "
+        "topical curation and eval-set mining. Log-free Robertson IDF "
+        "odds and nano-quantized integer score sums keep every step "
+        "bit-deterministic across engines (see module comment). Scale "
+        "design: the token stream is filtered by a BROADCAST semi-join "
+        "on the query-term list BEFORE the tf shuffle, so shuffle volume "
+        "is O(matching tokens), not O(corpus tokens); df and the "
+        "corpus stats are one-row/10-row broadcasts; ranking shuffles "
+        "only (qid, doc) partial scores. At 100 TB this is the standard "
+        "term-at-a-time scatter-gather — no posting list materializes "
+        "outside the pruned term set."
+    ),
+    tags=("text", "retrieval", "ranking", "topk"),
+    bench=True,
+)
+def q_x28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = _bm25_per_doc(spark, sf_dir)
     w = Window.partitionBy("qid").orderBy(F.desc("score_nano"), "doc_id")
     return (
         per_doc.withColumn("rk", F.row_number().over(w).cast("long"))
@@ -1824,4 +1841,123 @@ def q_x28(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
         .orderBy("qid", "rk")
+    )
+
+
+# --- Hybrid retrieval: BM25 + dense fused with Reciprocal Rank Fusion ---
+
+RRF_K = 60  # the canonical RRF constant (Cormack et al. 2009)
+RRF_MICRO = 1000000.0  # micro-quantized 1/(K+rank) -> exact BIGINT sums
+
+
+@register(
+    "q_x32_hybrid_rrf",
+    oracle=_bm25_ctes() + f""",
+        sparse_rk AS (
+            SELECT qid, doc_id, rk_s FROM (
+                SELECT qid, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY score_nano DESC, doc_id) AS rk_s
+                FROM per_doc
+            ) WHERE rk_s <= 50
+        ),
+        dense_pairs AS (
+            SELECT p.vec_id AS qid, e.vec_id AS doc_id,
+                   round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])), 4) AS sim
+            FROM embeddings p JOIN embeddings e ON e.vec_id != p.vec_id
+            WHERE p.vec_id < 8
+        ),
+        dense_rk AS (
+            SELECT qid, doc_id, rk_d FROM (
+                SELECT qid, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY sim DESC, doc_id) AS rk_d
+                FROM dense_pairs
+            ) WHERE rk_d <= 50
+        ),
+        fused AS (
+            SELECT COALESCE(s.qid, d.qid) AS qid,
+                   COALESCE(s.doc_id, d.doc_id) AS doc_id,
+                   CAST(COALESCE(FLOOR({RRF_MICRO} / ({RRF_K} + s.rk_s)), 0)
+                        + COALESCE(FLOOR({RRF_MICRO} / ({RRF_K} + d.rk_d)), 0)
+                        AS BIGINT) AS rrf_micro,
+                   CASE WHEN s.doc_id IS NOT NULL AND d.doc_id IS NOT NULL THEN 'both'
+                        WHEN s.doc_id IS NOT NULL THEN 'sparse'
+                        ELSE 'dense' END AS src
+            FROM sparse_rk s FULL OUTER JOIN dense_rk d
+                 ON s.qid = d.qid AND s.doc_id = d.doc_id
+        )
+        SELECT * FROM (
+            SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+                   CAST(rrf_micro AS DOUBLE) / {RRF_MICRO} AS rrf, src,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                           ORDER BY rrf_micro DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM fused
+        ) WHERE rank <= 10 ORDER BY qid, rank
+    """,
+    doc=(
+        "Hybrid retrieval: BM25 keyword ranking and dense query-by-example "
+        "cosine ranking (query qid's own corpus embedding as the probe — "
+        "vec_id aligns with doc_id) fused with Reciprocal Rank Fusion "
+        "(score = sum of 1/(60+rank) over the two retrievers, Cormack "
+        "2009) — the standard production shape for RAG/eval-set retrieval "
+        "where neither sparse nor dense alone is robust. Determinism: RRF "
+        "contributions are micro-quantized with FLOOR so fused scores are "
+        "exact BIGINT sums; both input rankings use the engine-proven "
+        "rank keys (nano-quantized BM25, 4-decimal-rounded cosine, doc_id "
+        "tiebreaks). Scale: the sparse side inherits q_x28's broadcast "
+        "term-pruned scatter-gather; the dense side is the brute-force "
+        "baseline by declaration (swap in q_x5 LSH / q_x6 IVF / q_x30 PQ "
+        "shortlists for the 100 TB path — RRF only needs ranks, so any "
+        "candidate generator drops in); the fusion itself is a "
+        "(qid, doc_id) full-outer join of two top-50 lists — "
+        "8 x 50-row inputs, trivially bounded."
+    ),
+    tags=("retrieval", "similarity", "hybrid", "llm"),
+)
+def q_x32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    w = Window.partitionBy("qid").orderBy(F.desc("score_nano"), "doc_id")
+    sparse_rk = (
+        per_doc.withColumn("rk_s", F.row_number().over(w))
+        .where(F.col("rk_s") <= 50)
+        .select("qid", "doc_id", "rk_s")
+    )
+    emb = _emb(spark, sf_dir)
+    probes = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    dense_rk = S.brute_force_topk(emb, probes, k=50).select(
+        F.col("q_id").alias("qid"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("rk_d"),
+    )
+    fused = sparse_rk.join(dense_rk, ["qid", "doc_id"], "full_outer").select(
+        "qid",
+        "doc_id",
+        (
+            F.coalesce(F.floor(F.lit(RRF_MICRO) / (F.lit(RRF_K) + F.col("rk_s"))), F.lit(0))
+            + F.coalesce(F.floor(F.lit(RRF_MICRO) / (F.lit(RRF_K) + F.col("rk_d"))), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+        F.when(F.col("rk_s").isNotNull() & F.col("rk_d").isNotNull(), F.lit("both"))
+        .when(F.col("rk_s").isNotNull(), F.lit("sparse"))
+        .otherwise(F.lit("dense"))
+        .alias("src"),
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("rrf_micro"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            "doc_id",
+            (F.col("rrf_micro").cast("double") / F.lit(RRF_MICRO)).alias("rrf"),
+            "src",
+            "rank",
+        )
+        .orderBy("qid", "rank")
     )

@@ -476,6 +476,9 @@ _SUITES = [
         parts=[
             Part("perplexity", "q_x25_lm_perplexity", {"doc_id": "doc_id", "n": "n_bigrams", "v": "nll_per_token"}),
             Part("embed", "q_x26_embed_documents", {"doc_id": "doc_id", "n": "dim", "v": "val"}),
+            # (qid, rrf) per retrieved doc; rank is recoverable from rrf
+            # order, src is pytest-verified on the standalone query.
+            Part("hybrid_rrf", "q_x32_hybrid_rrf", {"doc_id": "doc_id", "n": "qid", "v": "rrf"}),
         ],
         order=["doc_id", "n"],
         doc="Model-scoring boundary: bigram-LM perplexity + deterministic document embedder (exploded to scalars).",
