@@ -1961,3 +1961,139 @@ def q_x32(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "rank")
     )
+
+
+# --- Token-budget mixture allocator (q_x33) -----------------------------
+
+# Mixture weights: a few named heavy sources, the rest share the
+# remainder evenly. Written once; both engines evaluate the same CASE.
+_BUDGET_FRACTION = 0.3  # B = floor(0.3 * corpus tokens)
+_W_SQL = """CASE source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.1
+                 WHEN 'src2' THEN 0.05 ELSE 0.65 / 17.0 END"""
+
+
+@register(
+    "q_x33_budget_allocator",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        per_src AS (
+            SELECT source, CAST(SUM(n_tok) AS BIGINT) AS t_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM toks GROUP BY source
+        ),
+        total AS (SELECT CAST(SUM(t_tokens) AS BIGINT) AS t FROM per_src),
+        alloc AS (
+            SELECT source, t_tokens, n_docs,
+                   CAST(FLOOR(FLOOR({_BUDGET_FRACTION} * total.t)
+                              * ({_W_SQL})) AS BIGINT) AS target
+            FROM per_src, total
+        ),
+        bounds AS (
+            SELECT source, t_tokens, n_docs, target,
+                   CAST(CASE WHEN target >= t_tokens THEN 65536
+                        ELSE FLOOR(CAST(target AS DOUBLE)
+                                   / CAST(t_tokens AS DOUBLE) * 65536)
+                   END AS BIGINT) AS bound
+            FROM alloc
+        ),
+        kept AS (
+            SELECT t.source,
+                   CAST(COUNT(*) AS BIGINT) AS kept_docs,
+                   CAST(SUM(t.n_tok) AS BIGINT) AS kept_tokens
+            FROM toks t JOIN bounds b USING (source)
+            WHERE CAST(('0x' || substr(md5('budget:' || CAST(t.doc_id AS VARCHAR)),
+                                       1, 4)) AS BIGINT) < b.bound
+            GROUP BY t.source
+        )
+        SELECT b.source, b.t_tokens, b.target, b.bound,
+               COALESCE(k.kept_docs, 0) AS kept_docs,
+               COALESCE(k.kept_tokens, 0) AS kept_tokens,
+               b.target >= b.t_tokens AS exhausted
+        FROM bounds b LEFT JOIN kept k USING (source)
+        ORDER BY source
+    """,
+    doc=(
+        "Token-budget mixture allocator: given a corpus token budget "
+        "(30% of total here) and per-source mixture weights, compute each "
+        "source's token target, convert it to a deterministic md5-bucket "
+        "keep bound (the engine's standard 16-bit hash-sampling "
+        "primitive), apply it, and report the per-source audit row "
+        "(available vs target vs actually-kept tokens, exhausted flag) — "
+        "the 'give me ~1B tokens at these weights' front end a "
+        "pretraining-data pipeline runs before export, complementing "
+        "q_x10 (fixed rates) and q_x29 (temperature). Exhausted sources "
+        "(target >= available) keep everything and under-deliver; the "
+        "audit row exposes the shortfall instead of silently reweighting. "
+        "Every output is an exact BIGINT (token sums, bounds) so the "
+        "oracle hash pins the whole allocation. Scale: one token-count "
+        "scan with map-side combine, a source-cardinality aggregate, a "
+        "1-row total broadcast, and a map-side keep filter under a "
+        "k-source broadcast — no corpus-sized shuffle anywhere."
+    ),
+    tags=("curation", "mixture", "llm"),
+)
+def q_x33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        T.token_count_ws(F.col("text")).cast("long").alias("n_tok"),
+    )
+    per_src = toks.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("t_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    total = per_src.agg(F.sum("t_tokens").cast("long").alias("t"))
+    w = F.expr(_W_SQL)
+    alloc = per_src.crossJoin(F.broadcast(total)).select(
+        "source",
+        "t_tokens",
+        "n_docs",
+        F.floor(F.floor(F.lit(_BUDGET_FRACTION) * F.col("t")) * w)
+        .cast("long")
+        .alias("target"),
+    )
+    bounds = alloc.select(
+        "source",
+        "t_tokens",
+        "n_docs",
+        "target",
+        F.when(F.col("target") >= F.col("t_tokens"), F.lit(65536))
+        .otherwise(
+            F.floor(
+                F.col("target").cast("double")
+                / F.col("t_tokens").cast("double")
+                * 65536
+            )
+        )
+        .cast("long")
+        .alias("bound"),
+    )
+    from receiptanalyzerpipeline_spark.operators.sampling import hash_bucket
+
+    kept = (
+        toks.join(F.broadcast(bounds.select("source", "bound")), "source")
+        .where(hash_bucket(F.col("doc_id"), salt="budget") < F.col("bound"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kept_docs"),
+            F.sum("n_tok").cast("long").alias("kept_tokens"),
+        )
+    )
+    return (
+        bounds.join(kept, "source", "left")
+        .select(
+            "source",
+            "t_tokens",
+            "target",
+            "bound",
+            F.coalesce(F.col("kept_docs"), F.lit(0)).cast("long").alias("kept_docs"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+            (F.col("target") >= F.col("t_tokens")).alias("exhausted"),
+        )
+        .orderBy("source")
+    )

@@ -410,13 +410,16 @@ _SUITES = [
             Part("quantile", "q_x14_quantile_filter", {"doc_id": "doc_id", "grp": "lang", "n1": "rn", "n2": "cnt", "v": "stop_ratio"}),
             Part("dsir", "q_x18_dsir_importance", {"doc_id": "doc_id", "grp": "source", "n1": "n_feats", "v": "log_weight"}),
             Part("quota", "q_x19_quota_capping", {"doc_id": "doc_id", "grp": "lang", "n1": "rk", "b": "kept"}),
+            # Budget allocator audit rows: exact token sums + bounds.
+            Part("budget", "q_x33_budget_allocator", {"grp": "source", "n1": "target", "n2": "kept_tokens", "v": "CAST(bound AS DOUBLE)", "b": "exhausted"}),
         ],
         order=["doc_id", "grp", "n1"],
         doc=(
             "Training-data selection family: leakage-safe hash split, mixture "
             "rebalancing, temperature-based (tau=0.5) source reweighting, "
             "per-lang quantile filter, DSIR importance weights, "
-            "per-source quota capping."
+            "per-source quota capping, and the token-budget allocator "
+            "(per-source targets -> md5-bucket keep bounds, exact sums)."
         ),
         tags=("curation", "sampling"),
     ),

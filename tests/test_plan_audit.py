@@ -40,6 +40,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("q_x27_ivf_portable", "broadcast_nested_loop"): "k centroid rows broadcast (fit + nprobe cell selection)",
     ("q_x28_bm25_retrieval", "broadcast_nested_loop"): "1-row avgdl/N corpus statistics cross",
     ("q_x29_temperature_mixture", "broadcast_nested_loop"): "k-source tau-weight table cross (k sources, not rows)",
+    ("q_x33_budget_allocator", "broadcast_nested_loop"): "1-row corpus-token total cross (k-source bounds broadcast-hash)",
 }
 
 
