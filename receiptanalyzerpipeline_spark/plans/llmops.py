@@ -1916,6 +1916,7 @@ RRF_MICRO = 1000000.0  # micro-quantized 1/(K+rank) -> exact BIGINT sums
         "8 x 50-row inputs, trivially bounded."
     ),
     tags=("retrieval", "similarity", "hybrid", "llm"),
+    bench=True,
 )
 def q_x32(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = _bm25_per_doc(spark, sf_dir)
