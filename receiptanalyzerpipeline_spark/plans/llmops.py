@@ -2098,3 +2098,116 @@ def q_x33(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Retrieval evaluation: recall@k + MRR against label gold (q_x34) ----
+
+
+@register(
+    "q_x34_retrieval_metrics",
+    oracle="""
+        WITH emb AS (SELECT vec_id, embedding, label FROM embeddings),
+        probes AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+                   FROM emb WHERE vec_id < 8),
+        topk AS (
+            SELECT qid, vec_id, qlabel, lab, rank FROM (
+                SELECT p.qid, e.vec_id, p.qlabel, e.label AS lab,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p.qid
+                           ORDER BY round(list_cosine_similarity(
+                               CAST(p.qv AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])), 4) DESC,
+                           e.vec_id) AS rank
+                FROM probes p JOIN emb e ON e.vec_id != p.qid
+            ) WHERE rank <= 10
+        ),
+        rel AS (
+            SELECT p.qid,
+                   CAST((SELECT COUNT(*) FROM emb e
+                         WHERE e.label = p.qlabel AND e.vec_id != p.qid)
+                        AS BIGINT) AS n_relevant
+            FROM probes p
+        ),
+        hits AS (
+            SELECT qid,
+                   CAST(SUM(CASE WHEN lab = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+                   MIN(CASE WHEN lab = qlabel THEN rank END) AS first_rank
+            FROM topk GROUP BY qid
+        )
+        SELECT CAST(r.qid AS BIGINT) AS qid, r.n_relevant,
+               COALESCE(h.hits, 0) AS hits,
+               CAST(CASE WHEN r.n_relevant = 0 THEN 0
+                    ELSE FLOOR(1000000.0 * COALESCE(h.hits, 0) / r.n_relevant)
+               END AS DOUBLE) / 1000000.0 AS recall,
+               CAST(CASE WHEN h.first_rank IS NULL THEN 0
+                    ELSE FLOOR(1000000.0 / h.first_rank)
+               END AS DOUBLE) / 1000000.0 AS mrr
+        FROM rel r LEFT JOIN hits h ON r.qid = h.qid
+        ORDER BY qid
+    """,
+    doc=(
+        "Retrieval evaluation: recall@10 and MRR@10 for the dense "
+        "retriever against label gold (a retrieved doc is relevant iff "
+        "it shares the probe's label; the probe itself is excluded from "
+        "both sides) — the measurement half of the retrieval family "
+        "(q_n2/q_x5/q_x6/q_x30 retrieve, q_x32 fuses, THIS grades). Both "
+        "metrics are micro-quantized with FLOOR before the final double "
+        "division, so the oracle hash pins them exactly. Scale: gold "
+        "counts are one label-cardinality aggregate; the top-k side is "
+        "the brute-force baseline by declaration (any ANN candidate "
+        "generator drops in; on a real eval you run it over the FIXED "
+        "eval-query set, so the probe side never grows with the corpus)."
+    ),
+    tags=("retrieval", "evaluation", "llm"),
+)
+def q_x34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    probes = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("qlabel"),
+    )
+    topk = (
+        S.brute_force_topk(emb, probes.select("q_id", "q_emb"), k=10)
+        .join(F.broadcast(probes.select("q_id", "qlabel")), "q_id")
+        .join(emb.select("vec_id", F.col("label").alias("lab")), "vec_id")
+    )
+    hits = topk.groupBy("q_id").agg(
+        F.sum(F.when(F.col("lab") == F.col("qlabel"), 1).otherwise(0))
+        .cast("long")
+        .alias("hits"),
+        F.min(F.when(F.col("lab") == F.col("qlabel"), F.col("rank"))).alias(
+            "first_rank"
+        ),
+    )
+    label_counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    rel = probes.join(
+        F.broadcast(label_counts), probes.qlabel == label_counts.label
+    ).select(
+        "q_id", (F.col("n_label") - 1).cast("long").alias("n_relevant")
+    )
+    return (
+        rel.join(hits, "q_id", "left")
+        .select(
+            F.col("q_id").cast("long").alias("qid"),
+            "n_relevant",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            (
+                F.when(F.col("n_relevant") == 0, F.lit(0.0)).otherwise(
+                    F.floor(
+                        1000000.0
+                        * F.coalesce(F.col("hits"), F.lit(0))
+                        / F.col("n_relevant")
+                    )
+                )
+                / 1000000.0
+            ).alias("recall"),
+            (
+                F.when(F.col("first_rank").isNull(), F.lit(0.0)).otherwise(
+                    F.floor(1000000.0 / F.col("first_rank"))
+                )
+                / 1000000.0
+            ).alias("mrr"),
+        )
+        .orderBy("qid")
+    )

@@ -482,6 +482,9 @@ _SUITES = [
             # (qid, rrf) per retrieved doc; rank is recoverable from rrf
             # order, src is pytest-verified on the standalone query.
             Part("hybrid_rrf", "q_x32_hybrid_rrf", {"doc_id": "doc_id", "n": "qid", "v": "rrf"}),
+            # Two projections of the same eval query: recall@10 then MRR@10.
+            Part("retrieval_recall", "q_x34_retrieval_metrics", {"doc_id": "qid", "n": "hits", "v": "recall"}),
+            Part("retrieval_mrr", "q_x34_retrieval_metrics", {"doc_id": "qid", "n": "n_relevant", "v": "mrr"}),
         ],
         order=["doc_id", "n"],
         doc="Model-scoring boundary: bigram-LM perplexity + deterministic document embedder (exploded to scalars).",

@@ -37,6 +37,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("q_x25_lm_perplexity", "broadcast_nested_loop"): "1-row corpus log-mass total",
     ("q_x25_model_scoring", "broadcast_nested_loop"): "1-row corpus log-mass total + 8 probe vectors broadcast (suite incl. hybrid_rrf)",
     ("q_x32_hybrid_rrf", "broadcast_nested_loop"): "8 probe vectors broadcast (dense brute-force baseline; swap LSH/IVF/PQ shortlist at scale)",
+    ("q_x34_retrieval_metrics", "broadcast_nested_loop"): "8 eval probes broadcast (dense brute-force baseline graded against label gold)",
     ("q_x27_ivf_portable", "broadcast_nested_loop"): "k centroid rows broadcast (fit + nprobe cell selection)",
     ("q_x28_bm25_retrieval", "broadcast_nested_loop"): "1-row avgdl/N corpus statistics cross",
     ("q_x29_temperature_mixture", "broadcast_nested_loop"): "k-source tau-weight table cross (k sources, not rows)",
