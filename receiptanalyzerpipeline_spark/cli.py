@@ -234,6 +234,34 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate_stream(args: argparse.Namespace) -> int:
+    """Streaming twin of `curate`: drain a landing directory of document
+    parquet files through quality -> snapshot-backed stateful dedup ->
+    exactly-once shard export (streaming/curation_stream.py). Shard
+    membership is identical to the batch `curate` CLI on the same corpus."""
+    from receiptanalyzerpipeline_spark.streaming.curation_stream import (
+        run_streaming_curation,
+    )
+
+    spark = _spark()
+    schema = spark.read.parquet(args.input).schema
+    q = run_streaming_curation(
+        spark,
+        args.input,
+        snapshot_path=args.snapshot,
+        shards_path=args.output,
+        checkpoint=args.checkpoint,
+        schema=schema,
+        max_files_per_trigger=args.max_files_per_trigger,
+        available_now=args.once,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        n_shards=args.shards,
+    )
+    q.awaitTermination()
+    return 0
+
+
 def cmd_tokenize(args: argparse.Namespace) -> int:
     """Train a BPE merge table on a corpus (q_x31's operator, user-facing)
     and optionally encode the corpus with it: --out-merges writes the
@@ -324,6 +352,19 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--shards", type=int, default=16)
     c.add_argument("--sample-rate", type=float, default=1.0)
     c.set_defaults(fn=cmd_curate)
+
+    cs = sub.add_parser("curate-stream", help="streaming curation: landing dir -> shards (exactly-once)")
+    cs.add_argument("--input", required=True, help="landing directory of document parquet files")
+    cs.add_argument("--output", required=True, help="shard output directory")
+    cs.add_argument("--snapshot", required=True, help="snapshot table path (dedup state)")
+    cs.add_argument("--checkpoint", required=True)
+    cs.add_argument("--id-col", default="doc_id")
+    cs.add_argument("--text-col", default="text")
+    cs.add_argument("--shards", type=int, default=16)
+    cs.add_argument("--max-files-per-trigger", type=int, default=1)
+    cs.add_argument("--once", action="store_true", default=True,
+                    help="availableNow: drain the backlog and exit (default)")
+    cs.set_defaults(fn=cmd_curate_stream)
 
     t = sub.add_parser("tokenize", help="train a BPE merge table; optionally encode the corpus")
     t.add_argument("--input", required=True, help="documents parquet path")

@@ -140,6 +140,26 @@ def test_replayed_batch_commit_is_idempotent(spark, tmp_path: Path):
     assert snap.versions(str(base / "snapshot")) == [0]
 
 
+def test_curate_stream_cli(spark, tmp_path: Path):
+    """The user-facing `curate-stream` subcommand drives the same topology."""
+    from receiptanalyzerpipeline_spark.cli import main
+
+    docs, src = _chunked_input(spark, tmp_path)
+    base = tmp_path / "cli"
+    base.mkdir()
+    rc = main([
+        "curate-stream",
+        "--input", src,
+        "--output", str(base / "shards"),
+        "--snapshot", str(base / "snapshot"),
+        "--checkpoint", str(base / "ckpt"),
+    ])
+    assert rc == 0
+    got = read_shard_membership(spark, str(base / "shards")).count()
+    assert got > 0
+    assert len(snap.versions(str(base / "snapshot"))) == 3
+
+
 def test_cross_batch_dedup_via_snapshot(spark, tmp_path: Path):
     """A later delivery containing exact-content duplicates of already-
     curated docs (different ids) exports only the genuinely new docs."""
