@@ -151,57 +151,116 @@ def read_changes(
     return spark.read.parquet(*new)
 
 
+def batch_committed(path: str, batch_id: int) -> bool:
+    """True iff some committed manifest records this micro-batch id.
+
+    Replay detection keys on the RECORDED batch id, not on version-number
+    equality: maintenance commits (compaction) interleave versions, so a
+    sink that asked "does manifest <batch_id> exist?" would mistake the
+    compaction's version for its own batch and silently drop data."""
+    for v in versions(path):
+        if _read_manifest(path, v).get("batch_id") == batch_id:
+            return True
+    return False
+
+
 def snapshot_sink(path: str):
     """``foreachBatch`` function committing each micro-batch as a table
-    version, EXACTLY-ONCE under replay: the version number is the
-    micro-batch id, and a batch whose manifest already exists is skipped
+    version, EXACTLY-ONCE under replay: each manifest records its
+    micro-batch id, and a batch some manifest already records is skipped
     wholesale — after a crash between sink write and checkpoint commit,
     Structured Streaming re-delivers the batch and the sink makes the
     redelivery a no-op (same idempotence contract as the engine's
-    checkpointed file sinks, SURVEY T4/T7).
+    checkpointed file sinks, SURVEY T4/T7). Version numbers are the next
+    sequential integer (not the batch id), so table-maintenance commits
+    — ``compact_snapshot`` — can interleave with a live stream safely.
 
     Usage::
 
         stream.writeStream.foreachBatch(snapshot_sink(path)).start()
     """
 
-    def _advance_version(batch_id: int) -> None:
-        cur = current_version(path)
-        if cur is None or batch_id > cur:
-            tmp = _version_file(path).with_suffix(".tmp")
-            tmp.write_text(str(batch_id))
-            os.replace(tmp, _version_file(path))
+    def _advance_version(version: int | None) -> None:
+        if version is None:
+            return
+        vf = _version_file(path)
+        stale = not vf.exists() or int(vf.read_text().strip()) < version
+        if stale:
+            tmp = vf.with_suffix(".tmp")
+            tmp.write_text(str(version))
+            os.replace(tmp, vf)
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
-        if _manifest_path(path, batch_id).exists():
-            # Replayed batch: the manifest IS the commit record. But a
+        committed = versions(path)
+        if batch_committed(path, batch_id):
+            # Replayed batch: its manifest IS the commit record. But a
             # crash after the manifest write and before the VERSION rename
             # leaves the pointer stale — repair it here, otherwise the
             # next batch would chain from the stale pointer's manifest and
             # permanently drop this batch's files from the latest chain.
-            _advance_version(batch_id)
+            _advance_version(committed[-1] if committed else None)
             return
-        data_dir = Path(path) / "data" / f"snap-{batch_id}"
+        version = committed[-1] + 1 if committed else 0
+        data_dir = Path(path) / "data" / f"snap-{version}"
         batch_df.write.mode("overwrite").parquet(str(data_dir))
         new_files = sorted(
             str(p) for p in data_dir.glob("*.parquet") if not p.name.startswith("_")
         )
         files = new_files
-        # Chain from the newest COMMITTED manifest below this batch, never
-        # from the VERSION pointer (which can lag a committed manifest
-        # across the crash window above).
-        prior = [v for v in versions(path) if v < batch_id]
-        prev = prior[-1] if prior else None
+        # Chain from the newest COMMITTED manifest, never from the VERSION
+        # pointer (which can lag a committed manifest across the crash
+        # window above).
+        prev = committed[-1] if committed else None
         if prev is not None:
             files = _read_manifest(path, prev)["files"] + new_files
         mdir = Path(path) / "manifests"
         mdir.mkdir(parents=True, exist_ok=True)
-        _manifest_path(path, batch_id).write_text(
-            json.dumps({"version": batch_id, "mode": "append", "files": files})
+        _manifest_path(path, version).write_text(
+            json.dumps(
+                {
+                    "version": version,
+                    "mode": "append",
+                    "batch_id": batch_id,
+                    "files": files,
+                }
+            )
         )
-        _advance_version(batch_id)
+        _advance_version(version)
 
     return commit
+
+
+def compact_snapshot(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 << 20
+) -> int:
+    """Rewrite the LIVE file set into size-targeted files as a NEW
+    version (the Iceberg/Delta OPTIMIZE analogue). Logically a no-op —
+    the new version holds exactly the latest version's rows — and prior
+    versions stay readable until ``expire_snapshots`` vacuums them, so
+    time-travel and concurrent readers are unaffected.
+
+    Why it exists: a streaming ``snapshot_sink`` commits one small file
+    set per micro-batch; at object-store scale the accumulated file
+    count (and per-read open cost) grows without bound. Compaction is
+    the nightly companion to retention: compact, then expire, and the
+    live chain is back to O(data/target_file_bytes) files. Safe against
+    a live stream: the sink detects replays by recorded batch id, so a
+    compaction commit taking the next version number cannot be mistaken
+    for a delivered batch."""
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    import math
+
+    files = _read_manifest(path, cur)["files"]
+    total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
+    target = max(1, math.ceil(total / target_file_bytes))
+    df = read_snapshot(spark, path, version=cur)
+    version = write_snapshot(df.coalesce(target), path, mode="overwrite")
+    m = _read_manifest(path, version)
+    m["compaction_of"] = cur
+    _manifest_path(path, version).write_text(json.dumps(m))
+    return version
 
 
 def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:

@@ -106,7 +106,7 @@ def curation_sink(
     snapshot_commit = snap.snapshot_sink(snapshot_path)
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in set(snap.versions(snapshot_path)):
+        if snap.batch_committed(snapshot_path, batch_id):
             # Replay of a committed batch: shards were written before the
             # manifest, so both exist — no-op (pointer repair only).
             snapshot_commit(batch_df.limit(0), batch_id)
