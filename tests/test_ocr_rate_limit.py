@@ -194,3 +194,27 @@ def test_throttled_batch_through_mapinpandas_quarantines_not_loses(spark):
     assert len(got2) == 8  # zero lost rows
     assert all(r["doc_json"] is None for r in got2)
     assert all("WorkerThrottleError" in r["ocr_error"] for r in got2)
+
+
+def test_token_bucket_property_never_exceeds_rate():
+    """Hypothesis: for ANY (rate, burst, acquisition count), the grant
+    count inside every window [0, t] stays within burst + rate*t."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        rate=st.floats(min_value=0.1, max_value=1000.0, allow_nan=False),
+        burst=st.floats(min_value=1.0, max_value=64.0, allow_nan=False),
+        n=st.integers(min_value=1, max_value=200),
+    )
+    def check(rate, burst, n):
+        vt = VirtualTime()
+        lim = RateLimiter(rate, burst, clock=vt.clock, sleeper=vt.sleep)
+        grants = []
+        for _ in range(n):
+            lim.acquire()
+            grants.append(vt.now)
+        for i, t in enumerate(grants):
+            assert i + 1 <= burst + rate * t + 1e-6, (rate, burst, i, t)
+
+    check()
