@@ -1,0 +1,87 @@
+"""Incremental view maintenance over snapshot tables (operators/ivm.py):
+delta-only refresh equals full recompute; the incremental plan reads only
+the delta files; compaction in the chain triggers the full-recompute
+fallback and stays correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from receiptanalyzerpipeline_spark.operators.ivm import (
+    additive_agg,
+    refresh_additive_agg,
+)
+from receiptanalyzerpipeline_spark.sources.snapshots import (
+    compact_snapshot,
+    read_snapshot,
+    write_snapshot,
+)
+
+SUMS = {"sum_v": "v"}
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 2).cast("double").alias("v")
+    )
+
+
+def _rows(df):
+    return {(r["k"], r["n_rows"], r["sum_v"]) for r in df.collect()}
+
+
+def test_incremental_refresh_equals_full_recompute(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v0 = write_snapshot(_batch(spark, 0, 100), path)
+    mat = additive_agg(read_snapshot(spark, path, version=v0), ["k"], SUMS)
+
+    v1 = write_snapshot(_batch(spark, 100, 160), path)
+    v2 = write_snapshot(_batch(spark, 160, 200), path)
+
+    refreshed = refresh_additive_agg(
+        spark, path, mat, ["k"], SUMS, from_version=v0, to_version=v2
+    )
+    full = additive_agg(read_snapshot(spark, path, version=v2), ["k"], SUMS)
+    assert _rows(refreshed) == _rows(full)
+    assert v1 == 1  # sanity: appends chained
+
+
+def test_incremental_plan_reads_only_delta_files(spark, tmp_path):
+    from receiptanalyzerpipeline_spark.sources.snapshots import (
+        _read_manifest,
+        read_changes,
+    )
+
+    path = str(tmp_path / "tbl")
+    v0 = write_snapshot(_batch(spark, 0, 100), path)
+    v1 = write_snapshot(_batch(spark, 100, 120), path)
+    delta = read_changes(spark, path, v0, v1)
+    delta_files = {f.removeprefix("file://") for f in delta.inputFiles()}
+    all_files = set(_read_manifest(path, v1)["files"])
+    v0_files = set(_read_manifest(path, v0)["files"])
+    assert delta_files and delta_files == all_files - v0_files
+
+
+def test_refresh_is_noop_at_same_version(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v0 = write_snapshot(_batch(spark, 0, 50), path)
+    mat = additive_agg(read_snapshot(spark, path, version=v0), ["k"], SUMS)
+    same = refresh_additive_agg(
+        spark, path, mat, ["k"], SUMS, from_version=v0, to_version=v0
+    )
+    assert same is mat
+
+
+def test_compaction_in_chain_falls_back_to_full_recompute(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v0 = write_snapshot(_batch(spark, 0, 100), path)
+    mat = additive_agg(read_snapshot(spark, path, version=v0), ["k"], SUMS)
+    write_snapshot(_batch(spark, 100, 150), path)
+    compact_snapshot(spark, path)  # overwrite commit: file diff != row delta
+    v3 = write_snapshot(_batch(spark, 150, 180), path)
+
+    refreshed = refresh_additive_agg(
+        spark, path, mat, ["k"], SUMS, from_version=v0, to_version=v3
+    )
+    full = additive_agg(read_snapshot(spark, path, version=v3), ["k"], SUMS)
+    assert _rows(refreshed) == _rows(full)
