@@ -28,10 +28,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The driver's correctness gate records at most 50 queries, so this is
     the consolidated DRIVER_REGISTRY (≤50 entries): the headline bench
-    queries standalone (q_x30 via its portable-ML suite) plus suite
+    queries standalone (q_x30 via its portable-ML suite, q_x32 via the model-scoring suite) plus suite
     queries that fuse the remaining registry variants (plans/suites.py).
     Every entry has an oracle (zero rows-only
-    checks). The full 110+-entry REGISTRY — every
+    checks). The full 120+-entry REGISTRY — every
     individual member — stays covered by the local replica of the gate
     (tests/test_oracle_queries.py) and bench.py."""
     return {name: q.spark for name, q in sorted(DRIVER_REGISTRY.items())}
