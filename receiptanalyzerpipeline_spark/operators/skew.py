@@ -31,7 +31,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["salted_join", "detect_hot_keys", "auto_salted_join"]
 
 
 def salted_join(
@@ -75,3 +75,55 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return p.join(b, [*on, "__salt"], how).drop("__salt")
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    on: Sequence[str],
+    task_capacity_rows: int,
+    max_keys: int = 1000,
+):
+    """Data-driven hot-key detection (the occupancy-targeting idea a third
+    time: ``auto_n_planes`` sizes LSH buckets, ``auto_blocking_keys``
+    sizes ER blocks, THIS sizes join salts). One map-side-combined
+    aggregate finds keys whose group exceeds a task's row capacity; the
+    heaviest key sets the salt count (ceil(max/capacity)). The returned
+    hot-key frame is LIMIT-bounded to ``max_keys`` by descending count —
+    bounded driver-side decision data, the MLlib-fit class; if more than
+    ``max_keys`` keys are hot, the overflow still benefits from AQE skew
+    splitting and the bound is the documented trade.
+
+    Returns (hot_keys DataFrame with the ``on`` columns, n_salts)."""
+    import math
+
+    on = list(on)
+    counts = df.groupBy(*on).agg(F.count(F.lit(1)).alias("__cnt"))
+    hot = (
+        counts.where(F.col("__cnt") > task_capacity_rows)
+        .orderBy(F.col("__cnt").desc(), *on)
+        .limit(max_keys)
+    )
+    top = hot.agg(F.max("__cnt").alias("m")).first()
+    if top["m"] is None:
+        return hot.select(*on), 1
+    return hot.select(*on), max(2, math.ceil(top["m"] / task_capacity_rows))
+
+
+def auto_salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: Sequence[str],
+    task_capacity_rows: int,
+    salt_from: str | None = None,
+    how: str = "inner",
+    max_keys: int = 1000,
+) -> DataFrame:
+    """``salted_join`` with the hot-key set and salt count derived from
+    the PROBE side's key distribution. No hot keys -> the plain
+    equi-join, zero added cost."""
+    hot, n_salts = detect_hot_keys(probe, on, task_capacity_rows, max_keys)
+    if n_salts == 1:
+        return probe.join(build, list(on), how)
+    return salted_join(
+        probe, build, on, n_salts=n_salts, salt_from=salt_from, how=how, hot_keys=hot
+    )
