@@ -59,6 +59,9 @@ class EngineSession:
         self.spark = spark
         self.on_hazard = on_hazard
         self.views: list[str] = []
+        from receiptanalyzerpipeline_spark.functions.udtf import register_udtfs
+
+        register_udtfs(spark)  # engine UDTFs available to ad-hoc SQL
         if sf_dir:
             for name in TABLES:
                 table(spark, sf_dir, name).createOrReplaceTempView(name)

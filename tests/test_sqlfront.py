@@ -104,6 +104,13 @@ def test_curated_views_from_work_dir(spark, sf_dir, tmp_path):
     assert len(rows) == 1 and rows[0]["img_id"]
 
 
+def test_engine_udtfs_available_in_sql(engine):
+    rows = engine.sql(
+        "SELECT s.sentence FROM split_sentences('One. Two. Three.') AS s"
+    ).collect()
+    assert len(rows) == 3
+
+
 def test_cli_sql_subcommand(capsys):
     from receiptanalyzerpipeline_spark.cli import main
 
