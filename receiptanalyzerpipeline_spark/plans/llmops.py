@@ -325,6 +325,90 @@ def q_d7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_d10_keep_best_canonical",
+    oracle=f"""
+        WITH RECURSIVE
+        {_SHINGLES_CTE},
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        ),
+        sym AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM sym) t
+            UNION
+            SELECT s.a, r.r FROM sym s JOIN reach r ON r.id = s.b
+        ),
+        labels AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        q AS (
+            SELECT doc_id, CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        labeled AS (
+            SELECT q.doc_id,
+                   CAST(COALESCE(l.component, q.doc_id) AS BIGINT) AS cluster_id,
+                   q.n_tokens
+            FROM q LEFT JOIN labels l ON l.id = q.doc_id
+        )
+        SELECT doc_id, cluster_id, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_tokens DESC, doc_id) = 1
+                   AS is_canonical
+        FROM labeled
+        ORDER BY doc_id
+    """,
+    doc=(
+        "Canonical-document selection per near-dup cluster: instead of "
+        "smallest-id-wins, keep the BEST representative (longest by "
+        "whitespace token count, doc_id tiebreak) of each MinHash-LSH "
+        "connected component — the keep-best policy production dedup "
+        "pipelines apply so boilerplate-trimmed fragments don't shadow "
+        "their fuller originals. Singletons are their own canonical. "
+        "Every doc is emitted with its cluster id and the boolean, so "
+        "the downstream filter is a trivial WHERE is_canonical. Scale: "
+        "the cluster labels come from the banded-LSH + min-label "
+        "propagation path (never all-pairs); the selection itself is one "
+        "window over (cluster_id) — per-cluster state is O(1)."
+    ),
+    tags=("dedup", "curation", "graph"),
+)
+def q_d10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from receiptanalyzerpipeline_spark.operators.components import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5, n_hashes=32, rows_per_band=2
+    )
+    labels = connected_components(pairs.select("id_a", "id_b"))
+    q = docs.select(
+        "doc_id", T.token_count_ws(F.col("text")).cast("long").alias("n_tokens")
+    )
+    labeled = q.join(labels, q.doc_id == labels.id, "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).cast("long").alias("cluster_id"),
+        "n_tokens",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_tokens"), "doc_id")
+    return (
+        labeled.withColumn("is_canonical", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "n_tokens", "is_canonical")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "q_d4_simhash",
     oracle=f"""
         WITH tok AS (

@@ -204,11 +204,13 @@ _SUITES = [
             Part("cosine", "q_d5_cosine_neardup", {"id_a": "id_a", "id_b": "id_b", "v1": "sim"}),
             Part("crossmodal", "q_d6_crossmodal_neardup", {"id_a": "id_a", "id_b": "id_b", "v1": "cos_sim", "v2": "jaccard"}),
             Part("semantic", "q_d8_semantic_dedup", {"id_a": "vec_id", "id_b": "bucket", "kept": "kept"}),
+            Part("keepbest", "q_d10_keep_best_canonical", {"id_a": "doc_id", "id_b": "cluster_id", "v1": "CAST(n_tokens AS DOUBLE)", "kept": "is_canonical"}),
         ],
         order=["id_a", "id_b"],
         doc=(
             "Near-duplicate family: n-gram Jaccard, SimHash pigeonhole bands, "
-            "embedding cosine, cross-modal, and SemDeDup-style semantic dedup "
+            "embedding cosine, cross-modal, SemDeDup-style semantic dedup, "
+            "and keep-best canonical selection per dup cluster "
             "(SURVEY N2/N3, §2.11)."
         ),
         tags=("dedup", "similarity"),
