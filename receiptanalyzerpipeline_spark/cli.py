@@ -80,8 +80,15 @@ def cmd_watch(args: argparse.Namespace) -> int:
     from receiptanalyzerpipeline_spark.streaming.ingest import run_ingest
 
     work = Path(args.work_dir)
+    spark = _spark()
+    if args.metrics:
+        from receiptanalyzerpipeline_spark.streaming.observability import (
+            attach_progress_logger,
+        )
+
+        attach_progress_logger(spark, args.metrics)
     run_ingest(
-        _spark(),
+        spark,
         args.scan_dir,
         str(work / "checkpoint"),
         str(work / "raw_zone"),
@@ -244,6 +251,12 @@ def cmd_curate_stream(args: argparse.Namespace) -> int:
     )
 
     spark = _spark()
+    if args.metrics:
+        from receiptanalyzerpipeline_spark.streaming.observability import (
+            attach_progress_logger,
+        )
+
+        attach_progress_logger(spark, args.metrics)
     schema = spark.read.parquet(args.input).schema
     q = run_streaming_curation(
         spark,
@@ -314,6 +327,8 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("--ocr-rate", type=float, default=None,
                    help="per-task OCR calls/sec (token bucket + throttle retry)")
     w.add_argument("--once", action="store_true", help="availableNow: drain backlog and exit")
+    w.add_argument("--metrics", default=None,
+                   help="append per-batch progress JSONL here (observability)")
     w.set_defaults(fn=cmd_watch)
 
     h = sub.add_parser("hash-image", help="print the image's perceptual hash")
@@ -362,6 +377,8 @@ def build_parser() -> argparse.ArgumentParser:
     cs.add_argument("--text-col", default="text")
     cs.add_argument("--shards", type=int, default=16)
     cs.add_argument("--max-files-per-trigger", type=int, default=1)
+    cs.add_argument("--metrics", default=None,
+                    help="append per-batch progress JSONL here (observability)")
     cs.add_argument("--once", action="store_true", default=True,
                     help="availableNow: drain the backlog and exit (default)")
     cs.set_defaults(fn=cmd_curate_stream)
