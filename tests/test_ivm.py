@@ -85,3 +85,47 @@ def test_compaction_in_chain_falls_back_to_full_recompute(spark, tmp_path):
     )
     full = additive_agg(read_snapshot(spark, path, version=v3), ["k"], SUMS)
     assert _rows(refreshed) == _rows(full)
+
+
+def test_snapshot_op_interleavings_preserve_contents(spark, tmp_path):
+    """Randomized (seeded) interleavings of append / replay / compact /
+    expire must always leave the latest read equal to the multiset of
+    appended rows — the invariant every other layer (curation state,
+    IVM) builds on."""
+    import random
+
+    from receiptanalyzerpipeline_spark.sources.snapshots import (
+        compact_snapshot,
+        expire_snapshots,
+        read_snapshot,
+        snapshot_sink,
+        versions,
+    )
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"tbl_{seed}")
+        sink = snapshot_sink(path)
+        appended: list[int] = []
+        next_batch = 0
+        delivered: dict[int, tuple[int, int]] = {}
+        for _ in range(10):
+            op = rng.choice(["append", "append", "replay", "compact", "expire"])
+            if op == "append":
+                lo = next_batch * 100
+                hi = lo + rng.randint(1, 30)
+                delivered[next_batch] = (lo, hi)
+                sink(spark.range(lo, hi).toDF("id"), next_batch)
+                appended.extend(range(lo, hi))
+                next_batch += 1
+            elif op == "replay" and delivered:
+                b = rng.choice(sorted(delivered))
+                lo, hi = delivered[b]
+                sink(spark.range(lo, hi).toDF("id"), b)  # must be a no-op
+            elif op == "compact" and versions(path):
+                compact_snapshot(spark, path)
+            elif op == "expire" and len(versions(path)) > 2:
+                expire_snapshots(path, keep_last=2)
+            if versions(path):
+                got = sorted(r["id"] for r in read_snapshot(spark, path).collect())
+                assert got == sorted(appended), (seed, op)
