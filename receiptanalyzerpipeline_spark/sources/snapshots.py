@@ -128,7 +128,9 @@ def versions(path: str) -> list[int]:
     mdir = Path(path) / "manifests"
     if not mdir.exists():
         return []
-    return sorted(int(p.stem) for p in mdir.glob("*.json"))
+    # _batches.json (the expired-batch ledger) lives alongside; manifests
+    # are the purely-numeric stems.
+    return sorted(int(p.stem) for p in mdir.glob("*.json") if p.stem.isdigit())
 
 
 def read_changes(
@@ -151,13 +153,40 @@ def read_changes(
     return spark.read.parquet(*new)
 
 
+def _ledger_path(path: str) -> Path:
+    return Path(path) / "manifests" / "_batches.json"
+
+
+def _ledger_batch_ids(path: str) -> set[int]:
+    lp = _ledger_path(path)
+    if not lp.exists():
+        return set()
+    return set(json.loads(lp.read_text()))
+
+
+def _ledger_add(path: str, batch_ids: set[int]) -> None:
+    if not batch_ids:
+        return
+    lp = _ledger_path(path)
+    merged = sorted(_ledger_batch_ids(path) | batch_ids)
+    tmp = lp.with_suffix(".tmp")
+    tmp.write_text(json.dumps(merged))
+    os.replace(tmp, lp)
+
+
 def batch_committed(path: str, batch_id: int) -> bool:
-    """True iff some committed manifest records this micro-batch id.
+    """True iff this micro-batch id was ever committed.
 
     Replay detection keys on the RECORDED batch id, not on version-number
     equality: maintenance commits (compaction) interleave versions, so a
     sink that asked "does manifest <batch_id> exist?" would mistake the
-    compaction's version for its own batch and silently drop data."""
+    compaction's version for its own batch and silently drop data.
+    Sources: live manifests PLUS the ``_batches.json`` ledger, where
+    ``expire_snapshots`` preserves the batch ids of manifests it deletes
+    — without it, a very late replay of an already-expired batch would
+    re-commit as new data (duplicates)."""
+    if batch_id in _ledger_batch_ids(path):
+        return True
     for v in versions(path):
         if _read_manifest(path, v).get("batch_id") == batch_id:
             return True
@@ -285,6 +314,17 @@ def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:
         for f in _read_manifest(path, v)["files"]
         if f not in keep_files
     ]
+    # Preserve the expired manifests' batch ids BEFORE deleting them, so
+    # batch_committed still recognizes a very late replay of an expired
+    # batch (otherwise the sink would re-commit it as new data).
+    _ledger_add(
+        path,
+        {
+            bid
+            for v in expired
+            if (bid := _read_manifest(path, v).get("batch_id")) is not None
+        },
+    )
     for v in expired:
         _manifest_path(path, v).unlink()
     for f in drop_files:

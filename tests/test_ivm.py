@@ -129,3 +129,28 @@ def test_snapshot_op_interleavings_preserve_contents(spark, tmp_path):
             if versions(path):
                 got = sorted(r["id"] for r in read_snapshot(spark, path).collect())
                 assert got == sorted(appended), (seed, op)
+
+
+def test_replay_of_expired_batch_stays_a_noop(spark, tmp_path):
+    """The ledger closes the expire-then-replay hole: after retention
+    removes a batch's manifest, re-delivering that batch must STILL be
+    recognized as committed (no duplicate rows)."""
+    from receiptanalyzerpipeline_spark.sources.snapshots import (
+        batch_committed,
+        expire_snapshots,
+        read_snapshot,
+        snapshot_sink,
+        versions,
+    )
+
+    path = str(tmp_path / "tbl")
+    sink = snapshot_sink(path)
+    for b in range(4):
+        sink(spark.range(b * 10, (b + 1) * 10).toDF("id"), b)
+    expired = expire_snapshots(path, keep_last=2)
+    assert expired == [0, 1]
+    assert batch_committed(path, 0) and batch_committed(path, 1)
+
+    sink(spark.range(0, 10).toDF("id"), 0)  # late replay of expired batch
+    assert read_snapshot(spark, path).count() == 40  # no duplicates
+    assert versions(path) == [2, 3]
