@@ -53,6 +53,7 @@ class EngineSession:
         sf_dir: str | None = None,
         work_dir: str | None = None,
         on_hazard: str = "warn",
+        snapshot_tables: dict[str, str] | None = None,
     ):
         if on_hazard not in ("warn", "error", "ignore"):
             raise ValueError("on_hazard must be warn|error|ignore")
@@ -72,6 +73,14 @@ class EngineSession:
                 if df is not None:
                     df.createOrReplaceTempView(name)
                     self.views.append(name)
+        # Snapshot tables (sources/snapshots.py): the LATEST committed
+        # version as a view — manifest-defined, so concurrent commits
+        # never expose partial writes to a running query.
+        for name, spath in (snapshot_tables or {}).items():
+            from receiptanalyzerpipeline_spark.sources.snapshots import read_snapshot
+
+            read_snapshot(spark, spath).createOrReplaceTempView(name)
+            self.views.append(name)
 
     def sql(self, statement: str, name: str = "<sql>") -> DataFrame:
         """Parse + plan the statement, preflight the physical plan for

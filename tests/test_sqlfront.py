@@ -130,3 +130,14 @@ def test_cli_sql_subcommand(capsys):
     ])
     assert rc2 == 1
     assert "REJECTED" in capsys.readouterr().err
+
+
+def test_snapshot_tables_as_sql_views(spark, sf_dir, tmp_path):
+    from receiptanalyzerpipeline_spark.sources.snapshots import write_snapshot
+
+    path = str(tmp_path / "corpus")
+    write_snapshot(spark.range(25).toDF("id"), path)
+    eng = EngineSession(spark, sf_dir=sf_dir, snapshot_tables={"corpus": path})
+    assert "corpus" in eng.views
+    n = eng.sql("SELECT CAST(COUNT(*) AS BIGINT) AS n FROM corpus").first()["n"]
+    assert n == 25
