@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pair_mass", "auto_blocking_keys", "blocked_pairs"]
+__all__ = ["pair_mass", "auto_blocking_keys", "blocked_pairs", "join_cardinality"]
 
 TARGET_PAIRS_PER_RECORD = 32.0
 
@@ -106,3 +106,22 @@ def blocked_pairs(
     if cond is None:
         raise ValueError("need at least one blocking key")
     return a.join(b, cond)
+
+
+def join_cardinality(a: DataFrame, b: DataFrame, on: list[str]) -> int:
+    """EXACT output row count of the equi-join a ⋈ b on ``on`` — computed
+    from the two sides' per-key counts (Σ_k cnt_a(k)·cnt_b(k)) without
+    running the join. The two-sided sibling of ``pair_mass``: two
+    map-side-combined aggregates plus a key-cardinality join, so the
+    preflight costs O(distinct keys) however large the join output would
+    be — run it before an expensive join to decide salting
+    (``skew.detect_hot_keys``), blocking, or a bail-out, the same way
+    the plan audit vets shapes before execution."""
+    ca = a.groupBy(*on).agg(F.count(F.lit(1)).alias("__ca"))
+    cb = b.groupBy(*on).agg(F.count(F.lit(1)).alias("__cb"))
+    row = (
+        ca.join(cb, list(on))
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).cast("long").alias("m"))
+        .first()
+    )
+    return int(row["m"] or 0)

@@ -108,3 +108,16 @@ def test_er3_composite_is_derivable_from_stats(spark):
     assert keys and set(keys) <= {"nat", "seg", "bb"}
     m, n = pair_mass(cust, keys)
     assert m <= 32.0 * n
+
+
+def test_join_cardinality_is_exact(spark):
+    from receiptanalyzerpipeline_spark.operators.blocking import join_cardinality
+
+    a = spark.range(1000).select((F.col("id") % 30).alias("k"), F.col("id").alias("ai"))
+    b = spark.range(700).select((F.col("id") % 45).alias("k"), F.col("id").alias("bi"))
+    predicted = join_cardinality(a, b, ["k"])
+    actual = a.join(b, "k").count()
+    assert predicted == actual > 0
+
+    disjoint = spark.range(10).select((F.col("id") + 1000).alias("k"))
+    assert join_cardinality(a, disjoint, ["k"]) == 0
