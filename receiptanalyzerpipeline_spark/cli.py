@@ -220,6 +220,40 @@ def cmd_curate(args: argparse.Namespace) -> int:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+    if args.near_dedup:
+        # q_d10 policy over MinHash-LSH clusters: keep each near-dup
+        # cluster's longest representative (id tiebreak); singletons pass.
+        from receiptanalyzerpipeline_spark.operators.components import (
+            connected_components,
+        )
+        from receiptanalyzerpipeline_spark.operators.dedup import (
+            minhash_lsh_jaccard_pairs,
+        )
+        from receiptanalyzerpipeline_spark.operators.textanalysis import (
+            token_count_ws,
+        )
+
+        pairs = minhash_lsh_jaccard_pairs(
+            dedup, args.id_col, args.text_col,
+            k=3, threshold=0.5, n_hashes=32, rows_per_band=2,
+        )
+        labels = connected_components(pairs.select("id_a", "id_b")).select(
+            F.col("id").alias("__nd_id"), F.col("component").alias("__nd_comp")
+        )
+        labeled = dedup.join(
+            labels, dedup[args.id_col] == labels["__nd_id"], "left"
+        ).withColumn(
+            "__cluster",
+            F.coalesce(F.col("__nd_comp"), F.col(args.id_col)),
+        ).drop("__nd_id", "__nd_comp")
+        w = Window.partitionBy("__cluster").orderBy(
+            F.desc(token_count_ws(F.col(args.text_col))), F.col(args.id_col)
+        )
+        dedup = (
+            labeled.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__cluster")
+        )
     if args.eval_set:
         ev = spark.read.parquet(args.eval_set)
         hits = C.contaminated_ids(dedup, ev, args.id_col, args.text_col, k=5)
@@ -366,6 +400,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--text-col", default="text")
     c.add_argument("--shards", type=int, default=16)
     c.add_argument("--sample-rate", type=float, default=1.0)
+    c.add_argument("--near-dedup", action="store_true",
+                   help="also collapse MinHash-LSH near-dup clusters, keeping each cluster's longest doc (q_d10 policy)")
     c.set_defaults(fn=cmd_curate)
 
     cs = sub.add_parser("curate-stream", help="streaming curation: landing dir -> shards (exactly-once)")

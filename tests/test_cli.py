@@ -144,3 +144,40 @@ def test_cli_tokenize_trains_and_encodes(spark, tmp_path):
         rebuilt = "".join(r["bpe_tokens"]).replace("</w>", " ").strip()
         assert rebuilt == r["text"]
         assert r["n_bpe_tokens"] == len(r["bpe_tokens"])
+
+
+def test_cli_curate_near_dedup_keeps_cluster_best(spark, tmp_path):
+    """--near-dedup collapses MinHash near-dup clusters to their longest
+    member (q_d10 policy); without the flag both near-twins survive."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the curious cat "
+        "watches from the tall green fence near the quiet garden path today"
+    )
+    rows = [
+        (1, base),
+        (2, base + " with one extra trailing clause appended for length"),
+        (3, "an entirely different document about spark query planning and "
+            "distributed shuffle exchange strategies for large analytics"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    out1 = str(tmp_path / "plain")
+    assert main(["curate", "--input", src, "--output", out1]) == 0
+    kept1 = {r["doc_id"] for r in spark.read.parquet(out1).select("doc_id").collect()}
+    assert kept1 == {1, 2, 3}  # exact dedup alone keeps both near-twins
+
+    out2 = str(tmp_path / "near")
+    assert main(["curate", "--input", src, "--output", out2, "--near-dedup"]) == 0
+    kept2 = {r["doc_id"] for r in spark.read.parquet(out2).select("doc_id").collect()}
+    assert kept2 == {2, 3}  # cluster {1,2} -> longest member (2) survives
+
+    # id column literally named "id" must not collide with the
+    # connected-components output schema (id, component).
+    src_id = str(tmp_path / "docs_id.parquet")
+    spark.createDataFrame(rows, "id long, text string").write.parquet(src_id)
+    out3 = str(tmp_path / "near_id")
+    assert main(["curate", "--input", src_id, "--output", out3,
+                 "--id-col", "id", "--near-dedup"]) == 0
+    kept3 = {r["id"] for r in spark.read.parquet(out3).select("id").collect()}
+    assert kept3 == {2, 3}
