@@ -75,6 +75,50 @@ def q_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def _morton_sql(x: str, y: str, bits: int) -> str:
+    """DuckDB/Spark-portable bit interleave of two small non-negative ints
+    (arithmetic only — FLOOR/div/%, exact for BIGINT inputs), mirroring
+    ``sources.sinks.zvalue`` bit-for-bit."""
+    terms = []
+    for i in range(bits):
+        p = 1 << i
+        terms.append(f"(CAST(FLOOR(({x}) / {p}) AS BIGINT) % 2) * {1 << (2 * i)}")
+        terms.append(f"(CAST(FLOOR(({y}) / {p}) AS BIGINT) % 2) * {1 << (2 * i + 1)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "q_p5_zorder_cell",
+    oracle=f"""
+        SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+               CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               {_morton_sql("CAST(l_linenumber AS BIGINT)", "CAST(l_quantity AS BIGINT)", 6)} AS z
+        FROM lineitem
+        WHERE l_orderkey % 10 = 0
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    doc=(
+        "Morton (Z-order) cell id over (linenumber, quantity) — the exact "
+        "bit-interleave kernel behind write_zordered/compact_snapshot "
+        "cluster_by (SURVEY N7 layout policy), oracle-replayed arithmetically."
+    ),
+    tags=("projection", "layout"),
+)
+def q_p5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from receiptanalyzerpipeline_spark.sources.sinks import zvalue
+
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    z = zvalue(
+        [F.col("l_linenumber").cast("long"), F.col("l_quantity").cast("long")],
+        bits=6,
+    )
+    return li.select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        z.alias("z"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
 # ---------------------------------------------------------------------------
 # Q-A*: aggregation  (reference A1 pivot, A4-A6)
 # ---------------------------------------------------------------------------

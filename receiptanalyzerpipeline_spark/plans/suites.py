@@ -322,9 +322,10 @@ _SUITES = [
             Part("case", "q_p2_case_cast", {"id": "o_orderkey", "s": "size_class", "v1": "price_dec"}),
             Part("subquery", "q_p3_above_brand_avg", {"id": "p_partkey", "s": "p_brand", "v1": "price"}),
             Part("unpivot", "q_p4_unpivot", {"s": "measure", "n": "n", "v1": "total", "v2": "vmin", "v3": "vmax"}),
+            Part("zorder", "q_p5_zorder_cell", {"id": "l_orderkey", "n": "l_linenumber", "v1": "z"}),
         ],
         order=["id", "s"],
-        doc="CASE/cast projection + correlated-subquery filter + unpivot/melt (SURVEY P3, §2.2).",
+        doc="CASE/cast projection + correlated-subquery filter + unpivot/melt + Morton z-cell (SURVEY P3, §2.2, N7).",
         tags=("projection",),
     ),
     Suite(

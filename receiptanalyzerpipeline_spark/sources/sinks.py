@@ -274,38 +274,30 @@ def zvalue(cols: list, bits: int = 16) -> F.Column:  # type: ignore[name-defined
     return z
 
 
-def write_zordered(
+def zorder_frame(
     df: DataFrame,
-    path: str,
     cols: list[str],
     n_files: int = 16,
     bits: int = 16,
-) -> None:
-    """Z-order clustered writer: multi-dimensional data skipping without
-    partitioning (SURVEY N7 layout policy, Delta OPTIMIZE ZORDER shape).
+) -> DataFrame:
+    """Return ``df`` re-clustered in Z-order on ``cols``: range-partitioned
+    into ``n_files`` slices of the Morton curve and sorted within each, so
+    each output file owns a compact z-range ⇒ a tight min/max envelope on
+    EVERY clustered column. Returns ``df`` unchanged when the input is
+    empty or a cluster column is all-NULL (no bounds to bucketize over).
 
-    A sort on one column gives perfect parquet min/max skipping on that
-    column and none on any other; interleaving the bucketized bits of k
-    columns gives useful skipping on EVERY clustered column at once — the
-    layout for 100 TB fact tables probed by more than one key.
-
-    Mechanics: each cluster column is mapped into 2^bits equal-width cells
-    with ``width_bucket`` over its [min, max] (one 2-scalar agg fetch per
+    Each cluster column is mapped into 2^bits equal-width cells with
+    ``width_bucket`` over its [min, max] (one 2-scalar agg fetch per
     column — never a per-row collect; heavy value skew would call for
     quantile-based cell edges instead, the Delta range-id variant), the
-    cell ids are Morton-interleaved JVM-side, and the frame is
-    range-repartitioned + sorted by that z-value so each output file owns
-    a compact z-range ⇒ a tight min/max envelope on every column.
+    cell ids are Morton-interleaved JVM-side.
     """
     n_buckets = 1 << bits
     bounds = df.agg(
         *[f for c in cols for f in (F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))]
     ).first()
     if any(bounds[f"lo_{c}"] is None for c in cols):
-        # Empty input (or an all-NULL cluster column): no bounds to bucketize
-        # over — write the frame as-is rather than failing on float(None).
-        df.write.mode("overwrite").parquet(path)
-        return
+        return df
     bucketized = []
     for c in cols:
         lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
@@ -322,10 +314,27 @@ def write_zordered(
         # and map NULL cells to 0 so NULL rows cluster together at the origin.
         bucketized.append(F.coalesce(F.least(cell - 1, F.lit(n_buckets - 1)), F.lit(0)))
     zdf = df.withColumn("__z__", zvalue(bucketized, bits))
-    (
+    return (
         zdf.repartitionByRange(n_files, "__z__")
         .sortWithinPartitions("__z__")
         .drop("__z__")
-        .write.mode("overwrite")
-        .parquet(path)
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Z-order clustered writer: multi-dimensional data skipping without
+    partitioning (SURVEY N7 layout policy, Delta OPTIMIZE ZORDER shape).
+
+    A sort on one column gives perfect parquet min/max skipping on that
+    column and none on any other; interleaving the bucketized bits of k
+    columns gives useful skipping on EVERY clustered column at once — the
+    layout for 100 TB fact tables probed by more than one key. See
+    ``zorder_frame`` for the mechanics.
+    """
+    zorder_frame(df, cols, n_files, bits).write.mode("overwrite").parquet(path)

@@ -259,8 +259,257 @@ def snapshot_sink(path: str):
     return commit
 
 
+def _commit_manifest(
+    path: str, files: list[str], mode: str, extra: dict | None = None
+) -> int:
+    """Commit a prepared file list as the next version (shared tail of the
+    copy-on-write ops below). Data files must already be fully written."""
+    committed = versions(path)
+    version = committed[-1] + 1 if committed else 0
+    mdir = Path(path) / "manifests"
+    mdir.mkdir(parents=True, exist_ok=True)
+    m = {"version": version, "mode": mode, "files": files}
+    if extra:
+        m.update(extra)
+    _manifest_path(path, version).write_text(json.dumps(m))
+    tmp = _version_file(path).with_suffix(".tmp")
+    tmp.write_text(str(version))
+    os.replace(tmp, _version_file(path))
+    return version
+
+
+def _plain_path(f: str) -> str:
+    """input_file_name returns a file:/ or file:/// URI on local
+    filesystems; manifests store plain absolute paths."""
+    import re
+
+    return re.sub(r"^file:/+", "/", f)
+
+
+def _touched_files(df: DataFrame, condition) -> set[str]:
+    """Distinct data files containing at least one row matching
+    ``condition``. ``input_file_name`` is materialized BEFORE the filter
+    so provenance survives whatever plan follows. O(live files)
+    driver-side result — same order as the manifest itself, the
+    documented bounded-collect class."""
+    from pyspark.sql import functions as F
+
+    return {
+        _plain_path(r["__f"])
+        for r in df.withColumn("__f", F.input_file_name())
+        .where(condition)
+        .select("__f")
+        .distinct()
+        .collect()
+    }
+
+
+def merge_upsert(
+    spark: SparkSession, source: DataFrame, path: str, key_cols: list[str]
+) -> int:
+    """MERGE INTO (SCD1 upsert) by key, copy-on-write: matched target rows
+    are replaced by their source row, unmatched source rows are inserted.
+    Returns the new version number.
+
+    100 TB posture — this is the Delta/Iceberg MERGE file-pruning shape:
+    only data files that CONTAIN a matching key are rewritten; every other
+    live file is carried into the new manifest untouched (a metadata move,
+    zero I/O). The match probe is a broadcast-able semi-join of the
+    target against the source's distinct keys, so a small upsert into a
+    huge table touches O(matching files), not O(table). Prior versions
+    stay readable (time travel) until retention expires them.
+
+    Source keys must be unique — multiple source rows per key make the
+    merge ambiguous (same error contract as Delta's
+    ``MergeIntoCommand``); raises ``ValueError``.
+    """
+    from pyspark.sql import functions as F
+
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    for k in key_cols:
+        if k not in source.columns:
+            raise ValueError(f"key column {k!r} missing from source")
+    dup = (
+        source.groupBy(*key_cols)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"source has multiple rows for key {tuple(dup[0][k] for k in key_cols)}; "
+            "MERGE requires unique source keys"
+        )
+    target = read_snapshot(spark, path, version=cur)
+    if set(target.columns) != set(source.columns):
+        raise ValueError(
+            f"schema mismatch: target {sorted(target.columns)} vs "
+            f"source {sorted(source.columns)}"
+        )
+    keys = F.broadcast(source.select(*key_cols).distinct())
+    # File provenance is materialized at the scan, BEFORE the semi-join,
+    # so it survives any join strategy Catalyst picks.
+    tgt_keys = target.select(F.input_file_name().alias("__f"), *key_cols)
+    touched = {
+        _plain_path(r["__f"])
+        for r in tgt_keys.join(keys, key_cols, "left_semi")
+        .select("__f")
+        .distinct()
+        .collect()
+    }
+    live = _read_manifest(path, cur)["files"]
+    carried = [f for f in live if f not in touched]
+    version_next = (versions(path)[-1] if versions(path) else -1) + 1
+    data_dir = Path(path) / "data" / f"snap-{version_next}"
+    # New file set = surviving rows from touched files (key NOT in source)
+    # + the full source (updates and inserts), written before the manifest
+    # commit — readers of the current version are unaffected throughout.
+    survivors = (
+        (spark.read.parquet(*sorted(touched)) if touched else target.limit(0))
+        .join(keys, key_cols, "left_anti")
+    )
+    out = survivors.unionByName(source.select(*target.columns))
+    out.write.mode("error").parquet(str(data_dir))
+    new_files = sorted(
+        str(p) for p in data_dir.glob("*.parquet") if not p.name.startswith("_")
+    )
+    return _commit_manifest(
+        path,
+        carried + new_files,
+        "merge",
+        {"merge_of": cur, "rewrote_files": len(touched), "carried_files": len(carried)},
+    )
+
+
+def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
+    """DELETE FROM ... WHERE ``predicate`` (a SQL boolean expression),
+    copy-on-write: files containing at least one matching row are
+    rewritten without those rows; all other live files are carried over
+    untouched (metadata-only). Returns the new version number. Prior
+    versions still contain the deleted rows — retention
+    (``expire_snapshots``) is the GDPR-style physical purge step."""
+    from pyspark.sql import functions as F
+
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    target = read_snapshot(spark, path, version=cur)
+    cond = F.expr(predicate)
+    touched = _touched_files(target, cond)
+    live = _read_manifest(path, cur)["files"]
+    carried = [f for f in live if f not in touched]
+    if not touched:
+        return _commit_manifest(path, carried, "delete", {"delete_of": cur})
+    version_next = (versions(path)[-1] if versions(path) else -1) + 1
+    data_dir = Path(path) / "data" / f"snap-{version_next}"
+    spark.read.parquet(*sorted(touched)).where(~cond).write.mode("error").parquet(
+        str(data_dir)
+    )
+    new_files = sorted(
+        str(p) for p in data_dir.glob("*.parquet") if not p.name.startswith("_")
+    )
+    return _commit_manifest(
+        path,
+        carried + new_files,
+        "delete",
+        {"delete_of": cur, "rewrote_files": len(touched), "carried_files": len(carried)},
+    )
+
+
+def _file_stats(
+    spark: SparkSession, files: list[str], stats_cols: list[str]
+) -> dict:
+    """Per-file [min, max] for each stats column, one scan of ``files``
+    (grouped on file provenance — O(files) result rows). Values must be
+    JSON-representable; non-numeric/non-string values are stringified
+    (pruning then compares as strings, which is correct for ISO dates)."""
+    from pyspark.sql import functions as F
+
+    if not files:
+        return {}
+    rows = (
+        spark.read.parquet(*files)
+        .groupBy(F.input_file_name().alias("__f"))
+        .agg(
+            *[
+                f
+                for c in stats_cols
+                for f in (F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))
+            ]
+        )
+        .collect()
+    )
+
+    def _plain(v):
+        return v if isinstance(v, (int, float, str, type(None))) else str(v)
+
+    stats: dict = {}
+    for r in rows:
+        f = _plain_path(r["__f"])
+        stats[f] = {c: [_plain(r[f"lo_{c}"]), _plain(r[f"hi_{c}"])] for c in stats_cols}
+    return stats
+
+
+def file_stats(path: str, version: int | None = None) -> dict:
+    """Zone-map stats recorded in ``version``'s manifest (may be {})."""
+    if version is None:
+        version = current_version(path)
+    return _read_manifest(path, version).get("stats", {})
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    path: str,
+    bounds: dict[str, tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Read AS OF ``version`` touching only files whose manifest zone-map
+    COULD contain a row inside ``bounds`` (``{col: (lo, hi)}``, inclusive;
+    either end may be None for open ranges).
+
+    This is scan-free data skipping: the decision uses manifest stats
+    only — pruned files are never opened, which at object-store scale
+    means no GET at all (vs parquet footer skipping, which still pays an
+    open+footer read per file). Files with no recorded stats for a bound
+    column are conservatively kept. The caller still applies the actual
+    row filter — pruning is file-granular, not row-granular.
+    """
+    if version is None:
+        version = current_version(path)
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+    manifest = _read_manifest(path, version)
+    stats = manifest.get("stats", {})
+
+    def _overlaps(f: str) -> bool:
+        st = stats.get(f)
+        if st is None:
+            return True
+        for col, (lo, hi) in bounds.items():
+            rng = st.get(col)
+            if rng is None or rng[0] is None or rng[1] is None:
+                continue  # unknown or all-NULL file range: cannot exclude
+            if lo is not None and rng[1] < lo:
+                return False
+            if hi is not None and rng[0] > hi:
+                return False
+        return True
+
+    keep = [f for f in manifest["files"] if _overlaps(f)]
+    if not keep:
+        return read_snapshot(spark, path, version).limit(0)
+    return spark.read.parquet(*keep)
+
+
 def compact_snapshot(
-    spark: SparkSession, path: str, target_file_bytes: int = 128 << 20
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    cluster_by: list[str] | None = None,
+    bits: int = 16,
 ) -> int:
     """Rewrite the LIVE file set into size-targeted files as a NEW
     version (the Iceberg/Delta OPTIMIZE analogue). Logically a no-op —
@@ -275,7 +524,12 @@ def compact_snapshot(
     live chain is back to O(data/target_file_bytes) files. Safe against
     a live stream: the sink detects replays by recorded batch id, so a
     compaction commit taking the next version number cannot be mistaken
-    for a delivered batch."""
+    for a delivered batch.
+
+    With ``cluster_by``, the rewrite is Z-order clustered on those columns
+    (the Delta ``OPTIMIZE ... ZORDER BY`` analogue, via ``zorder_frame``)
+    and the new manifest records per-file [min, max] zone maps for them,
+    which ``read_snapshot_pruned`` uses for scan-free file skipping."""
     cur = current_version(path)
     if cur is None:
         raise FileNotFoundError(f"no committed version at {path}")
@@ -285,9 +539,18 @@ def compact_snapshot(
     total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
     target = max(1, math.ceil(total / target_file_bytes))
     df = read_snapshot(spark, path, version=cur)
-    version = write_snapshot(df.coalesce(target), path, mode="overwrite")
+    if cluster_by:
+        from receiptanalyzerpipeline_spark.sources.sinks import zorder_frame
+
+        df = zorder_frame(df, cluster_by, n_files=target, bits=bits)
+    else:
+        df = df.coalesce(target)
+    version = write_snapshot(df, path, mode="overwrite")
     m = _read_manifest(path, version)
     m["compaction_of"] = cur
+    if cluster_by:
+        m["cluster_by"] = cluster_by
+        m["stats"] = _file_stats(spark, m["files"], cluster_by)
     _manifest_path(path, version).write_text(json.dumps(m))
     return version
 

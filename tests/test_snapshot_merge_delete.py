@@ -1,0 +1,187 @@
+"""Copy-on-write MERGE / DELETE and zone-map data skipping on the
+snapshot layer (Delta/Iceberg MERGE INTO, DELETE FROM, and OPTIMIZE
+ZORDER + file-skipping analogues)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from receiptanalyzerpipeline_spark.sources import snapshots as snap
+
+
+def _rows(df):
+    return {tuple(r) for r in df.select(*sorted(df.columns)).collect()}
+
+
+def _table(spark, tmp_path, batches):
+    path = str(tmp_path / "tbl")
+    for b in batches:
+        snap.write_snapshot(
+            spark.createDataFrame(b, "k long, v string"), path, mode="append"
+        )
+    return path
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    path = _table(spark, tmp_path, [[(1, "a"), (2, "b")], [(3, "c"), (4, "d")]])
+    v_before = snap.current_version(path)
+    src = spark.createDataFrame([(2, "B!"), (5, "e")], "k long, v string")
+    v = snap.merge_upsert(spark, src, path, ["k"])
+    assert v == v_before + 1
+    got = _rows(snap.read_snapshot(spark, path))
+    assert got == {(1, "a"), (2, "B!"), (3, "c"), (4, "d"), (5, "e")}
+    # Time travel: the pre-merge version is untouched.
+    before = _rows(snap.read_snapshot(spark, path, version=v_before))
+    assert before == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+
+
+def test_merge_rewrites_only_matching_files(spark, tmp_path):
+    # Batch 1 holds keys 1-2, batch 2 holds keys 3-4; a merge touching
+    # only key 2 must carry batch 2's files over as pure metadata.
+    path = str(tmp_path / "tbl")
+    snap.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(1),
+        path,
+        mode="append",
+    )
+    snap.write_snapshot(
+        spark.createDataFrame([(3, "c"), (4, "d")], "k long, v string").coalesce(1),
+        path,
+        mode="append",
+    )
+    files_before = snap._read_manifest(path, snap.current_version(path))["files"]
+    batch2_files = [f for f in files_before if "/snap-1/" in f]
+    assert batch2_files
+    src = spark.createDataFrame([(2, "B!")], "k long, v string")
+    v = snap.merge_upsert(spark, src, path, ["k"])
+    m = snap._read_manifest(path, v)
+    assert m["mode"] == "merge"
+    assert m["rewrote_files"] == 1
+    # Batch 2's file is carried verbatim — no rewrite, no new copy.
+    for f in batch2_files:
+        assert f in m["files"]
+    got = _rows(snap.read_snapshot(spark, path))
+    assert got == {(1, "a"), (2, "B!"), (3, "c"), (4, "d")}
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    path = _table(spark, tmp_path, [[(1, "a")]])
+    src = spark.createDataFrame([(1, "x"), (1, "y")], "k long, v string")
+    with pytest.raises(ValueError, match="unique source keys"):
+        snap.merge_upsert(spark, src, path, ["k"])
+
+
+def test_merge_rejects_schema_mismatch(spark, tmp_path):
+    path = _table(spark, tmp_path, [[(1, "a")]])
+    src = spark.createDataFrame([(1, "x", 0.5)], "k long, v string, extra double")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snap.merge_upsert(spark, src, path, ["k"])
+
+
+def test_delete_where_removes_rows_and_carries_untouched_files(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(1),
+        path,
+        mode="append",
+    )
+    snap.write_snapshot(
+        spark.createDataFrame([(3, "c"), (4, "d")], "k long, v string").coalesce(1),
+        path,
+        mode="append",
+    )
+    v_before = snap.current_version(path)
+    v = snap.delete_where(spark, path, "k = 1")
+    m = snap._read_manifest(path, v)
+    assert m["mode"] == "delete"
+    assert m["rewrote_files"] == 1 and m["carried_files"] == 1
+    assert _rows(snap.read_snapshot(spark, path)) == {(2, "b"), (3, "c"), (4, "d")}
+    # Deleted rows remain in history until retention purges them.
+    assert (1, "a") in _rows(snap.read_snapshot(spark, path, version=v_before))
+    # No-match delete commits a metadata-only version.
+    v2 = snap.delete_where(spark, path, "k = 999")
+    assert _rows(snap.read_snapshot(spark, path, version=v2)) == {
+        (2, "b"),
+        (3, "c"),
+        (4, "d"),
+    }
+
+
+def test_merge_delete_modes_force_ivm_full_recompute(spark, tmp_path):
+    # IVM's delta-only fast path requires an append-only chain; MERGE and
+    # DELETE rewrite history and must be detected as non-append commits.
+    path = _table(spark, tmp_path, [[(1, "a")]])
+    v0 = snap.current_version(path)
+    snap.merge_upsert(
+        spark, spark.createDataFrame([(2, "b")], "k long, v string"), path, ["k"]
+    )
+    v1 = snap.current_version(path)
+    assert not snap._read_manifest(path, v1)["mode"] == "append"
+    from receiptanalyzerpipeline_spark.operators.ivm import _chain_is_append
+
+    assert not _chain_is_append(path, v0, v1)
+
+
+def test_clustered_compaction_zone_maps_prune_on_both_dims(spark, tmp_path):
+    # 2-D uniform grid appended as row-major stripes (perfectly clustered
+    # on x, scattered on y). After Z-order compaction both dimensions get
+    # tight per-file envelopes, so a small box query prunes most files —
+    # using manifest stats alone, no file opens.
+    path = str(tmp_path / "tbl")
+    n = 64
+    rows = [(x, y, x * n + y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long, payload long")
+    snap.write_snapshot(df, path, mode="append")
+    v = snap.compact_snapshot(
+        spark, path, target_file_bytes=4 << 10, cluster_by=["x", "y"], bits=6
+    )
+    m = snap._read_manifest(path, v)
+    assert m["cluster_by"] == ["x", "y"]
+    n_files = len(m["files"])
+    assert n_files >= 8
+    stats = snap.file_stats(path, v)
+    assert set(stats) == set(m["files"])
+    # A box covering ~1/64 of the grid must skip the large majority of files.
+    bounds = {"x": (0, 7), "y": (0, 7)}
+    pruned = snap.read_snapshot_pruned(spark, path, bounds, version=v)
+    kept_files = {
+        f
+        for f in m["files"]
+        if not (stats[f]["x"][1] < 0 or stats[f]["x"][0] > 7)
+        and not (stats[f]["y"][1] < 0 or stats[f]["y"][0] > 7)
+    }
+    assert len(kept_files) < n_files / 2
+    # Pruned read + row filter == full read + row filter (file pruning is
+    # a pure optimization, never a semantics change).
+    expect = _rows(
+        snap.read_snapshot(spark, path, version=v).where(
+            "x between 0 and 7 and y between 0 and 7"
+        )
+    )
+    got = _rows(pruned.where("x between 0 and 7 and y between 0 and 7"))
+    assert got == expect and len(expect) == 64
+
+
+def test_pruning_keeps_files_without_stats(spark, tmp_path):
+    # Plain (unclustered) compaction records no stats: pruning must keep
+    # every file (conservative), never silently drop data.
+    path = _table(spark, tmp_path, [[(1, "a"), (2, "b")]])
+    v = snap.compact_snapshot(spark, path)
+    pruned = snap.read_snapshot_pruned(spark, path, {"k": (999, 1000)}, version=v)
+    assert _rows(pruned) == {(1, "a"), (2, "b")}
+
+
+def test_stats_survive_json_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.write_snapshot(
+        spark.createDataFrame([(1, "a"), (9, "z")], "k long, v string"), path
+    )
+    v = snap.compact_snapshot(spark, path, cluster_by=["k"], bits=4)
+    raw = json.loads((Path(path) / "manifests" / f"{v}.json").read_text())
+    for f, st in raw["stats"].items():
+        assert Path(f).exists()
+        lo, hi = st["k"]
+        assert isinstance(lo, int) and isinstance(hi, int) and lo <= hi
