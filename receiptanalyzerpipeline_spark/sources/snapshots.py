@@ -62,13 +62,20 @@ def _read_manifest(path: str, version: int) -> dict:
     return json.loads(_manifest_path(path, version).read_text())
 
 
-def write_snapshot(df: DataFrame, path: str, mode: str = "append") -> int:
+def write_snapshot(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    manifest_extra: dict | None = None,
+) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
     ``append`` keeps prior versions' files in the new manifest;
     ``overwrite`` starts the manifest from only the new files (old files
     stay on disk — historical versions remain readable until a
-    retention pass removes them).
+    retention pass removes them). ``manifest_extra`` entries are written
+    INTO the manifest atomically with the commit (e.g. a streaming
+    sink's ``batch_id`` replay marker).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -100,9 +107,10 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append") -> int:
     # crash window above (manifest committed, rename never ran).
     mdir = Path(path) / "manifests"
     mdir.mkdir(parents=True, exist_ok=True)
-    _manifest_path(path, version).write_text(
-        json.dumps({"version": version, "mode": mode, "files": files})
-    )
+    m = {"version": version, "mode": mode, "files": files}
+    if manifest_extra:
+        m.update(manifest_extra)
+    _manifest_path(path, version).write_text(json.dumps(m))
     tmp = _version_file(path).with_suffix(".tmp")
     tmp.write_text(str(version))
     os.replace(tmp, _version_file(path))  # atomic: old or new, never a mix
@@ -259,6 +267,86 @@ def snapshot_sink(path: str):
     return commit
 
 
+def _fresh_data_dir(path: str) -> Path:
+    """Data directory for the next version, cleaning any orphan left by a
+    crash between a data write and its manifest commit (no manifest
+    references a dir numbered above every committed version)."""
+    version_next = (versions(path)[-1] if versions(path) else -1) + 1
+    data_dir = Path(path) / "data" / f"snap-{version_next}"
+    if data_dir.exists():
+        import shutil
+
+        shutil.rmtree(data_dir)
+    return data_dir
+
+
+def _repair_pointer(path: str) -> None:
+    """Advance a VERSION pointer left stale by a crash between a manifest
+    write and the pointer rename (manifests, not the pointer, define
+    committedness — see ``current_version``)."""
+    vs = versions(path)
+    if not vs:
+        return
+    vf = _version_file(path)
+    if not vf.exists() or int(vf.read_text().strip()) < vs[-1]:
+        tmp = vf.with_suffix(".tmp")
+        tmp.write_text(str(vs[-1]))
+        os.replace(tmp, vf)
+
+
+def merge_sink(path: str, key_cols: list[str], order_col: str | None = None):
+    """``foreachBatch`` function applying each micro-batch as a MERGE
+    upsert (CDC-apply: streaming key-value changes materialize into a
+    snapshot table holding the latest row per key), EXACTLY-ONCE under
+    replay via the same batch-id manifest contract as ``snapshot_sink``.
+
+    ``order_col``: within-batch last-wins — when a batch carries several
+    changes for one key, the row with the greatest ``order_col`` wins
+    (MERGE itself requires unique source keys). Cross-batch ordering is
+    Structured Streaming's: batches commit in order and replays are
+    whole-batch no-ops, so the table never regresses to an older value.
+
+    First batch bootstraps the table (append commit); later batches are
+    copy-on-write merges rewriting only the files their keys touch — the
+    upsert cost tracks the CHANGE volume, not the table size.
+
+    Usage::
+
+        cdc.writeStream.foreachBatch(merge_sink(path, ["k"], "seq")).start()
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_committed(path, batch_id):
+            _repair_pointer(path)
+            return
+        df = batch_df
+        if order_col is not None:
+            w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col))
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        if df.isEmpty():
+            return
+        if current_version(path) is None:
+            write_snapshot(
+                df, path, mode="append", manifest_extra={"batch_id": batch_id}
+            )
+        else:
+            merge_upsert(
+                df.sparkSession,
+                df,
+                path,
+                key_cols,
+                manifest_extra={"batch_id": batch_id},
+            )
+
+    return commit
+
+
 def _commit_manifest(
     path: str, files: list[str], mode: str, extra: dict | None = None
 ) -> int:
@@ -305,7 +393,11 @@ def _touched_files(df: DataFrame, condition) -> set[str]:
 
 
 def merge_upsert(
-    spark: SparkSession, source: DataFrame, path: str, key_cols: list[str]
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    key_cols: list[str],
+    manifest_extra: dict | None = None,
 ) -> int:
     """MERGE INTO (SCD1 upsert) by key, copy-on-write: matched target rows
     are replaced by their source row, unmatched source rows are inserted.
@@ -362,8 +454,7 @@ def merge_upsert(
     }
     live = _read_manifest(path, cur)["files"]
     carried = [f for f in live if f not in touched]
-    version_next = (versions(path)[-1] if versions(path) else -1) + 1
-    data_dir = Path(path) / "data" / f"snap-{version_next}"
+    data_dir = _fresh_data_dir(path)
     # New file set = surviving rows from touched files (key NOT in source)
     # + the full source (updates and inserts), written before the manifest
     # commit — readers of the current version are unaffected throughout.
@@ -380,7 +471,12 @@ def merge_upsert(
         path,
         carried + new_files,
         "merge",
-        {"merge_of": cur, "rewrote_files": len(touched), "carried_files": len(carried)},
+        {
+            "merge_of": cur,
+            "rewrote_files": len(touched),
+            "carried_files": len(carried),
+            **(manifest_extra or {}),
+        },
     )
 
 
@@ -403,8 +499,7 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     carried = [f for f in live if f not in touched]
     if not touched:
         return _commit_manifest(path, carried, "delete", {"delete_of": cur})
-    version_next = (versions(path)[-1] if versions(path) else -1) + 1
-    data_dir = Path(path) / "data" / f"snap-{version_next}"
+    data_dir = _fresh_data_dir(path)
     spark.read.parquet(*sorted(touched)).where(~cond).write.mode("error").parquet(
         str(data_dir)
     )

@@ -174,6 +174,67 @@ def test_pruning_keeps_files_without_stats(spark, tmp_path):
     assert _rows(pruned) == {(1, "a"), (2, "b")}
 
 
+def test_merge_sink_cdc_apply_exactly_once(spark, tmp_path):
+    """Streaming CDC-apply: key-value change batches materialize into a
+    snapshot table holding the latest row per key (within-batch last-wins
+    by seq); a full replay from a fresh checkpoint is a no-op."""
+    import json as _json
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # Batch files (maxFilesPerTrigger=1 → one batch each, in name order):
+    # f0 inserts k=1,2; f1 updates k=2 twice in-batch (seq decides) and
+    # inserts k=3; f2 updates k=1.
+    batches = [
+        [{"k": 1, "v": "a", "seq": 1}, {"k": 2, "v": "b", "seq": 2}],
+        [
+            {"k": 2, "v": "stale", "seq": 3},
+            {"k": 2, "v": "B!", "seq": 4},
+            {"k": 3, "v": "c", "seq": 5},
+        ],
+        [{"k": 1, "v": "A!", "seq": 6}],
+    ]
+    for i, b in enumerate(batches):
+        with open(landing / f"f{i}.json", "w") as f:
+            for row in b:
+                f.write(_json.dumps(row) + "\n")
+
+    table_path = str(tmp_path / "tbl")
+
+    def run(checkpoint: str) -> None:
+        stream = (
+            spark.readStream.schema("k long, v string, seq long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(landing))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                snap.merge_sink(table_path, ["k"], order_col="seq")
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+
+    run(str(tmp_path / "cp1"))
+    vs = snap.versions(table_path)
+    got = {
+        (r["k"], r["v"])
+        for r in snap.read_snapshot(spark, table_path).select("k", "v").collect()
+    }
+    assert got == {(1, "A!"), (2, "B!"), (3, "c")}
+    # Fresh checkpoint: every batch is redelivered; batch-id manifests
+    # make each redelivery a no-op (no version churn, same contents).
+    run(str(tmp_path / "cp2"))
+    assert snap.versions(table_path) == vs
+    got2 = {
+        (r["k"], r["v"])
+        for r in snap.read_snapshot(spark, table_path).select("k", "v").collect()
+    }
+    assert got2 == got
+
+
 def test_stats_survive_json_roundtrip(spark, tmp_path):
     path = str(tmp_path / "tbl")
     snap.write_snapshot(
