@@ -107,7 +107,14 @@ def write_snapshot(
     # crash window above (manifest committed, rename never ran).
     mdir = Path(path) / "manifests"
     mdir.mkdir(parents=True, exist_ok=True)
-    m = {"version": version, "mode": mode, "files": files}
+    # Schema travels with the commit so a version whose file list is empty
+    # (all rows deleted, empty bootstrap batch) stays readable.
+    m = {
+        "version": version,
+        "mode": mode,
+        "files": files,
+        "schema": df.schema.jsonValue(),
+    }
     if manifest_extra:
         m.update(manifest_extra)
     _manifest_path(path, version).write_text(json.dumps(m))
@@ -127,7 +134,12 @@ def read_snapshot(
             raise FileNotFoundError(f"no committed version at {path}")
     manifest = _read_manifest(path, version)
     if not manifest["files"]:
-        raise FileNotFoundError(f"version {version} at {path} lists no files")
+        sch = manifest.get("schema")
+        if sch is None:
+            raise FileNotFoundError(f"version {version} at {path} lists no files")
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(sch))
     return spark.read.parquet(*manifest["files"])
 
 
@@ -259,6 +271,7 @@ def snapshot_sink(path: str):
                     "mode": "append",
                     "batch_id": batch_id,
                     "files": files,
+                    "schema": batch_df.schema.jsonValue(),
                 }
             )
         )
@@ -475,6 +488,7 @@ def merge_upsert(
             "merge_of": cur,
             "rewrote_files": len(touched),
             "carried_files": len(carried),
+            "schema": target.schema.jsonValue(),
             **(manifest_extra or {}),
         },
     )
@@ -498,7 +512,10 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     live = _read_manifest(path, cur)["files"]
     carried = [f for f in live if f not in touched]
     if not touched:
-        return _commit_manifest(path, carried, "delete", {"delete_of": cur})
+        return _commit_manifest(
+            path, carried, "delete",
+            {"delete_of": cur, "schema": target.schema.jsonValue()},
+        )
     data_dir = _fresh_data_dir(path)
     spark.read.parquet(*sorted(touched)).where(~cond).write.mode("error").parquet(
         str(data_dir)
@@ -510,7 +527,12 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
         path,
         carried + new_files,
         "delete",
-        {"delete_of": cur, "rewrote_files": len(touched), "carried_files": len(carried)},
+        {
+            "delete_of": cur,
+            "rewrote_files": len(touched),
+            "carried_files": len(carried),
+            "schema": target.schema.jsonValue(),
+        },
     )
 
 

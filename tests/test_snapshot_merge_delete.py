@@ -235,6 +235,58 @@ def test_merge_sink_cdc_apply_exactly_once(spark, tmp_path):
     assert got2 == got
 
 
+def test_merge_delete_interleavings_match_model(spark, tmp_path):
+    """Randomized (seeded) interleavings of MERGE / DELETE / clustered or
+    plain compaction / retention must always leave the latest read equal
+    to a driver-side key→value model — the copy-on-write analogue of the
+    append-layer interleaving invariant in test_ivm."""
+    import random
+
+    for seed in (11, 42):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"tbl_{seed}")
+        model: dict[int, int] = {}
+        for step in range(8):
+            op = rng.choice(["merge", "merge", "delete", "compact", "expire"])
+            if op == "merge" or not model:
+                ks = rng.sample(range(20), rng.randint(1, 6))
+                rows = [(k, rng.randint(0, 999)) for k in ks]
+                src = spark.createDataFrame(rows, "k long, v long")
+                if snap.current_version(path) is None:
+                    snap.write_snapshot(src, path, mode="append")
+                else:
+                    snap.merge_upsert(spark, src, path, ["k"])
+                model.update(dict(rows))
+            elif op == "delete":
+                m, r = rng.randint(2, 5), rng.randint(0, 1)
+                snap.delete_where(spark, path, f"k % {m} = {r}")
+                model = {k: v for k, v in model.items() if k % m != r}
+            elif op == "compact":
+                cluster = rng.choice([None, ["k"], ["k", "v"]])
+                snap.compact_snapshot(spark, path, cluster_by=cluster)
+            elif op == "expire":
+                snap.expire_snapshots(path, keep_last=2)
+            if snap.versions(path):
+                live = snap.read_snapshot(spark, path)
+                got = {(r["k"], r["v"]) for r in live.collect()}
+                assert got == set(model.items()), (seed, step, op)
+
+
+def test_delete_to_empty_table_stays_readable(spark, tmp_path):
+    """Deleting every row is a legal state: the manifest carries the
+    schema, so the empty version reads back as a typed empty frame and a
+    later merge can repopulate it."""
+    path = _table(spark, tmp_path, [[(1, "a"), (2, "b")]])
+    snap.delete_where(spark, path, "k >= 0")
+    live = snap.read_snapshot(spark, path)
+    assert live.count() == 0
+    assert dict(live.dtypes) == {"k": "bigint", "v": "string"}
+    snap.merge_upsert(
+        spark, spark.createDataFrame([(7, "z")], "k long, v string"), path, ["k"]
+    )
+    assert _rows(snap.read_snapshot(spark, path)) == {(7, "z")}
+
+
 def test_stats_survive_json_roundtrip(spark, tmp_path):
     path = str(tmp_path / "tbl")
     snap.write_snapshot(
