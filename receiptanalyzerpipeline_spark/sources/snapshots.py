@@ -101,8 +101,11 @@ def write_snapshot(
         str(p) for p in data_dir.glob("*.parquet") if not p.name.startswith("_")
     )
     files = new_files
+    stat_fields: dict = {}
     if mode == "append" and prev is not None:
-        files = _read_manifest(path, prev)["files"] + new_files
+        pm = _read_manifest(path, prev)
+        files = pm["files"] + new_files
+        stat_fields = _propagate_stats(df.sparkSession, pm, pm["files"], new_files)
     # The VERSION rename below also REPAIRS a pointer left stale by the
     # crash window above (manifest committed, rename never ran).
     mdir = Path(path) / "manifests"
@@ -114,6 +117,7 @@ def write_snapshot(
         "mode": mode,
         "files": files,
         "schema": df.schema.jsonValue(),
+        **stat_fields,
     }
     if manifest_extra:
         m.update(manifest_extra)
@@ -455,17 +459,38 @@ def merge_upsert(
             f"source {sorted(source.columns)}"
         )
     keys = F.broadcast(source.select(*key_cols).distinct())
-    # File provenance is materialized at the scan, BEFORE the semi-join,
-    # so it survives any join strategy Catalyst picks.
-    tgt_keys = target.select(F.input_file_name().alias("__f"), *key_cols)
-    touched = {
-        _plain_path(r["__f"])
-        for r in tgt_keys.join(keys, key_cols, "left_semi")
-        .select("__f")
-        .distinct()
-        .collect()
-    }
     live = _read_manifest(path, cur)["files"]
+    # Probe pruning: when the live manifest carries zone maps for key
+    # columns (clustered compaction), files whose key range cannot overlap
+    # the source's [min, max] are excluded from the match probe BEFORE any
+    # scan — so a narrow upsert into a clustered table probes O(overlap)
+    # files, not O(table). Conservative: files without stats are probed.
+    stats = _read_manifest(path, cur).get("stats", {})
+    probe_files = live
+    if stats and live:
+        kb = source.agg(
+            *[
+                f
+                for k in key_cols
+                for f in (F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}"))
+            ]
+        ).first()
+        kbounds = {k: (kb[f"lo_{k}"], kb[f"hi_{k}"]) for k in key_cols}
+        probe_files = [f for f in live if _zone_overlaps(stats.get(f), kbounds)]
+    if probe_files:
+        probe = spark.read.parquet(*probe_files)
+        # File provenance is materialized at the scan, BEFORE the
+        # semi-join, so it survives any join strategy Catalyst picks.
+        tgt_keys = probe.select(F.input_file_name().alias("__f"), *key_cols)
+        touched = {
+            _plain_path(r["__f"])
+            for r in tgt_keys.join(keys, key_cols, "left_semi")
+            .select("__f")
+            .distinct()
+            .collect()
+        }
+    else:
+        touched = set()
     carried = [f for f in live if f not in touched]
     data_dir = _fresh_data_dir(path)
     # New file set = surviving rows from touched files (key NOT in source)
@@ -489,6 +514,7 @@ def merge_upsert(
             "rewrote_files": len(touched),
             "carried_files": len(carried),
             "schema": target.schema.jsonValue(),
+            **_propagate_stats(spark, _read_manifest(path, cur), carried, new_files),
             **(manifest_extra or {}),
         },
     )
@@ -514,7 +540,11 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     if not touched:
         return _commit_manifest(
             path, carried, "delete",
-            {"delete_of": cur, "schema": target.schema.jsonValue()},
+            {
+                "delete_of": cur,
+                "schema": target.schema.jsonValue(),
+                **_propagate_stats(spark, _read_manifest(path, cur), carried, []),
+            },
         )
     data_dir = _fresh_data_dir(path)
     spark.read.parquet(*sorted(touched)).where(~cond).write.mode("error").parquet(
@@ -532,6 +562,7 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
             "rewrote_files": len(touched),
             "carried_files": len(carried),
             "schema": target.schema.jsonValue(),
+            **_propagate_stats(spark, _read_manifest(path, cur), carried, new_files),
         },
     )
 
@@ -563,7 +594,9 @@ def _file_stats(
     def _plain(v):
         return v if isinstance(v, (int, float, str, type(None))) else str(v)
 
-    stats: dict = {}
+    # Every file gets an entry; zero-row files (a writer partition that
+    # held no data) keep null ranges, which pruning treats conservatively.
+    stats: dict = {f: {c: [None, None] for c in stats_cols} for f in files}
     for r in rows:
         f = _plain_path(r["__f"])
         stats[f] = {c: [_plain(r[f"lo_{c}"]), _plain(r[f"hi_{c}"])] for c in stats_cols}
@@ -575,6 +608,50 @@ def file_stats(path: str, version: int | None = None) -> dict:
     if version is None:
         version = current_version(path)
     return _read_manifest(path, version).get("stats", {})
+
+
+def _propagate_stats(
+    spark: SparkSession,
+    prev_manifest: dict,
+    carried_files: list[str],
+    new_files: list[str],
+) -> dict:
+    """Once a table is clustered, zone maps persist across later commits:
+    carried files keep their recorded ranges (data files are immutable),
+    and only the commit's NEW files are scanned for stats — O(change),
+    never O(table). Returns manifest fields to merge ({} when the table
+    has never been clustered)."""
+    scols = prev_manifest.get("cluster_by")
+    if not scols:
+        return {}
+    prev_stats = prev_manifest.get("stats", {})
+    stats = {f: prev_stats[f] for f in carried_files if f in prev_stats}
+    if new_files:
+        if not set(scols) <= set(spark.read.parquet(*new_files).columns):
+            return {}  # schema drifted away from the clustered columns
+        stats.update(_file_stats(spark, new_files, scols))
+    return {"stats": stats, "cluster_by": scols}
+
+
+def _zone_overlaps(st: dict | None, bounds: dict) -> bool:
+    """Conservative zone-map check: False only when a file's recorded
+    [min, max] range PROVES it cannot hold a row inside ``bounds``."""
+    if st is None:
+        return True
+    for col, (lo, hi) in bounds.items():
+        rng = st.get(col)
+        if rng is None or rng[0] is None or rng[1] is None:
+            continue  # unknown or all-NULL file range: cannot exclude
+        try:
+            if lo is not None and rng[1] < lo:
+                return False
+            if hi is not None and rng[0] > hi:
+                return False
+        except TypeError:
+            # Stats stringify non-primitive values; a caller passing the
+            # raw type can't be compared — keep the file (conservative).
+            continue
+    return True
 
 
 def read_snapshot_pruned(
@@ -600,22 +677,7 @@ def read_snapshot_pruned(
             raise FileNotFoundError(f"no committed version at {path}")
     manifest = _read_manifest(path, version)
     stats = manifest.get("stats", {})
-
-    def _overlaps(f: str) -> bool:
-        st = stats.get(f)
-        if st is None:
-            return True
-        for col, (lo, hi) in bounds.items():
-            rng = st.get(col)
-            if rng is None or rng[0] is None or rng[1] is None:
-                continue  # unknown or all-NULL file range: cannot exclude
-            if lo is not None and rng[1] < lo:
-                return False
-            if hi is not None and rng[0] > hi:
-                return False
-        return True
-
-    keep = [f for f in manifest["files"] if _overlaps(f)]
+    keep = [f for f in manifest["files"] if _zone_overlaps(stats.get(f), bounds)]
     if not keep:
         return read_snapshot(spark, path, version).limit(0)
     return spark.read.parquet(*keep)

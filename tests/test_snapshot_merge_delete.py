@@ -235,6 +235,48 @@ def test_merge_sink_cdc_apply_exactly_once(spark, tmp_path):
     assert got2 == got
 
 
+def test_zone_maps_persist_across_append_merge_delete(spark, tmp_path):
+    """Once clustered, zone maps survive later commits: carried files keep
+    their recorded ranges, new files get stats scanned at commit time, so
+    read_snapshot_pruned (and MERGE's probe pruning) keep working over the
+    table's whole lifecycle."""
+    path = str(tmp_path / "tbl")
+    snap.write_snapshot(
+        spark.range(0, 1000).selectExpr("id AS k", "id % 7 AS v"), path
+    )
+    snap.compact_snapshot(spark, path, target_file_bytes=4 << 10, cluster_by=["k"])
+
+    # Append: new files must appear in the propagated stats.
+    v_app = snap.write_snapshot(
+        spark.createDataFrame([(5000, 1)], "k long, v long").coalesce(1),
+        path,
+        mode="append",
+    )
+    m = snap._read_manifest(path, v_app)
+    assert m["cluster_by"] == ["k"] and set(m["stats"]) == set(m["files"])
+    new_file_stats = [s for f, s in m["stats"].items() if "/snap-2/" in f]
+    assert new_file_stats == [{"k": [5000, 5000]}]
+
+    # Merge far outside every clustered file's range: probe pruning means
+    # zero rewrites (pure insert), and stats still cover every live file.
+    v_mrg = snap.merge_upsert(
+        spark, spark.createDataFrame([(9000, 9)], "k long, v long"), path, ["k"]
+    )
+    m = snap._read_manifest(path, v_mrg)
+    assert m["rewrote_files"] == 0
+    assert set(m["stats"]) == set(m["files"])
+
+    # Delete inside one file's range: only overlapping files rewritten,
+    # stats follow, and a pruned read over the deleted range sees nothing.
+    v_del = snap.delete_where(spark, path, "k = 5000")
+    m = snap._read_manifest(path, v_del)
+    assert set(m["stats"]) == set(m["files"])
+    assert snap.read_snapshot_pruned(
+        spark, path, {"k": (5000, 5000)}, version=v_del
+    ).where("k = 5000").count() == 0
+    assert snap.read_snapshot(spark, path).count() == 1001  # 1000 + 9000 - 5000
+
+
 def test_merge_delete_interleavings_match_model(spark, tmp_path):
     """Randomized (seeded) interleavings of MERGE / DELETE / clustered or
     plain compaction / retention must always leave the latest read equal
