@@ -3,21 +3,30 @@ tables (sources/snapshots.py).
 
 An additive aggregate — per-key SUMs and COUNTs, and anything derived
 from them (averages, rates) — can be refreshed from version A to version
-B by aggregating ONLY the delta files (``read_changes``) and merging the
-partials into the materialized result: the map-side-combine identity
+B by aggregating ONLY the changed rows and merging the partials into the
+materialized result: the map-side-combine identity
 ``agg(base ∪ delta) = merge(agg(base), agg(delta))``. At 100 TB this is
 the difference between a nightly full rescan and touching the day's new
 files; it is exactly the partial/final split Spark's hash aggregate
 already performs inside one job, lifted across table versions.
 
-Contract: the snapshot chain between the two versions must be APPEND
-commits (the streaming sink's mode). Across an overwrite commit —
-compaction rewrites every file — the file diff no longer equals the row
-delta, so ``refresh_additive_agg`` detects any non-append manifest in
-(from_version, to_version] and falls back to a full recompute (correct,
-just not incremental). MIN/MAX and DISTINCT are deliberately out of
-scope: they are not subtractable, which is why production IVM engines
-restrict themselves to the same additive class.
+Two refresh modes, picked automatically:
+
+- **Append-only chain** (the streaming sink's mode): the delta is the
+  added files (``read_changes``), inserts only.
+- **Retraction chain** (MERGE/DELETE commits present): the delta is the
+  row-level change feed (``read_row_changes``) — deletes SUBTRACT from
+  the materialized partials, inserts add, and keys whose row count
+  reaches zero drop out. Compaction commits are logical no-ops and cost
+  nothing. This is classic retraction-stream IVM (the Flink/DBSP shape)
+  over a table log.
+
+Only a plain (non-compaction) OVERWRITE forces a full recompute: it
+rewrites every file, so the retraction delta would be
+retract-everything + insert-everything — correct but strictly worse
+than recomputing. MIN/MAX and DISTINCT are deliberately out of scope:
+they are not subtractable, which is why production IVM engines restrict
+themselves to the same additive class.
 """
 
 from __future__ import annotations
@@ -49,6 +58,21 @@ def _chain_is_append(path: str, from_version: int, to_version: int) -> bool:
     return True
 
 
+def _chain_is_retractable(path: str, from_version: int, to_version: int) -> bool:
+    """True when every commit in the (present) chain is append, merge,
+    delete, or compaction — i.e. the row-level change feed is both exact
+    and cheaper than a recompute. ``from_version`` must still exist."""
+    present = snap.versions(path)
+    if from_version not in present:
+        return False
+    for v in present:
+        if from_version < v <= to_version:
+            m = snap._read_manifest(path, v)
+            if m.get("mode") == "overwrite" and "compaction_of" not in m:
+                return False
+    return True
+
+
 def refresh_additive_agg(
     spark: SparkSession,
     path: str,
@@ -59,20 +83,36 @@ def refresh_additive_agg(
     to_version: int | None = None,
 ) -> DataFrame:
     """Refresh ``materialized`` (= ``additive_agg`` at ``from_version``)
-    to ``to_version`` (default: latest) by aggregating only the delta
-    files and merging partials. Falls back to a full recompute when the
-    version chain contains a non-append (overwrite/compaction) commit."""
+    to ``to_version`` (default: latest) by aggregating only the changed
+    rows and merging partials — inserts add, deletes subtract, emptied
+    keys drop out. Falls back to a full recompute only when the chain
+    contains a plain overwrite commit (or ``from_version`` expired)."""
     if to_version is None:
         to_version = snap.current_version(path)
     if to_version == from_version:
         return materialized
-    if not _chain_is_append(path, from_version, to_version):
+    if not _chain_is_retractable(path, from_version, to_version):
         return additive_agg(
             snap.read_snapshot(spark, path, version=to_version), keys, sums
         )
-    delta = snap.read_changes(spark, path, from_version, to_version)
-    delta_agg = additive_agg(delta, keys, sums)
+    if _chain_is_append(path, from_version, to_version):
+        # Insert-only fast path: reads the added files, no _op column.
+        delta_agg = additive_agg(
+            snap.read_changes(spark, path, from_version, to_version), keys, sums
+        )
+    else:
+        changes = snap.read_row_changes(spark, path, from_version, to_version)
+        sign = F.when(F.col("_op") == "insert", F.lit(1)).otherwise(F.lit(-1))
+        delta_agg = changes.groupBy(*keys).agg(
+            F.sum(sign).cast("long").alias("n_rows"),
+            *[F.sum(sign * F.col(src)).alias(out) for out, src in sums.items()],
+        )
     merge = [F.sum("n_rows").cast("long").alias("n_rows")] + [
         F.sum(out).alias(out) for out in sums
     ]
-    return materialized.unionByName(delta_agg).groupBy(*keys).agg(*merge)
+    return (
+        materialized.unionByName(delta_agg)
+        .groupBy(*keys)
+        .agg(*merge)
+        .where(F.col("n_rows") > 0)
+    )

@@ -177,6 +177,66 @@ def read_changes(
     return spark.read.parquet(*new)
 
 
+def read_row_changes(
+    spark: SparkSession, path: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Row-level change feed with RETRACTIONS (the Delta CDF shape): table
+    rows tagged ``_op`` ('insert' | 'delete') and ``_version``, covering
+    every commit in (from_version, to_version].
+
+    Derivation is pure manifest file-diffing — no row diffing, no extra
+    commit-time bookkeeping: a commit's removed files are emitted as
+    deletes and its added files as inserts, so an UPDATE surfaces as
+    delete(old)+insert(new). Rows a MERGE carried through a rewritten
+    file appear as a self-cancelling delete+insert pair — more delta
+    volume than minimal CDC, but exact for any retraction-aware consumer
+    (additive aggregates subtract deletes; see ``operators/ivm.py``), and
+    the volume is O(files touched), never O(table).
+
+    Compaction commits are logical no-ops and emit nothing. Consecutive
+    PRESENT manifests are diffed, so an expired intermediate version
+    simply folds its changes into the next surviving commit's diff — the
+    net change stays exact. Requires ``from_version``'s manifest to still
+    exist (retention must keep at least the IVM watermark)."""
+    from pyspark.sql import functions as F
+
+    if to_version is None:
+        to_version = current_version(path)
+    present = [v for v in versions(path) if from_version <= v <= to_version]
+    if not present or present[0] != from_version:
+        raise FileNotFoundError(
+            f"version {from_version} at {path} expired; row-level changes "
+            "cannot be derived (retention must keep the consumer watermark)"
+        )
+    frames = []
+    prev_files = set(_read_manifest(path, from_version)["files"])
+    for v in present[1:]:
+        m = _read_manifest(path, v)
+        cur_files = set(m["files"])
+        if "compaction_of" not in m:
+            for files, op in (
+                (sorted(prev_files - cur_files), "delete"),
+                (sorted(cur_files - prev_files), "insert"),
+            ):
+                if files:
+                    frames.append(
+                        spark.read.parquet(*files)
+                        .withColumn("_op", F.lit(op))
+                        .withColumn("_version", F.lit(v).cast("long"))
+                    )
+        prev_files = cur_files
+    if not frames:
+        return (
+            read_snapshot(spark, path, version=to_version)
+            .limit(0)
+            .withColumn("_op", F.lit("").cast("string"))
+            .withColumn("_version", F.lit(0).cast("long"))
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
 def _ledger_path(path: str) -> Path:
     return Path(path) / "manifests" / "_batches.json"
 

@@ -1,7 +1,7 @@
 """Incremental view maintenance over snapshot tables (operators/ivm.py):
 delta-only refresh equals full recompute; the incremental plan reads only
-the delta files; compaction in the chain triggers the full-recompute
-fallback and stays correct."""
+the delta files; MERGE/DELETE commits refresh via the retraction change
+feed; compaction in the chain is a logical no-op for the feed."""
 
 from __future__ import annotations
 
@@ -72,18 +72,79 @@ def test_refresh_is_noop_at_same_version(spark, tmp_path):
     assert same is mat
 
 
-def test_compaction_in_chain_falls_back_to_full_recompute(spark, tmp_path):
+def test_compaction_in_chain_stays_incremental_and_correct(spark, tmp_path):
+    """Compaction is a logical no-op: the change feed skips it entirely,
+    so the refresh stays incremental (reads only genuinely-new files,
+    never the compaction rewrite) and matches a full recompute."""
+    from receiptanalyzerpipeline_spark.sources.snapshots import read_row_changes
+
     path = str(tmp_path / "tbl")
     v0 = write_snapshot(_batch(spark, 0, 100), path)
     mat = additive_agg(read_snapshot(spark, path, version=v0), ["k"], SUMS)
     write_snapshot(_batch(spark, 100, 150), path)
-    compact_snapshot(spark, path)  # overwrite commit: file diff != row delta
+    compact_snapshot(spark, path)
     v3 = write_snapshot(_batch(spark, 150, 180), path)
 
     refreshed = refresh_additive_agg(
         spark, path, mat, ["k"], SUMS, from_version=v0, to_version=v3
     )
     full = additive_agg(read_snapshot(spark, path, version=v3), ["k"], SUMS)
+    assert _rows(refreshed) == _rows(full)
+    # The feed contains exactly the appended rows (80), no retractions
+    # from the compaction rewrite.
+    feed = read_row_changes(spark, path, v0, v3)
+    assert feed.where("_op = 'delete'").count() == 0
+    assert feed.count() == 80
+
+
+def test_refresh_across_merge_and_delete_uses_retractions(spark, tmp_path):
+    """MERGE and DELETE commits refresh incrementally: deletes subtract
+    from the materialized partials, and a key whose rows all vanish
+    drops out of the view — identical to a full recompute."""
+    from receiptanalyzerpipeline_spark.sources.snapshots import (
+        delete_where,
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "tbl")
+    # Keys 0..4; k=4 appears only in rows id in {4,9,...}.
+    v0 = write_snapshot(_batch(spark, 0, 100), path)
+    mat = additive_agg(read_snapshot(spark, path, version=v0), ["k"], SUMS)
+
+    # Upsert: change some rows' v; insert brand-new key 7.
+    src = spark.createDataFrame(
+        [(0, 1000.0), (7, 5.0)], "k long, v double"
+    )
+    merge_upsert(spark, src, path, ["k"])
+    # Delete an entire key: it must disappear from the refreshed view.
+    v2 = delete_where(spark, path, "k = 4")
+
+    refreshed = refresh_additive_agg(
+        spark, path, mat, ["k"], SUMS, from_version=v0, to_version=v2
+    )
+    full = additive_agg(read_snapshot(spark, path, version=v2), ["k"], SUMS)
+    assert _rows(refreshed) == _rows(full)
+    assert not [r for r in refreshed.collect() if r["k"] == 4]
+    assert {r["k"]: r["sum_v"] for r in refreshed.collect()}[7] == 5.0
+
+
+def test_refresh_with_expired_watermark_falls_back(spark, tmp_path):
+    """Retention can outrun an IVM consumer: when from_version's manifest
+    is gone, the refresh silently degrades to a (correct) full recompute
+    instead of failing or guessing."""
+    from receiptanalyzerpipeline_spark.sources.snapshots import expire_snapshots
+
+    path = str(tmp_path / "tbl")
+    v0 = write_snapshot(_batch(spark, 0, 100), path)
+    mat = additive_agg(read_snapshot(spark, path, version=v0), ["k"], SUMS)
+    write_snapshot(_batch(spark, 100, 150), path)
+    v2 = write_snapshot(_batch(spark, 150, 180), path)
+    assert v0 in expire_snapshots(path, keep_last=2)
+
+    refreshed = refresh_additive_agg(
+        spark, path, mat, ["k"], SUMS, from_version=v0, to_version=v2
+    )
+    full = additive_agg(read_snapshot(spark, path, version=v2), ["k"], SUMS)
     assert _rows(refreshed) == _rows(full)
 
 
