@@ -188,6 +188,79 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_table(args: argparse.Namespace) -> int:
+    """Snapshot-table maintenance (sources/snapshots.py): DESCRIBE
+    HISTORY, MERGE INTO, DELETE FROM, OPTIMIZE [ZORDER], VACUUM, and the
+    row-level change feed — the Delta/Iceberg maintenance verbs over the
+    manifest-based table layer."""
+    from receiptanalyzerpipeline_spark.sources import snapshots as snap
+
+    spark = _spark()
+    p, op = args.table_path, args.table_op
+    if op == "history":
+        rows = []
+        for v in snap.versions(p):
+            m = snap._read_manifest(p, v)
+            rows.append(
+                (
+                    v,
+                    m.get("mode", ""),
+                    len(m["files"]),
+                    m.get("rewrote_files"),
+                    m.get("carried_files"),
+                    "compaction" if "compaction_of" in m else "",
+                    m.get("batch_id"),
+                    ",".join(m.get("cluster_by") or []),
+                )
+            )
+        spark.createDataFrame(
+            rows,
+            "version long, mode string, n_files long, rewrote_files long, "
+            "carried_files long, note string, batch_id long, cluster_by string",
+        ).orderBy("version").show(n=1000, truncate=False)
+        return 0
+    if op == "merge":
+        if not (args.source and args.keys):
+            print("merge needs --source and --keys", file=sys.stderr)
+            return 2
+        src = spark.read.parquet(args.source)
+        v = snap.merge_upsert(spark, src, p, args.keys.split(","))
+        m = snap._read_manifest(p, v)
+        print(
+            f"committed version {v}: rewrote {m['rewrote_files']} file(s), "
+            f"carried {m['carried_files']}"
+        )
+        return 0
+    if op == "delete":
+        if not args.where:
+            print("delete needs --where", file=sys.stderr)
+            return 2
+        v = snap.delete_where(spark, p, args.where)
+        m = snap._read_manifest(p, v)
+        print(
+            f"committed version {v}: rewrote {m.get('rewrote_files', 0)} file(s), "
+            f"carried {m.get('carried_files', len(m['files']))}"
+        )
+        return 0
+    if op == "compact":
+        cluster = args.cluster_by.split(",") if args.cluster_by else None
+        v = snap.compact_snapshot(
+            spark, p, target_file_bytes=args.target_file_mb << 20, cluster_by=cluster
+        )
+        n = len(snap._read_manifest(p, v)["files"])
+        print(f"committed version {v}: {n} file(s)" + (f", clustered on {cluster}" if cluster else ""))
+        return 0
+    if op == "vacuum":
+        expired = snap.expire_snapshots(p, keep_last=args.keep_last)
+        print(f"expired versions: {expired or 'none'}")
+        return 0
+    # op == "changes"
+    snap.read_row_changes(spark, p, args.from_version).show(
+        n=args.max_rows, truncate=False
+    )
+    return 0
+
+
 def cmd_curate(args: argparse.Namespace) -> int:
     """End-to-end training-data curation (the q_x24 pipeline, user-facing):
     quality rules -> exact-content dedup -> optional eval-set 5-gram
@@ -391,6 +464,24 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     pa.add_argument("--query", action="append", help="limit to specific queries (repeatable)")
     pa.set_defaults(fn=cmd_audit)
+
+    tb = sub.add_parser(
+        "table",
+        help="snapshot table maintenance: history | merge | delete | compact | vacuum | changes",
+    )
+    tb.add_argument(
+        "table_op", choices=["history", "merge", "delete", "compact", "vacuum", "changes"]
+    )
+    tb.add_argument("table_path", help="snapshot table directory")
+    tb.add_argument("--source", help="merge: parquet path of the upsert source")
+    tb.add_argument("--keys", help="merge: comma-separated key columns")
+    tb.add_argument("--where", help="delete: SQL boolean predicate")
+    tb.add_argument("--cluster-by", help="compact: comma-separated Z-order columns")
+    tb.add_argument("--target-file-mb", type=int, default=128, help="compact: target file size")
+    tb.add_argument("--keep-last", type=int, default=2, help="vacuum: versions to keep")
+    tb.add_argument("--from-version", type=int, default=0, help="changes: starting version")
+    tb.add_argument("--max-rows", type=int, default=100)
+    tb.set_defaults(fn=cmd_table)
 
     c = sub.add_parser("curate", help="end-to-end corpus curation -> training shards")
     c.add_argument("--input", required=True, help="documents parquet path")

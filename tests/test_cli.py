@@ -181,3 +181,42 @@ def test_cli_curate_near_dedup_keeps_cluster_best(spark, tmp_path):
                  "--id-col", "id", "--near-dedup"]) == 0
     kept3 = {r["id"] for r in spark.read.parquet(out3).select("id").collect()}
     assert kept3 == {2, 3}
+
+
+def test_cli_table_lifecycle(spark, tmp_path, capsys):
+    """table subcommand: merge/delete/compact/history/changes/vacuum drive
+    the snapshot layer end-to-end from the CLI."""
+    from receiptanalyzerpipeline_spark.sources import snapshots as snap
+
+    path = str(tmp_path / "tbl")
+    snap.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), path
+    )
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame([(2, "B!"), (3, "c")], "k long, v string").write.parquet(src)
+
+    assert main(["table", "merge", path, "--source", src, "--keys", "k"]) == 0
+    assert "committed version 1" in capsys.readouterr().out
+    assert main(["table", "delete", path, "--where", "k = 1"]) == 0
+    capsys.readouterr()
+    assert main(["table", "compact", path, "--cluster-by", "k", "--target-file-mb", "1"]) == 0
+    capsys.readouterr()
+
+    got = {tuple(r) for r in snap.read_snapshot(spark, path).select("k", "v").collect()}
+    assert got == {(2, "B!"), (3, "c")}
+
+    assert main(["table", "history", path]) == 0
+    hist = capsys.readouterr().out
+    assert "merge" in hist and "delete" in hist and "compaction" in hist
+
+    assert main(["table", "changes", path, "--from-version", "0"]) == 0
+    feed = capsys.readouterr().out
+    assert "delete" in feed and "insert" in feed
+
+    assert main(["table", "vacuum", path, "--keep-last", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "expired versions: [0, 1, 2]" in out
+    assert snap.versions(path) == [3]
+
+    # Arg validation: merge without --keys is a usage error.
+    assert main(["table", "merge", path, "--source", src]) == 2
