@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from receiptanalyzerpipeline_spark.sources import snapshots as snap
 
-__all__ = ["additive_agg", "refresh_additive_agg"]
+__all__ = ["additive_agg", "refresh_additive_agg", "materialize_view"]
 
 
 def additive_agg(
@@ -115,4 +115,53 @@ def refresh_additive_agg(
         .groupBy(*keys)
         .agg(*merge)
         .where(F.col("n_rows") > 0)
+    )
+
+
+def materialize_view(
+    spark: SparkSession,
+    base_path: str,
+    view_path: str,
+    keys: list[str],
+    sums: dict[str, str],
+) -> int:
+    """Create-or-refresh a MATERIALIZED VIEW (additive aggregate of the
+    base table) stored as its own snapshot table; returns the committed
+    view version.
+
+    The view manifest records ``base_version`` — the base-table version
+    the stored result reflects — ATOMICALLY with the view commit, so the
+    watermark can never drift from the data. Each call refreshes
+    incrementally from that watermark (retraction feed across
+    append/MERGE/DELETE commits, compactions free) and commits a new view
+    version; when the base hasn't moved the call is a no-op returning the
+    current view version. Crash-safe by construction: a replayed refresh
+    re-reads the same watermark and overwrites forward — the view never
+    double-applies a delta. This composes with ``snapshots.merge_sink``
+    into a continuously-maintained aggregate over a streaming upsert
+    table."""
+    cur_base = snap.current_version(base_path)
+    if cur_base is None:
+        raise FileNotFoundError(f"no committed version at {base_path}")
+    view_cur = snap.current_version(view_path)
+    if view_cur is None:
+        agg = additive_agg(snap.read_snapshot(spark, base_path), keys, sums)
+        return snap.write_snapshot(
+            agg, view_path, mode="overwrite",
+            manifest_extra={"base_version": cur_base},
+        )
+    vm = snap._read_manifest(view_path, view_cur)
+    from_v = vm.get("base_version")
+    if from_v == cur_base:
+        return view_cur
+    if from_v is None:
+        refreshed = additive_agg(snap.read_snapshot(spark, base_path), keys, sums)
+    else:
+        refreshed = refresh_additive_agg(
+            spark, base_path, snap.read_snapshot(spark, view_path),
+            keys, sums, from_version=from_v, to_version=cur_base,
+        )
+    return snap.write_snapshot(
+        refreshed, view_path, mode="overwrite",
+        manifest_extra={"base_version": cur_base},
     )

@@ -215,3 +215,48 @@ def test_replay_of_expired_batch_stays_a_noop(spark, tmp_path):
     sink(spark.range(0, 10).toDF("id"), 0)  # late replay of expired batch
     assert read_snapshot(spark, path).count() == 40  # no duplicates
     assert versions(path) == [2, 3]
+
+
+def test_materialized_view_over_streaming_upserts(spark, tmp_path):
+    """merge_sink + materialize_view compose into a continuously
+    maintained aggregate: after every upsert batch the view equals a full
+    recompute, refreshes are incremental from the recorded base-version
+    watermark, and both replayed batches and refreshes on an unchanged
+    base are no-ops."""
+    from receiptanalyzerpipeline_spark.operators.ivm import materialize_view
+    from receiptanalyzerpipeline_spark.sources import snapshots as snap
+
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    sink = snap.merge_sink(base, ["k"], order_col="seq")
+    schema = "k long, grp string, v double, seq long"
+    batches = [
+        [(1, "a", 10.0, 1), (2, "a", 20.0, 2), (3, "b", 30.0, 3)],
+        [(2, "a", 25.0, 4), (4, "b", 40.0, 5)],   # update k=2, insert k=4
+        [(3, "b", 31.0, 6), (3, "b", 32.0, 7)],   # in-batch last-wins on k=3
+    ]
+    for bid, rows in enumerate(batches):
+        sink(spark.createDataFrame(rows, schema), bid)
+        materialize_view(spark, base, view, ["grp"], {"sum_v": "v"})
+        got = {
+            (r["grp"], r["n_rows"], r["sum_v"])
+            for r in snap.read_snapshot(spark, view).collect()
+        }
+        from receiptanalyzerpipeline_spark.operators.ivm import additive_agg
+
+        full = {
+            (r["grp"], r["n_rows"], r["sum_v"])
+            for r in additive_agg(
+                snap.read_snapshot(spark, base), ["grp"], {"sum_v": "v"}
+            ).collect()
+        }
+        assert got == full, bid
+    assert got == {("a", 2, 35.0), ("b", 2, 72.0)}
+
+    # Unchanged base: refresh is a version-stable no-op.
+    v1 = materialize_view(spark, base, view, ["grp"], {"sum_v": "v"})
+    v2 = materialize_view(spark, base, view, ["grp"], {"sum_v": "v"})
+    assert v1 == v2 == snap.current_version(view)
+
+    # Replayed batch is a base no-op, so the view stays put too.
+    sink(spark.createDataFrame(batches[1], schema), 1)
+    assert materialize_view(spark, base, view, ["grp"], {"sum_v": "v"}) == v2
