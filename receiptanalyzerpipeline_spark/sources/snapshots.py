@@ -10,11 +10,17 @@ version stays readable:
     <path>/manifests/<N>.json             file list composing version N
     <path>/VERSION                        latest committed version
 
-Commit protocol: data files are fully written first, then the manifest,
-then VERSION is swapped via write-to-temp + atomic rename — a reader
-sees either the old or the new version, never a mix (single-writer;
-concurrent writers need a CAS on VERSION, which object stores provide
-via conditional put — documented, not implemented).
+Commit protocol: data files are fully written first (into a
+uniquely-named dir, so writers never collide on data), then the manifest
+is PUBLISHED with an atomic conditional-put (write-to-temp + os.link,
+which fails with EEXIST if the version is already claimed — the local-FS
+analogue of an object store's if-none-match put). A reader sees either
+the old or the new version, never a mix or a partial manifest.
+Optimistic concurrency: appends losing the race re-chain on the new head
+and retry (appends commute); overwrite/merge/delete raise
+``CommitConflict`` for the caller to recompute — the Delta/Iceberg
+concurrent-modification contract. The VERSION pointer is only a
+monotonic read cache.
 
 100 TB posture: the manifest is O(data files), not O(rows) — list-free
 reads (no S3 LIST on the data prefix, the classic object-store
@@ -62,6 +68,44 @@ def _read_manifest(path: str, version: int) -> dict:
     return json.loads(_manifest_path(path, version).read_text())
 
 
+class CommitConflict(Exception):
+    """Another writer committed first and this commit's inputs are stale.
+
+    Raised only for commits whose CONTENT depends on the base version
+    (overwrite/compaction/merge/delete): the caller must recompute
+    against the new head and retry — the Delta/Iceberg
+    ``ConcurrentModificationException`` contract. Appends never raise it:
+    they commute, so the writer re-chains and retries internally."""
+
+
+def _write_manifest_exclusive(path: str, version: int, m: dict) -> None:
+    """Atomic conditional-put of a manifest: the content is fully written
+    to a temp file, then ``os.link`` publishes it iff version N is still
+    unclaimed (EEXIST otherwise). Readers can never observe a partial
+    manifest, and two writers can never both own version N — the local-FS
+    analogue of an object store's if-none-match conditional put."""
+    import uuid as _uuid
+
+    mdir = Path(path) / "manifests"
+    mdir.mkdir(parents=True, exist_ok=True)
+    tmp = mdir / f".{version}.{_uuid.uuid4().hex[:8]}.tmp"
+    tmp.write_text(json.dumps(m))
+    try:
+        os.link(tmp, _manifest_path(path, version))
+    finally:
+        tmp.unlink()
+
+
+def _advance_pointer(path: str, version: int) -> None:
+    """Best-effort monotonic bump of the VERSION read cache (manifests,
+    not the pointer, define committedness)."""
+    vf = _version_file(path)
+    if not vf.exists() or int(vf.read_text().strip()) < version:
+        tmp = vf.with_suffix(".tmp")
+        tmp.write_text(str(version))
+        os.replace(tmp, vf)  # atomic: old or new, never a mix
+
+
 def write_snapshot(
     df: DataFrame,
     path: str,
@@ -76,55 +120,56 @@ def write_snapshot(
     retention pass removes them). ``manifest_extra`` entries are written
     INTO the manifest atomically with the commit (e.g. a streaming
     sink's ``batch_id`` replay marker).
+
+    Concurrency: data files land in a uniquely-named dir (no writer ever
+    collides on data), then the manifest is published with a
+    conditional-put. If another writer claims the version first, an
+    APPEND re-chains on the new head and retries (appends commute); an
+    OVERWRITE raises ``CommitConflict`` — its content was computed
+    against a base that no longer is the head.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    # A version is COMMITTED iff its manifest exists — derive prev from the
-    # newest manifest, not the VERSION pointer: after a crash between the
-    # manifest write and the VERSION rename, the pointer lags and chaining
-    # from it would both collide on the data dir and silently drop the
-    # committed-but-unpointed version's files from the append chain.
-    committed = versions(path)
-    prev = committed[-1] if committed else None
-    version = 0 if prev is None else prev + 1
-    data_dir = Path(path) / "data" / f"snap-{version}"
-    if data_dir.exists():
-        # No manifest references this dir (version > every committed one),
-        # so it is an orphan from a crash between the data write and the
-        # manifest write. Remove it; mode("error") below still guards
-        # against racing a live writer on a *fresh* dir.
-        import shutil
-
-        shutil.rmtree(data_dir)
+    data_dir = _fresh_data_dir(path)
     df.write.mode("error").parquet(str(data_dir))
     new_files = sorted(
         str(p) for p in data_dir.glob("*.parquet") if not p.name.startswith("_")
     )
-    files = new_files
-    stat_fields: dict = {}
-    if mode == "append" and prev is not None:
-        pm = _read_manifest(path, prev)
-        files = pm["files"] + new_files
-        stat_fields = _propagate_stats(df.sparkSession, pm, pm["files"], new_files)
-    # The VERSION rename below also REPAIRS a pointer left stale by the
-    # crash window above (manifest committed, rename never ran).
-    mdir = Path(path) / "manifests"
-    mdir.mkdir(parents=True, exist_ok=True)
-    # Schema travels with the commit so a version whose file list is empty
-    # (all rows deleted, empty bootstrap batch) stays readable.
-    m = {
-        "version": version,
-        "mode": mode,
-        "files": files,
-        "schema": df.schema.jsonValue(),
-        **stat_fields,
-    }
-    if manifest_extra:
-        m.update(manifest_extra)
-    _manifest_path(path, version).write_text(json.dumps(m))
-    tmp = _version_file(path).with_suffix(".tmp")
-    tmp.write_text(str(version))
-    os.replace(tmp, _version_file(path))  # atomic: old or new, never a mix
+    while True:
+        # A version is COMMITTED iff its manifest exists — chain from the
+        # newest manifest, never the VERSION pointer (which lags across
+        # the crash window between manifest publish and pointer rename).
+        committed = versions(path)
+        prev = committed[-1] if committed else None
+        version = 0 if prev is None else prev + 1
+        files = new_files
+        stat_fields: dict = {}
+        if mode == "append" and prev is not None:
+            pm = _read_manifest(path, prev)
+            files = pm["files"] + new_files
+            stat_fields = _propagate_stats(df.sparkSession, pm, pm["files"], new_files)
+        # Schema travels with the commit so a version whose file list is
+        # empty (all rows deleted, empty bootstrap batch) stays readable.
+        m = {
+            "version": version,
+            "mode": mode,
+            "files": files,
+            "schema": df.schema.jsonValue(),
+            **stat_fields,
+        }
+        if manifest_extra:
+            m.update(manifest_extra)
+        try:
+            _write_manifest_exclusive(path, version, m)
+            break
+        except FileExistsError:
+            if mode != "append":
+                raise CommitConflict(
+                    f"version {version} at {path} was committed by another "
+                    "writer; recompute against the new head and retry"
+                ) from None
+            continue  # appends commute: re-chain on the new head
+    _advance_pointer(path, version)
     return version
 
 
@@ -286,75 +331,70 @@ def snapshot_sink(path: str):
     redelivery a no-op (same idempotence contract as the engine's
     checkpointed file sinks, SURVEY T4/T7). Version numbers are the next
     sequential integer (not the batch id), so table-maintenance commits
-    — ``compact_snapshot`` — can interleave with a live stream safely.
+    — ``compact_snapshot`` — can interleave with a live stream safely:
+    the manifest publish is a conditional-put, and losing the race to an
+    interleaved maintenance commit just re-chains on the new head and
+    retries (the batch is an append; appends commute).
 
     Usage::
 
         stream.writeStream.foreachBatch(snapshot_sink(path)).start()
     """
 
-    def _advance_version(version: int | None) -> None:
-        if version is None:
-            return
-        vf = _version_file(path)
-        stale = not vf.exists() or int(vf.read_text().strip()) < version
-        if stale:
-            tmp = vf.with_suffix(".tmp")
-            tmp.write_text(str(version))
-            os.replace(tmp, vf)
-
     def commit(batch_df: DataFrame, batch_id: int) -> None:
-        committed = versions(path)
         if batch_committed(path, batch_id):
             # Replayed batch: its manifest IS the commit record. But a
             # crash after the manifest write and before the VERSION rename
             # leaves the pointer stale — repair it here, otherwise the
             # next batch would chain from the stale pointer's manifest and
             # permanently drop this batch's files from the latest chain.
-            _advance_version(committed[-1] if committed else None)
+            _repair_pointer(path)
             return
-        version = committed[-1] + 1 if committed else 0
-        data_dir = Path(path) / "data" / f"snap-{version}"
-        batch_df.write.mode("overwrite").parquet(str(data_dir))
+        data_dir = _fresh_data_dir(path)
+        batch_df.write.mode("error").parquet(str(data_dir))
         new_files = sorted(
             str(p) for p in data_dir.glob("*.parquet") if not p.name.startswith("_")
         )
-        files = new_files
-        # Chain from the newest COMMITTED manifest, never from the VERSION
-        # pointer (which can lag a committed manifest across the crash
-        # window above).
-        prev = committed[-1] if committed else None
-        if prev is not None:
-            files = _read_manifest(path, prev)["files"] + new_files
-        mdir = Path(path) / "manifests"
-        mdir.mkdir(parents=True, exist_ok=True)
-        _manifest_path(path, version).write_text(
-            json.dumps(
-                {
-                    "version": version,
-                    "mode": "append",
-                    "batch_id": batch_id,
-                    "files": files,
-                    "schema": batch_df.schema.jsonValue(),
-                }
-            )
-        )
-        _advance_version(version)
+        while True:
+            # Chain from the newest COMMITTED manifest, never from the
+            # VERSION pointer (which can lag a committed manifest across
+            # the crash window above).
+            committed = versions(path)
+            version = committed[-1] + 1 if committed else 0
+            files = new_files
+            if committed:
+                files = _read_manifest(path, committed[-1])["files"] + new_files
+            try:
+                _write_manifest_exclusive(
+                    path,
+                    version,
+                    {
+                        "version": version,
+                        "mode": "append",
+                        "batch_id": batch_id,
+                        "files": files,
+                        "schema": batch_df.schema.jsonValue(),
+                    },
+                )
+                break
+            except FileExistsError:
+                continue  # an interleaved commit took this version
+        _advance_pointer(path, version)
 
     return commit
 
 
 def _fresh_data_dir(path: str) -> Path:
-    """Data directory for the next version, cleaning any orphan left by a
-    crash between a data write and its manifest commit (no manifest
-    references a dir numbered above every committed version)."""
-    version_next = (versions(path)[-1] if versions(path) else -1) + 1
-    data_dir = Path(path) / "data" / f"snap-{version_next}"
-    if data_dir.exists():
-        import shutil
+    """Uniquely-named data directory for a new commit: the version prefix
+    is informational (manifests, not dir names, define table contents);
+    the random suffix means concurrent writers and crash retries never
+    collide on data paths. A crash between data write and manifest
+    publish leaves an unreferenced dir that ``expire_snapshots`` vacuums
+    after a grace period."""
+    import uuid as _uuid
 
-        shutil.rmtree(data_dir)
-    return data_dir
+    version_next = (versions(path)[-1] if versions(path) else -1) + 1
+    return Path(path) / "data" / f"snap-{version_next}-{_uuid.uuid4().hex[:8]}"
 
 
 def _repair_pointer(path: str) -> None:
@@ -362,13 +402,8 @@ def _repair_pointer(path: str) -> None:
     write and the pointer rename (manifests, not the pointer, define
     committedness — see ``current_version``)."""
     vs = versions(path)
-    if not vs:
-        return
-    vf = _version_file(path)
-    if not vf.exists() or int(vf.read_text().strip()) < vs[-1]:
-        tmp = vf.with_suffix(".tmp")
-        tmp.write_text(str(vs[-1]))
-        os.replace(tmp, vf)
+    if vs:
+        _advance_pointer(path, vs[-1])
 
 
 def merge_sink(path: str, key_cols: list[str], order_col: str | None = None):
@@ -428,18 +463,23 @@ def _commit_manifest(
     path: str, files: list[str], mode: str, extra: dict | None = None
 ) -> int:
     """Commit a prepared file list as the next version (shared tail of the
-    copy-on-write ops below). Data files must already be fully written."""
+    copy-on-write ops below). Data files must already be fully written.
+    MERGE/DELETE content is computed against a specific base version, so
+    losing the conditional-put race raises ``CommitConflict`` — the
+    caller must recompute against the new head and retry."""
     committed = versions(path)
     version = committed[-1] + 1 if committed else 0
-    mdir = Path(path) / "manifests"
-    mdir.mkdir(parents=True, exist_ok=True)
     m = {"version": version, "mode": mode, "files": files}
     if extra:
         m.update(extra)
-    _manifest_path(path, version).write_text(json.dumps(m))
-    tmp = _version_file(path).with_suffix(".tmp")
-    tmp.write_text(str(version))
-    os.replace(tmp, _version_file(path))
+    try:
+        _write_manifest_exclusive(path, version, m)
+    except FileExistsError:
+        raise CommitConflict(
+            f"version {version} at {path} was committed by another writer; "
+            "recompute against the new head and retry"
+        ) from None
+    _advance_pointer(path, version)
     return version
 
 
@@ -794,7 +834,9 @@ def compact_snapshot(
     return version
 
 
-def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:
+def expire_snapshots(
+    path: str, keep_last: int = 2, orphan_grace_s: float = 3600.0
+) -> list[int]:
     """Retention pass: drop all but the newest ``keep_last`` versions and
     delete data files no surviving manifest references. Returns the
     expired version numbers.
@@ -804,11 +846,23 @@ def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:
     (files still present — reads succeed) or finds the version gone and
     retries at a surviving one; the live VERSION pointer is never
     expired. At object-store scale this is the nightly vacuum that keeps
-    the data prefix from growing without bound."""
+    the data prefix from growing without bound.
+
+    Also vacuums ORPHAN data dirs — commits that wrote data but crashed
+    (or lost a non-append commit race) before publishing a manifest.
+    A dir is removed only when no surviving manifest references any file
+    in it AND it is older than ``orphan_grace_s`` (so an in-flight
+    writer's fresh dir is never swept — Delta VACUUM's retention-hours
+    contract)."""
+    import shutil
+    import time
+
     vs = versions(path)
     if len(vs) <= keep_last:
-        return []
-    survivors, expired = vs[-keep_last:], vs[:-keep_last]
+        survivors = vs
+        expired: list[int] = []
+    else:
+        survivors, expired = vs[-keep_last:], vs[:-keep_last]
     keep_files = {f for v in survivors for f in _read_manifest(path, v)["files"]}
     drop_files = [
         f
@@ -833,4 +887,15 @@ def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:
         p = Path(f)
         if p.exists():
             p.unlink()
+    ddir = Path(path) / "data"
+    if ddir.exists():
+        now = time.time()
+        for d in ddir.iterdir():
+            if not d.is_dir():
+                continue
+            if any(str(p) in keep_files for p in d.glob("*.parquet")):
+                continue
+            if now - d.stat().st_mtime < orphan_grace_s:
+                continue
+            shutil.rmtree(d)
     return expired

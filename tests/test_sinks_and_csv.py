@@ -557,11 +557,12 @@ def test_snapshot_sink_crash_between_manifest_and_version(spark, tmp_path):
 
 
 def test_write_snapshot_recovers_from_orphaned_data_dir(spark, tmp_path):
-    """ADVICE r3 (low): a crash between the data write and the manifest
-    write leaves data/snap-N with no manifest; the retried commit must
-    clean the orphan and succeed instead of failing forever on
-    mode('error'), and a stale VERSION pointer must not make the retry
-    collide with a committed version."""
+    """ADVICE r3 (low), updated for optimistic concurrency: a crash
+    between the data write and the manifest publish leaves an orphan data
+    dir. Commits write uniquely-named dirs, so the retry can never
+    collide with the orphan (expire_snapshots vacuums it later), and a
+    stale VERSION pointer must not make the retry collide with a
+    committed version."""
     from pathlib import Path
 
     from receiptanalyzerpipeline_spark.sources.snapshots import (

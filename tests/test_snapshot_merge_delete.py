@@ -53,7 +53,7 @@ def test_merge_rewrites_only_matching_files(spark, tmp_path):
         mode="append",
     )
     files_before = snap._read_manifest(path, snap.current_version(path))["files"]
-    batch2_files = [f for f in files_before if "/snap-1/" in f]
+    batch2_files = [f for f in files_before if "/snap-1-" in f]
     assert batch2_files
     src = spark.createDataFrame([(2, "B!")], "k long, v string")
     v = snap.merge_upsert(spark, src, path, ["k"])
@@ -254,7 +254,7 @@ def test_zone_maps_persist_across_append_merge_delete(spark, tmp_path):
     )
     m = snap._read_manifest(path, v_app)
     assert m["cluster_by"] == ["k"] and set(m["stats"]) == set(m["files"])
-    new_file_stats = [s for f, s in m["stats"].items() if "/snap-2/" in f]
+    new_file_stats = [s for f, s in m["stats"].items() if "/snap-2-" in f]
     assert new_file_stats == [{"k": [5000, 5000]}]
 
     # Merge far outside every clustered file's range: probe pruning means
