@@ -82,6 +82,32 @@ class EngineSession:
             read_snapshot(spark, spath).createOrReplaceTempView(name)
             self.views.append(name)
 
+    def snapshot(
+        self,
+        name: str,
+        path: str,
+        version: int | None = None,
+        changes_from: int | None = None,
+    ) -> None:
+        """Register a snapshot table for ad-hoc SQL: ``name`` is the
+        table AS OF ``version`` (default: latest — time travel is just
+        registering an older version under its own name). With
+        ``changes_from``, also registers ``{name}_changes`` — the
+        row-level retraction feed (_op/_version columns) since that
+        version, queryable like any table."""
+        from receiptanalyzerpipeline_spark.sources.snapshots import (
+            read_row_changes,
+            read_snapshot,
+        )
+
+        read_snapshot(self.spark, path, version=version).createOrReplaceTempView(name)
+        self.views.append(name)
+        if changes_from is not None:
+            read_row_changes(self.spark, path, changes_from).createOrReplaceTempView(
+                f"{name}_changes"
+            )
+            self.views.append(f"{name}_changes")
+
     def sql(self, statement: str, name: str = "<sql>") -> DataFrame:
         """Parse + plan the statement, preflight the physical plan for
         scale hazards, and return the (still lazy) DataFrame."""

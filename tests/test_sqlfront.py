@@ -141,3 +141,39 @@ def test_snapshot_tables_as_sql_views(spark, sf_dir, tmp_path):
     assert "corpus" in eng.views
     n = eng.sql("SELECT CAST(COUNT(*) AS BIGINT) AS n FROM corpus").first()["n"]
     assert n == 25
+
+
+def test_snapshot_time_travel_and_changes_in_sql(spark, sf_dir, tmp_path):
+    """engine.snapshot registers AS OF views (time travel) and the
+    retraction change feed as plain SQL tables."""
+    from receiptanalyzerpipeline_spark.sources.snapshots import (
+        delete_where,
+        merge_upsert,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    v0 = write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), path
+    )
+    merge_upsert(
+        spark, spark.createDataFrame([(2, "B!"), (3, "c")], "k long, v string"),
+        path, ["k"],
+    )
+    delete_where(spark, path, "k = 1")
+
+    eng = EngineSession(spark, sf_dir=sf_dir)
+    eng.snapshot("tbl", path)                      # latest
+    eng.snapshot("tbl_v0", path, version=v0)       # time travel
+    eng.snapshot("tbl_live", path, changes_from=v0)  # + change feed
+
+    latest = {tuple(r) for r in eng.sql("SELECT k, v FROM tbl ORDER BY k").collect()}
+    assert latest == {(2, "B!"), (3, "c")}
+    asof = {tuple(r) for r in eng.sql("SELECT k, v FROM tbl_v0 ORDER BY k").collect()}
+    assert asof == {(1, "a"), (2, "b")}
+    # Net change per key from the retraction feed, in plain SQL.
+    net = eng.sql(
+        "SELECT k, CAST(SUM(CASE WHEN _op = 'insert' THEN 1 ELSE -1 END) AS BIGINT) AS d "
+        "FROM tbl_live_changes GROUP BY k ORDER BY k"
+    ).collect()
+    assert {(r["k"], r["d"]) for r in net} == {(1, -1), (2, 0), (3, 1)}
