@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from receiptanalyzerpipeline_spark.sources import snapshots as snap
 
-__all__ = ["additive_agg", "refresh_additive_agg", "materialize_view"]
+__all__ = ["additive_agg", "refresh_additive_agg", "materialize_view", "view_maintenance_sink"]
 
 
 def additive_agg(
@@ -165,3 +165,51 @@ def materialize_view(
         refreshed, view_path, mode="overwrite",
         manifest_extra={"base_version": cur_base},
     )
+
+
+def view_maintenance_sink(view_path: str, keys: list[str], sums: dict[str, str]):
+    """``foreachBatch`` function for a ``snapshot_cdc`` stream: applies
+    each micro-batch's retraction delta (_op-tagged rows) to a
+    materialized additive-aggregate table, EXACTLY-ONCE by the same
+    batch-id manifest contract as the snapshot sinks. The continuously
+    maintained twin of ``materialize_view``: instead of polling the base
+    table for new versions, the view updates as the CDC stream delivers —
+    inserts add, deletes subtract, emptied keys drop.
+
+    Usage::
+
+        (spark.readStream.format("snapshot_cdc")
+              .option("path", base).option("startingVersion", "0").load()
+              .writeStream
+              .foreachBatch(view_maintenance_sink(view, ["grp"], {"s": "v"}))
+              .option("checkpointLocation", cp).start())
+    """
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if snap.batch_committed(view_path, batch_id):
+            snap._repair_pointer(view_path)
+            return
+        sign = F.when(F.col("_op") == "insert", F.lit(1)).otherwise(F.lit(-1))
+        delta = batch_df.groupBy(*keys).agg(
+            F.sum(sign).cast("long").alias("n_rows"),
+            *[F.sum(sign * F.col(src)).alias(out) for out, src in sums.items()],
+        )
+        spark = batch_df.sparkSession
+        if snap.current_version(view_path) is not None:
+            merge = [F.sum("n_rows").cast("long").alias("n_rows")] + [
+                F.sum(out).alias(out) for out in sums
+            ]
+            delta = (
+                snap.read_snapshot(spark, view_path)
+                .unionByName(delta)
+                .groupBy(*keys)
+                .agg(*merge)
+            )
+        snap.write_snapshot(
+            delta.where(F.col("n_rows") > 0),
+            view_path,
+            mode="overwrite",
+            manifest_extra={"batch_id": batch_id},
+        )
+
+    return commit

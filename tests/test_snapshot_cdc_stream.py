@@ -115,3 +115,73 @@ def test_cdc_stream_default_start_is_latest(spark, tmp_path):
     )
     got = _drain(spark, path, str(tmp_path / "cp"), "cdc_latest")
     assert got == set()
+
+
+def test_streaming_view_maintenance_from_cdc(spark, tmp_path):
+    """snapshot_cdc stream + view_maintenance_sink = a continuously
+    maintained aggregate table: after each drain the view equals a full
+    recompute of the live base, retraction-exact across MERGE and DELETE,
+    and a drain with no new commits leaves the view version untouched."""
+    from receiptanalyzerpipeline_spark.operators.ivm import (
+        additive_agg,
+        view_maintenance_sink,
+    )
+
+    base, view, cp = (
+        str(tmp_path / "base"),
+        str(tmp_path / "view"),
+        str(tmp_path / "cp"),
+    )
+    snap.write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "k long, grp string, v long"
+        ),
+        base,
+    )
+
+    def drain() -> None:
+        spark.dataSource.register(SnapshotCdcDataSource)
+        q = (
+            spark.readStream.format("snapshot_cdc")
+            .option("path", base)
+            .option("startingVersion", "0")
+            .load()
+            .writeStream.foreachBatch(
+                view_maintenance_sink(view, ["grp"], {"sum_v": "v"})
+            )
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+
+    def check() -> None:
+        got = {
+            (r["grp"], r["n_rows"], r["sum_v"])
+            for r in snap.read_snapshot(spark, view).collect()
+        }
+        full = {
+            (r["grp"], r["n_rows"], r["sum_v"])
+            for r in additive_agg(
+                snap.read_snapshot(spark, base), ["grp"], {"sum_v": "v"}
+            ).collect()
+        }
+        assert got == full
+
+    drain()
+    check()
+
+    snap.merge_upsert(
+        spark,
+        spark.createDataFrame([(2, "a", 25), (4, "b", 40)], "k long, grp string, v long"),
+        base,
+        ["k"],
+    )
+    snap.delete_where(spark, base, "grp = 'b' AND k = 3")
+    drain()
+    check()
+
+    # No new base commits: the drain must not churn the view.
+    v_before = snap.current_version(view)
+    drain()
+    assert snap.current_version(view) == v_before
