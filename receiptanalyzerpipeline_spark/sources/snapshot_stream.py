@@ -115,13 +115,16 @@ def _lpt_bins(files: list[tuple[str, str, int]], n: int) -> list[ChangesPartitio
 
 
 class SnapshotCdcStreamReader(DataSourceStreamReader):
-    def __init__(self, options, base_cols: list[str]) -> None:
+    def __init__(self, options, base_schema_json: dict) -> None:
         self.path = options.get("path")
         if not self.path:
             raise ValueError("snapshot_cdc requires a path: .option('path', table_dir)")
         self.num_partitions = int(options.get("numPartitions", "8"))
         self.starting = options.get("startingVersion")  # None = latest
-        self.base_cols = base_cols  # declared column order for Arrow batches
+        # Declared base schema (JSON — picklable) so executor-side reads
+        # emit columns in order AND fill typed NULLs for columns a file
+        # predates (schema evolution).
+        self.base_schema_json = base_schema_json
 
     def initialOffset(self) -> dict:  # noqa: N802
         if self.starting is not None:
@@ -147,12 +150,24 @@ class SnapshotCdcStreamReader(DataSourceStreamReader):
         # appending the _op/_version columns to each file's batches.
         import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
 
+        arrow_schema = to_arrow_schema(StructType.fromJson(self.base_schema_json))
         for fpath, op, version in partition.files:
-            table = pq.read_table(fpath).select(self.base_cols)
-            n = table.num_rows
+            raw = pq.read_table(fpath)
+            n = raw.num_rows
             if n == 0:
                 continue
+            # Project onto the declared schema: typed NULLs for columns
+            # this file predates (schema evolution), declared order.
+            cols = [
+                raw.column(f.name).cast(f.type)
+                if f.name in raw.column_names
+                else pa.nulls(n, type=f.type)
+                for f in arrow_schema
+            ]
+            table = pa.table(cols, schema=arrow_schema)
             table = table.append_column("_op", pa.array([op] * n, pa.string()))
             table = table.append_column(
                 "_version", pa.array([version] * n, pa.int64())
@@ -196,5 +211,5 @@ class SnapshotCdcDataSource(DataSource):
         )
 
     def streamReader(self, schema: StructType) -> SnapshotCdcStreamReader:  # noqa: N802
-        base_cols = [f.name for f in schema.fields if f.name not in ("_op", "_version")]
-        return SnapshotCdcStreamReader(self.options, base_cols)
+        base = StructType([f for f in schema.fields if f.name not in ("_op", "_version")])
+        return SnapshotCdcStreamReader(self.options, base.jsonValue())

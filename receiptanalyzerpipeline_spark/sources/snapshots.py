@@ -68,6 +68,26 @@ def _read_manifest(path: str, version: int) -> dict:
     return json.loads(_manifest_path(path, version).read_text())
 
 
+def _check_append_schema(prev_manifest: dict, df: DataFrame) -> None:
+    """Schema evolution contract for appends: the incoming frame may ADD
+    columns (widening — old files project NULL for them on read) but must
+    keep every existing column with its exact type. Anything else (drops,
+    type changes) would silently corrupt old rows under the
+    manifest-schema-driven read and is rejected."""
+    sch = prev_manifest.get("schema")
+    if sch is None:
+        return  # pre-schema manifest: nothing to check against
+    old = {f["name"]: f["type"] for f in sch["fields"]}
+    new = {f["name"]: f["type"] for f in df.schema.jsonValue()["fields"]}
+    missing = [c for c in old if c not in new]
+    changed = [c for c in old if c in new and new[c] != old[c]]
+    if missing or changed:
+        raise ValueError(
+            "append schema must be a widening superset of the table schema; "
+            f"missing={missing} type_changed={changed}"
+        )
+
+
 class CommitConflict(Exception):
     """Another writer committed first and this commit's inputs are stale.
 
@@ -146,6 +166,7 @@ def write_snapshot(
         stat_fields: dict = {}
         if mode == "append" and prev is not None:
             pm = _read_manifest(path, prev)
+            _check_append_schema(pm, df)
             files = pm["files"] + new_files
             stat_fields = _propagate_stats(df.sparkSession, pm, pm["files"], new_files)
         # Schema travels with the commit so a version whose file list is
@@ -182,13 +203,21 @@ def read_snapshot(
         if version is None:
             raise FileNotFoundError(f"no committed version at {path}")
     manifest = _read_manifest(path, version)
+    sch = manifest.get("schema")
     if not manifest["files"]:
-        sch = manifest.get("schema")
         if sch is None:
             raise FileNotFoundError(f"version {version} at {path} lists no files")
         from pyspark.sql.types import StructType
 
         return spark.createDataFrame([], StructType.fromJson(sch))
+    if sch is not None:
+        # Manifest-schema-driven read: the version's recorded schema wins,
+        # so a table widened by schema evolution projects NULLs for files
+        # written before the added column existed, and time travel reads
+        # each version under ITS schema (not the newest file's).
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(StructType.fromJson(sch)).parquet(*manifest["files"])
     return spark.read.parquet(*manifest["files"])
 
 
@@ -279,7 +308,9 @@ def read_row_changes(
         )
     from functools import reduce
 
-    return reduce(lambda a, b: a.unionByName(b), frames)
+    # allowMissingColumns: frames span schema-evolution eras — files
+    # predating an added column surface it as NULL, same as table reads.
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
 
 
 def _ledger_path(path: str) -> Path:
@@ -578,7 +609,9 @@ def merge_upsert(
         kbounds = {k: (kb[f"lo_{k}"], kb[f"hi_{k}"]) for k in key_cols}
         probe_files = [f for f in live if _zone_overlaps(stats.get(f), kbounds)]
     if probe_files:
-        probe = spark.read.parquet(*probe_files)
+        # Schema-driven read: files predating an added column still probe
+        # (the column reads as NULL there, matching the table view).
+        probe = spark.read.schema(target.schema).parquet(*probe_files)
         # File provenance is materialized at the scan, BEFORE the
         # semi-join, so it survives any join strategy Catalyst picks.
         tgt_keys = probe.select(F.input_file_name().alias("__f"), *key_cols)
@@ -597,7 +630,11 @@ def merge_upsert(
     # + the full source (updates and inserts), written before the manifest
     # commit — readers of the current version are unaffected throughout.
     survivors = (
-        (spark.read.parquet(*sorted(touched)) if touched else target.limit(0))
+        (
+            spark.read.schema(target.schema).parquet(*sorted(touched))
+            if touched
+            else target.limit(0)
+        )
         .join(keys, key_cols, "left_anti")
     )
     out = survivors.unionByName(source.select(*target.columns))
@@ -647,7 +684,9 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
             },
         )
     data_dir = _fresh_data_dir(path)
-    spark.read.parquet(*sorted(touched)).where(~cond).write.mode("error").parquet(
+    spark.read.schema(target.schema).parquet(*sorted(touched)).where(~cond).write.mode(
+        "error"
+    ).parquet(
         str(data_dir)
     )
     new_files = sorted(

@@ -340,3 +340,59 @@ def test_stats_survive_json_roundtrip(spark, tmp_path):
         assert Path(f).exists()
         lo, hi = st["k"]
         assert isinstance(lo, int) and isinstance(hi, int) and lo <= hi
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Appends may WIDEN the schema: the manifest records the new schema,
+    reads project NULL for files predating the column, time travel keeps
+    each version's own schema, and MERGE/DELETE rewrite old files under
+    the evolved view. Drops and type changes are rejected."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "tbl")
+    v0 = snap.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(1),
+        path,
+    )
+    v1 = snap.write_snapshot(
+        spark.createDataFrame([(3, "c", 0.9)], "k long, v string, score double"),
+        path,
+        mode="append",
+    )
+    live = snap.read_snapshot(spark, path)
+    assert dict(live.dtypes)["score"] == "double"
+    got = {(r["k"], r["score"]) for r in live.collect()}
+    assert got == {(1, None), (2, None), (3, 0.9)}
+    # Time travel: version 0 still has its own (narrow) schema.
+    assert "score" not in snap.read_snapshot(spark, path, version=v0).columns
+
+    # Rejected evolutions.
+    with _pytest.raises(ValueError, match="widening superset"):
+        snap.write_snapshot(
+            spark.createDataFrame([(4,)], "k long"), path, mode="append"
+        )
+    with _pytest.raises(ValueError, match="widening superset"):
+        snap.write_snapshot(
+            spark.createDataFrame([(4, 1, 0.1)], "k long, v int, score double"),
+            path,
+            mode="append",
+        )
+
+    # MERGE under the evolved schema rewrites a pre-evolution file: the
+    # carried row materializes score=NULL, the update carries its value.
+    snap.merge_upsert(
+        spark,
+        spark.createDataFrame([(2, "B!", 0.5)], "k long, v string, score double"),
+        path,
+        ["k"],
+    )
+    got = {
+        (r["k"], r["v"], r["score"])
+        for r in snap.read_snapshot(spark, path).collect()
+    }
+    assert got == {(1, "a", None), (2, "B!", 0.5), (3, "c", 0.9)}
+
+    # The change feed spans both eras (old-era rows surface score=NULL).
+    feed = snap.read_row_changes(spark, path, v0)
+    assert "score" in feed.columns
+    assert feed.where("_op = 'delete' AND k = 2 AND score IS NULL").count() == 1
