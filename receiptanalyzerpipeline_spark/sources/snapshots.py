@@ -772,6 +772,124 @@ def _propagate_stats(
     return {"stats": stats, "cluster_by": scols}
 
 
+def _split_conjuncts(s: str) -> list[str]:
+    """Split a predicate on top-level ANDs (paren- and quote-aware; the
+    AND inside ``x BETWEEN a AND b`` stays with its BETWEEN)."""
+    import re
+
+    parts: list[str] = []
+    cur, depth, i, in_str, between_pending = "", 0, 0, False, False
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            cur += c
+            in_str = c != "'"
+            i += 1
+            continue
+        if c == "'":
+            in_str = True
+            cur += c
+            i += 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if depth == 0:
+            m = re.match(r"(?i)\bBETWEEN\b", s[i:])
+            if m and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")):
+                between_pending = True
+            m = re.match(r"(?i)\bAND\b", s[i:])
+            if m and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")):
+                if between_pending:
+                    between_pending = False  # this AND belongs to BETWEEN
+                else:
+                    parts.append(cur)
+                    cur = ""
+                    i += 3
+                    continue
+        cur += c
+        i += 1
+    parts.append(cur)
+    return parts
+
+
+def _bounds_from_predicate(where: str) -> dict:
+    """Conservative per-column [lo, hi] bounds from a SQL predicate, for
+    zone-map file pruning. Only top-level CONJUNCTS that are ENTIRELY a
+    simple range constraint (``col op literal``, ``col BETWEEN a AND b``)
+    contribute — an expression like ``k + v >= 5`` bounds nothing, and
+    any OR / NOT anywhere disables pruning entirely ({} = keep all
+    files). Strict inequalities are widened to inclusive bounds —
+    pruning must only ever be conservative; the caller still applies the
+    full predicate row-wise."""
+    import re
+
+    s = where.strip()
+    if re.search(r"\bOR\b|\bNOT\b", s, re.IGNORECASE):
+        return {}
+    lit = r"(-?\d+(?:\.\d+)?|'[^']*')"
+
+    def _val(tok: str):
+        if tok.startswith("'"):
+            return tok[1:-1]
+        return float(tok) if "." in tok else int(tok)
+
+    bounds: dict = {}
+
+    def _tighten(col: str, lo=None, hi=None) -> None:
+        cur_lo, cur_hi = bounds.get(col, (None, None))
+        if lo is not None:
+            cur_lo = lo if cur_lo is None else max(cur_lo, lo)
+        if hi is not None:
+            cur_hi = hi if cur_hi is None else min(cur_hi, hi)
+        bounds[col] = (cur_lo, cur_hi)
+
+    for conj in _split_conjuncts(s):
+        c = conj.strip()
+        # Strip balanced outer parens wrapping the whole conjunct.
+        while c.startswith("(") and c.endswith(")") and _split_conjuncts(c[1:-1]):
+            inner = c[1:-1].strip()
+            if inner.count("(") != inner.count(")"):
+                break
+            c = inner
+        m = re.fullmatch(rf"(\w+)\s+BETWEEN\s+{lit}\s+AND\s+{lit}", c, re.IGNORECASE)
+        if m:
+            _tighten(m.group(1), lo=_val(m.group(2)), hi=_val(m.group(3)))
+            continue
+        m = re.fullmatch(rf"(\w+)\s*(>=|<=|=|<|>)\s*{lit}", c)
+        if m:
+            col, op, v = m.group(1), m.group(2), _val(m.group(3))
+            if op in (">=", ">"):
+                _tighten(col, lo=v)
+            elif op in ("<=", "<"):
+                _tighten(col, hi=v)
+            else:
+                _tighten(col, lo=v, hi=v)
+    return bounds
+
+
+def scan_snapshot(
+    spark: SparkSession, path: str, where: str, version: int | None = None
+) -> DataFrame:
+    """Predicate-pushdown read: derive conservative per-column bounds
+    from ``where``, zone-map-prune the file list (scan-free — pruned
+    files are never opened), then run a NATIVE parquet scan of the
+    survivors with the full predicate applied row-wise. Equivalent to
+    ``read_snapshot(...).where(where)`` in results; cheaper by every
+    file whose recorded range provably cannot match. Files without stats
+    (never-clustered tables) are kept, so this degrades gracefully to a
+    plain filtered read."""
+    bounds = _bounds_from_predicate(where)
+    from pyspark.sql import functions as F
+
+    if bounds:
+        df = read_snapshot_pruned(spark, path, bounds, version=version)
+    else:
+        df = read_snapshot(spark, path, version=version)
+    return df.where(F.expr(where))
+
+
 def _zone_overlaps(st: dict | None, bounds: dict) -> bool:
     """Conservative zone-map check: False only when a file's recorded
     [min, max] range PROVES it cannot hold a row inside ``bounds``."""
@@ -819,6 +937,11 @@ def read_snapshot_pruned(
     keep = [f for f in manifest["files"] if _zone_overlaps(stats.get(f), bounds)]
     if not keep:
         return read_snapshot(spark, path, version).limit(0)
+    sch = manifest.get("schema")
+    if sch is not None:
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(StructType.fromJson(sch)).parquet(*keep)
     return spark.read.parquet(*keep)
 
 

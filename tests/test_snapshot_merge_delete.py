@@ -396,3 +396,52 @@ def test_schema_evolution_add_column(spark, tmp_path):
     feed = snap.read_row_changes(spark, path, v0)
     assert "score" in feed.columns
     assert feed.where("_op = 'delete' AND k = 2 AND score IS NULL").count() == 1
+
+
+def test_scan_snapshot_pushes_bounds_to_zone_maps(spark, tmp_path):
+    """scan_snapshot derives conservative bounds from a SQL predicate and
+    prunes via zone maps (native scan of survivors only), with identical
+    results to an unpruned filtered read; OR/NOT disables pruning."""
+    path = str(tmp_path / "tbl")
+    snap.write_snapshot(
+        spark.range(4096).selectExpr("id AS k", "id % 13 AS v"), path
+    )
+    v = snap.compact_snapshot(spark, path, target_file_bytes=4 << 10, cluster_by=["k"])
+    n_files = len(snap._read_manifest(path, v)["files"])
+    assert n_files >= 8
+
+    pred = "k BETWEEN 100 AND 160 AND v >= 0"
+    df = snap.scan_snapshot(spark, path, pred)
+    scanned = {f.removeprefix("file://") for f in df.inputFiles()}
+    assert len(scanned) < n_files / 2  # zone maps pruned most files
+    expect = _rows(snap.read_snapshot(spark, path).where(pred))
+    assert _rows(df) == expect and len(expect) == 61
+
+    # Strict inequality widened conservatively; equality becomes a point.
+    df_eq = snap.scan_snapshot(spark, path, "k = 7")
+    assert _rows(df_eq) == {(7, 7 % 13)}
+    assert len({f for f in df_eq.inputFiles()}) == 1
+
+    # OR disables pruning (correctness first): all files scanned.
+    df_or = snap.scan_snapshot(spark, path, "k = 7 OR k = 4000")
+    assert len({f for f in df_or.inputFiles()}) == n_files
+    assert _rows(df_or) == {(7, 7 % 13), (4000, 4000 % 13)}
+
+
+def test_bounds_extraction_is_conservative(spark):
+    from receiptanalyzerpipeline_spark.sources.snapshots import (
+        _bounds_from_predicate,
+    )
+
+    assert _bounds_from_predicate("k >= 5 AND k < 9") == {"k": (5, 9)}
+    assert _bounds_from_predicate("k BETWEEN 2 AND 4 AND v = 'x'") == {
+        "k": (2, 4),
+        "v": ("x", "x"),
+    }
+    # Contradiction still prunes correctly (empty range).
+    assert _bounds_from_predicate("k = 5 AND k = 6") == {"k": (6, 5)}
+    # OR / NOT anywhere: no pruning at all.
+    assert _bounds_from_predicate("k = 5 OR v = 'a'") == {}
+    assert _bounds_from_predicate("NOT (k = 5)") == {}
+    # Expressions over columns never produce bogus column bounds.
+    assert "1" not in _bounds_from_predicate("k + 1 >= 5")
