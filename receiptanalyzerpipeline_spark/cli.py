@@ -254,6 +254,15 @@ def cmd_table(args: argparse.Namespace) -> int:
         expired = snap.expire_snapshots(p, keep_last=args.keep_last)
         print(f"expired versions: {expired or 'none'}")
         return 0
+    if op == "scan":
+        if not args.where:
+            print("scan needs --where", file=sys.stderr)
+            return 2
+        df = snap.scan_snapshot(spark, p, args.where)
+        n_live = len(snap._read_manifest(p, snap.current_version(p))["files"])
+        print(f"# scanning {len(df.inputFiles())}/{n_live} file(s) after zone-map pruning")
+        df.show(n=args.max_rows, truncate=False)
+        return 0
     # op == "changes"
     snap.read_row_changes(spark, p, args.from_version).show(
         n=args.max_rows, truncate=False
@@ -470,12 +479,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="snapshot table maintenance: history | merge | delete | compact | vacuum | changes",
     )
     tb.add_argument(
-        "table_op", choices=["history", "merge", "delete", "compact", "vacuum", "changes"]
+        "table_op",
+        choices=["history", "merge", "delete", "compact", "vacuum", "changes", "scan"],
     )
     tb.add_argument("table_path", help="snapshot table directory")
     tb.add_argument("--source", help="merge: parquet path of the upsert source")
     tb.add_argument("--keys", help="merge: comma-separated key columns")
-    tb.add_argument("--where", help="delete: SQL boolean predicate")
+    tb.add_argument("--where", help="delete/scan: SQL boolean predicate")
     tb.add_argument("--cluster-by", help="compact: comma-separated Z-order columns")
     tb.add_argument("--target-file-mb", type=int, default=128, help="compact: target file size")
     tb.add_argument("--keep-last", type=int, default=2, help="vacuum: versions to keep")

@@ -220,3 +220,9 @@ def test_cli_table_lifecycle(spark, tmp_path, capsys):
 
     # Arg validation: merge without --keys is a usage error.
     assert main(["table", "merge", path, "--source", src]) == 2
+
+    # scan: predicate-driven zone-map pruning from the CLI.
+    assert main(["table", "scan", path, "--where", "k = 2"]) == 0
+    out = capsys.readouterr().out
+    assert "after zone-map pruning" in out and "B!" in out
+    assert main(["table", "scan", path]) == 2

@@ -313,6 +313,24 @@ def test_merge_delete_interleavings_match_model(spark, tmp_path):
                 got = {(r["k"], r["v"]) for r in live.collect()}
                 assert got == set(model.items()), (seed, step, op)
 
+        # Change-feed closure: replaying the retraction feed from the
+        # earliest still-present version on top of that version's
+        # contents must reconstruct the live table exactly.
+        vs = snap.versions(path)
+        if len(vs) > 1:
+            base_v = vs[0]
+            from collections import Counter
+
+            state = Counter(
+                (r["k"], r["v"])
+                for r in snap.read_snapshot(spark, path, version=base_v).collect()
+            )
+            for r in snap.read_row_changes(spark, path, base_v).collect():
+                state[(r["k"], r["v"])] += 1 if r["_op"] == "insert" else -1
+            rebuilt = {kv for kv, n in state.items() if n > 0}
+            assert all(n in (0, 1) for n in state.values()), seed
+            assert rebuilt == set(model.items()), seed
+
 
 def test_delete_to_empty_table_stays_readable(spark, tmp_path):
     """Deleting every row is a legal state: the manifest carries the
