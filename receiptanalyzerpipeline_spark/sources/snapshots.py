@@ -88,6 +88,58 @@ def _check_append_schema(prev_manifest: dict, df: DataFrame) -> None:
         )
 
 
+class ConstraintViolation(Exception):
+    """A commit's incoming rows violate a table CHECK constraint. The
+    commit is rejected BEFORE any manifest is published — the table never
+    holds a violating row (writer-enforced, reader-trusted, the Delta
+    CHECK-constraint contract)."""
+
+
+def set_constraints(path: str, constraints: dict[str, str]) -> int:
+    """Record CHECK constraints (name -> SQL boolean expression) as a
+    metadata-only commit; returns the new version. Constraints propagate
+    through every later commit's manifest and are enforced on the
+    incoming rows of every data-adding commit (append, overwrite, MERGE,
+    streaming sinks). SQL semantics: a row violates only when the
+    expression is FALSE — NULL passes. Passing ``{}`` drops them all."""
+    committed = versions(path)
+    if not committed:
+        raise FileNotFoundError(f"no committed version at {path}")
+    pm = _read_manifest(path, committed[-1])
+    m = {
+        k: v
+        for k, v in pm.items()
+        if k in ("files", "schema", "stats", "cluster_by")
+    }
+    m["mode"] = "constraints"
+    m["constraints"] = constraints
+    version = committed[-1] + 1
+    m["version"] = version
+    try:
+        _write_manifest_exclusive(path, version, m)
+    except FileExistsError:
+        raise CommitConflict(
+            f"version {version} at {path} was committed by another writer"
+        ) from None
+    _advance_pointer(path, version)
+    return version
+
+
+def _check_constraints(df: DataFrame, prev_manifest: dict) -> None:
+    """Reject the commit if any incoming row makes a constraint FALSE.
+    One bounded action (LIMIT 1 per constraint, single filter pass) —
+    the cost scales with the COMMIT's rows, never the table."""
+    from pyspark.sql import functions as F
+
+    cons = prev_manifest.get("constraints") or {}
+    for name, expr in cons.items():
+        bad = df.where(F.coalesce(F.expr(expr), F.lit(True)) == False).limit(1).collect()  # noqa: E712
+        if bad:
+            raise ConstraintViolation(
+                f"constraint {name!r} ({expr}) violated by row {bad[0].asDict()}"
+            )
+
+
 class CommitConflict(Exception):
     """Another writer committed first and this commit's inputs are stale.
 
@@ -131,6 +183,7 @@ def write_snapshot(
     path: str,
     mode: str = "append",
     manifest_extra: dict | None = None,
+    validate_constraints: bool = True,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -150,6 +203,9 @@ def write_snapshot(
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    head = versions(path)
+    if head and validate_constraints:
+        _check_constraints(df, _read_manifest(path, head[-1]))
     data_dir = _fresh_data_dir(path)
     df.write.mode("error").parquet(str(data_dir))
     new_files = sorted(
@@ -164,11 +220,14 @@ def write_snapshot(
         version = 0 if prev is None else prev + 1
         files = new_files
         stat_fields: dict = {}
-        if mode == "append" and prev is not None:
+        if prev is not None:
             pm = _read_manifest(path, prev)
+            if pm.get("constraints"):
+                stat_fields["constraints"] = pm["constraints"]
+        if mode == "append" and prev is not None:
             _check_append_schema(pm, df)
             files = pm["files"] + new_files
-            stat_fields = _propagate_stats(df.sparkSession, pm, pm["files"], new_files)
+            stat_fields.update(_propagate_stats(df.sparkSession, pm, pm["files"], new_files))
         # Schema travels with the commit so a version whose file list is
         # empty (all rows deleted, empty bootstrap batch) stays readable.
         m = {
@@ -381,6 +440,9 @@ def snapshot_sink(path: str):
             # permanently drop this batch's files from the latest chain.
             _repair_pointer(path)
             return
+        head = versions(path)
+        if head:
+            _check_constraints(batch_df, _read_manifest(path, head[-1]))
         data_dir = _fresh_data_dir(path)
         batch_df.write.mode("error").parquet(str(data_dir))
         new_files = sorted(
@@ -393,8 +455,15 @@ def snapshot_sink(path: str):
             committed = versions(path)
             version = committed[-1] + 1 if committed else 0
             files = new_files
+            fields: dict = {}
             if committed:
-                files = _read_manifest(path, committed[-1])["files"] + new_files
+                pm = _read_manifest(path, committed[-1])
+                _check_append_schema(pm, batch_df)
+                files = pm["files"] + new_files
+                # Zone maps + constraints survive streamed appends too.
+                fields = _propagate_stats(
+                    batch_df.sparkSession, pm, pm["files"], new_files
+                )
             try:
                 _write_manifest_exclusive(
                     path,
@@ -405,6 +474,7 @@ def snapshot_sink(path: str):
                         "batch_id": batch_id,
                         "files": files,
                         "schema": batch_df.schema.jsonValue(),
+                        **fields,
                     },
                 )
                 break
@@ -589,6 +659,7 @@ def merge_upsert(
             f"schema mismatch: target {sorted(target.columns)} vs "
             f"source {sorted(source.columns)}"
         )
+    _check_constraints(source, _read_manifest(path, cur))
     keys = F.broadcast(source.select(*key_cols).distinct())
     live = _read_manifest(path, cur)["files"]
     # Probe pruning: when the live manifest carries zone maps for key
@@ -755,21 +826,25 @@ def _propagate_stats(
     carried_files: list[str],
     new_files: list[str],
 ) -> dict:
-    """Once a table is clustered, zone maps persist across later commits:
+    """Table metadata persists across commits: CHECK constraints are
+    copied forward, and once a table is clustered its zone maps persist —
     carried files keep their recorded ranges (data files are immutable),
-    and only the commit's NEW files are scanned for stats — O(change),
-    never O(table). Returns manifest fields to merge ({} when the table
-    has never been clustered)."""
+    only the commit's NEW files are scanned for stats — O(change), never
+    O(table). Returns manifest fields to merge."""
+    out: dict = {}
+    if prev_manifest.get("constraints"):
+        out["constraints"] = prev_manifest["constraints"]
     scols = prev_manifest.get("cluster_by")
     if not scols:
-        return {}
+        return out
     prev_stats = prev_manifest.get("stats", {})
     stats = {f: prev_stats[f] for f in carried_files if f in prev_stats}
     if new_files:
         if not set(scols) <= set(spark.read.parquet(*new_files).columns):
-            return {}  # schema drifted away from the clustered columns
+            return out  # schema drifted away from the clustered columns
         stats.update(_file_stats(spark, new_files, scols))
-    return {"stats": stats, "cluster_by": scols}
+    out.update({"stats": stats, "cluster_by": scols})
+    return out
 
 
 def _split_conjuncts(s: str) -> list[str]:
@@ -986,7 +1061,9 @@ def compact_snapshot(
         df = zorder_frame(df, cluster_by, n_files=target, bits=bits)
     else:
         df = df.coalesce(target)
-    version = write_snapshot(df, path, mode="overwrite")
+    # Rows were validated when first committed; re-checking the whole
+    # table at every compaction would be an O(table) scan for nothing.
+    version = write_snapshot(df, path, mode="overwrite", validate_constraints=False)
     m = _read_manifest(path, version)
     m["compaction_of"] = cur
     if cluster_by:

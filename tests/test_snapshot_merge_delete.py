@@ -463,3 +463,62 @@ def test_bounds_extraction_is_conservative(spark):
     assert _bounds_from_predicate("NOT (k = 5)") == {}
     # Expressions over columns never produce bogus column bounds.
     assert "1" not in _bounds_from_predicate("k + 1 >= 5")
+
+
+def test_check_constraints_enforced_across_commit_paths(spark, tmp_path):
+    """CHECK constraints live in the manifest, propagate through every
+    commit, and reject violating rows at append/merge/sink time BEFORE
+    any manifest is published (NULL passes, per SQL semantics)."""
+    path = str(tmp_path / "tbl")
+    snap.write_snapshot(
+        spark.createDataFrame([(1, "a")], "k long, v string"), path
+    )
+    v_c = snap.set_constraints(path, {"k_pos": "k > 0", "v_ne": "length(v) > 0"})
+    assert snap._read_manifest(path, v_c)["mode"] == "constraints"
+
+    # Valid append commits and carries the constraints forward.
+    v = snap.write_snapshot(
+        spark.createDataFrame([(2, "b"), (3, None)], "k long, v string"),
+        path,
+        mode="append",  # NULL v passes: CHECK fails only on FALSE
+    )
+    assert snap._read_manifest(path, v)["constraints"] == {
+        "k_pos": "k > 0",
+        "v_ne": "length(v) > 0",
+    }
+
+    # Violating append: rejected, no version published.
+    before = snap.versions(path)
+    with pytest.raises(snap.ConstraintViolation, match="k_pos"):
+        snap.write_snapshot(
+            spark.createDataFrame([(-5, "x")], "k long, v string"), path, mode="append"
+        )
+    assert snap.versions(path) == before
+
+    # Violating MERGE source: rejected.
+    with pytest.raises(snap.ConstraintViolation, match="v_ne"):
+        snap.merge_upsert(
+            spark, spark.createDataFrame([(2, "")], "k long, v string"), path, ["k"]
+        )
+
+    # Constraints survive compaction and keep binding afterwards.
+    snap.compact_snapshot(spark, path)
+    with pytest.raises(snap.ConstraintViolation):
+        snap.write_snapshot(
+            spark.createDataFrame([(0, "x")], "k long, v string"), path, mode="append"
+        )
+
+    # Streaming sink enforces too (call the foreachBatch fn directly).
+    sink = snap.snapshot_sink(path)
+    with pytest.raises(snap.ConstraintViolation):
+        sink(spark.createDataFrame([(-1, "y")], "k long, v string"), 777)
+    assert not snap.batch_committed(path, 777)
+    sink(spark.createDataFrame([(9, "ok")], "k long, v string"), 778)
+    assert snap.batch_committed(path, 778)
+
+    # Dropping constraints re-opens the gate.
+    snap.set_constraints(path, {})
+    snap.write_snapshot(
+        spark.createDataFrame([(-5, "x")], "k long, v string"), path, mode="append"
+    )
+    assert snap.read_snapshot(spark, path).where("k = -5").count() == 1
