@@ -254,6 +254,26 @@ def cmd_table(args: argparse.Namespace) -> int:
         expired = snap.expire_snapshots(p, keep_last=args.keep_last)
         print(f"expired versions: {expired or 'none'}")
         return 0
+    if op == "constrain":
+        if args.set:
+            cons = {}
+            for spec in args.set:
+                name, _, expr = spec.partition("=")
+                if not expr:
+                    print(f"bad --set {spec!r}; want name=<sql expr>", file=sys.stderr)
+                    return 2
+                cons[name.strip()] = expr.strip()
+            v = snap.set_constraints(p, cons)
+            print(f"committed version {v}: constraints {sorted(cons)}")
+        elif args.drop_all:
+            v = snap.set_constraints(p, {})
+            print(f"committed version {v}: constraints dropped")
+        else:
+            cur = snap._read_manifest(p, snap.current_version(p)).get("constraints", {})
+            for name, expr in sorted(cur.items()):
+                print(f"{name}: {expr}")
+            print(f"{len(cur)} constraint(s)")
+        return 0
     if op == "scan":
         if not args.where:
             print("scan needs --where", file=sys.stderr)
@@ -480,7 +500,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     tb.add_argument(
         "table_op",
-        choices=["history", "merge", "delete", "compact", "vacuum", "changes", "scan"],
+        choices=[
+            "history", "merge", "delete", "compact",
+            "vacuum", "changes", "scan", "constrain",
+        ],
     )
     tb.add_argument("table_path", help="snapshot table directory")
     tb.add_argument("--source", help="merge: parquet path of the upsert source")
@@ -491,6 +514,10 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--keep-last", type=int, default=2, help="vacuum: versions to keep")
     tb.add_argument("--from-version", type=int, default=0, help="changes: starting version")
     tb.add_argument("--max-rows", type=int, default=100)
+    tb.add_argument("--set", action="append",
+                    help="constrain: name=<sql expr> (repeatable; replaces the set)")
+    tb.add_argument("--drop-all", action="store_true",
+                    help="constrain: drop all constraints")
     tb.set_defaults(fn=cmd_table)
 
     c = sub.add_parser("curate", help="end-to-end corpus curation -> training shards")

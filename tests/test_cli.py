@@ -221,6 +221,21 @@ def test_cli_table_lifecycle(spark, tmp_path, capsys):
     # Arg validation: merge without --keys is a usage error.
     assert main(["table", "merge", path, "--source", src]) == 2
 
+    # constrain: set, list, enforce, drop from the CLI.
+    assert main(["table", "constrain", path, "--set", "k_pos=k > 0"]) == 0
+    capsys.readouterr()
+    assert main(["table", "constrain", path]) == 0
+    assert "k_pos: k > 0" in capsys.readouterr().out
+    bad = str(tmp_path / "bad.parquet")
+    spark.createDataFrame([(-9, "no")], "k long, v string").write.parquet(bad)
+    import pytest as _pytest
+
+    from receiptanalyzerpipeline_spark.sources.snapshots import ConstraintViolation
+    with _pytest.raises(ConstraintViolation):
+        main(["table", "merge", path, "--source", bad, "--keys", "k"])
+    assert main(["table", "constrain", path, "--drop-all"]) == 0
+    capsys.readouterr()
+
     # scan: predicate-driven zone-map pruning from the CLI.
     assert main(["table", "scan", path, "--where", "k = 2"]) == 0
     out = capsys.readouterr().out

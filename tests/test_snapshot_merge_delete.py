@@ -522,3 +522,72 @@ def test_check_constraints_enforced_across_commit_paths(spark, tmp_path):
         spark.createDataFrame([(-5, "x")], "k long, v string"), path, mode="append"
     )
     assert snap.read_snapshot(spark, path).where("k = -5").count() == 1
+
+
+def test_predicate_bounds_conservative_property():
+    """Property (hypothesis, pure Python): for ANY conjunctive predicate
+    — including atoms the extractor cannot parse — every row satisfying
+    the predicate lies inside the extracted per-column bounds. That is
+    the exact invariant zone-map pruning needs: a file range containing a
+    satisfying row can never be pruned."""
+    from hypothesis import given, settings, strategies as st
+
+    from receiptanalyzerpipeline_spark.sources.snapshots import (
+        _bounds_from_predicate,
+    )
+
+    cols = ("k", "v")
+    lit = st.integers(min_value=-50, max_value=50)
+
+    simple = st.tuples(
+        st.just("simple"), st.sampled_from(cols),
+        st.sampled_from([">=", "<=", "=", "<", ">"]), lit,
+    )
+    between = st.tuples(st.just("between"), st.sampled_from(cols), lit, lit)
+    arith = st.tuples(
+        st.just("arith"), st.sampled_from(cols), lit,
+        st.sampled_from([">=", "<="]), lit,
+    )
+    atoms = st.lists(st.one_of(simple, between, arith), min_size=1, max_size=5)
+
+    def render(atom) -> str:
+        if atom[0] == "simple":
+            _, c, op, x = atom
+            return f"{c} {op} {x}"
+        if atom[0] == "between":
+            _, c, a, b = atom
+            return f"{c} BETWEEN {a} AND {b}"
+        _, c, add, op, x = atom
+        return f"{c} + {add} {op} {x}"  # unparseable by design
+
+    def holds(atom, row) -> bool:
+        if atom[0] == "simple":
+            _, c, op, x = atom
+            return {
+                ">=": row[c] >= x, "<=": row[c] <= x, "=": row[c] == x,
+                "<": row[c] < x, ">": row[c] > x,
+            }[op]
+        if atom[0] == "between":
+            _, c, a, b = atom
+            return a <= row[c] <= b
+        _, c, add, op, x = atom
+        return (row[c] + add) >= x if op == ">=" else (row[c] + add) <= x
+
+    @settings(max_examples=300, deadline=None)
+    @given(atoms=atoms, k=lit, v=lit, paren=st.booleans())
+    def prop(atoms, k, v, paren):
+        row = {"k": k, "v": v}
+        if not all(holds(a, row) for a in atoms):
+            return  # predicate not satisfied: nothing to assert
+        text = " AND ".join(
+            f"({render(a)})" if paren else render(a) for a in atoms
+        )
+        bounds = _bounds_from_predicate(text)
+        for c, (lo, hi) in bounds.items():
+            assert c in row, f"bogus column {c!r} from {text!r}"
+            if lo is not None:
+                assert row[c] >= lo, (text, bounds, row)
+            if hi is not None:
+                assert row[c] <= hi, (text, bounds, row)
+
+    prop()
