@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+from datetime import datetime, timezone
 from pathlib import Path
 
 
@@ -201,6 +202,7 @@ def cmd_table(args: argparse.Namespace) -> int:
         rows = []
         for v in snap.versions(p):
             m = snap._read_manifest(p, v)
+            ts = m.get("committed_at")
             rows.append(
                 (
                     v,
@@ -211,12 +213,18 @@ def cmd_table(args: argparse.Namespace) -> int:
                     "compaction" if "compaction_of" in m else "",
                     m.get("batch_id"),
                     ",".join(m.get("cluster_by") or []),
+                    datetime.fromtimestamp(ts, tz=timezone.utc).isoformat(
+                        timespec="seconds"
+                    )
+                    if ts
+                    else "",
                 )
             )
         spark.createDataFrame(
             rows,
             "version long, mode string, n_files long, rewrote_files long, "
-            "carried_files long, note string, batch_id long, cluster_by string",
+            "carried_files long, note string, batch_id long, cluster_by string, "
+            "committed_at string",
         ).orderBy("version").show(n=1000, truncate=False)
         return 0
     if op == "merge":

@@ -156,10 +156,14 @@ def _write_manifest_exclusive(path: str, version: int, m: dict) -> None:
     unclaimed (EEXIST otherwise). Readers can never observe a partial
     manifest, and two writers can never both own version N — the local-FS
     analogue of an object store's if-none-match conditional put."""
+    import time as _time
     import uuid as _uuid
 
     mdir = Path(path) / "manifests"
     mdir.mkdir(parents=True, exist_ok=True)
+    # Commit wall-clock, recorded atomically with the manifest: the basis
+    # for AS OF TIMESTAMP time travel (version_at).
+    m.setdefault("committed_at", _time.time())
     tmp = mdir / f".{version}.{_uuid.uuid4().hex[:8]}.tmp"
     tmp.write_text(json.dumps(m))
     try:
@@ -254,9 +258,18 @@ def write_snapshot(
 
 
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame:
-    """Read the table AS OF ``version`` (default: latest committed)."""
+    """Read the table AS OF ``version``, or AS OF ``timestamp`` (epoch
+    seconds — resolved to the newest commit at or before that instant);
+    default: latest committed."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at(path, timestamp)
     if version is None:
         version = current_version(path)
         if version is None:
@@ -278,6 +291,24 @@ def read_snapshot(
 
         return spark.read.schema(StructType.fromJson(sch)).parquet(*manifest["files"])
     return spark.read.parquet(*manifest["files"])
+
+
+def version_at(path: str, timestamp: float) -> int:
+    """AS OF TIMESTAMP resolution: the newest version whose commit time is
+    <= ``timestamp`` (epoch seconds). Commit times are recorded atomically
+    with each manifest, so the mapping is exact and immutable. Raises if
+    the table has no commit at or before the instant (or if retention
+    already expired it — same contract as version-number time travel)."""
+    best = None
+    for v in versions(path):
+        ts = _read_manifest(path, v).get("committed_at")
+        if ts is not None and ts <= timestamp:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no committed version at or before timestamp {timestamp} in {path}"
+        )
+    return best
 
 
 def versions(path: str) -> list[int]:

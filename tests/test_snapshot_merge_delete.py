@@ -591,3 +591,28 @@ def test_predicate_bounds_conservative_property():
                 assert row[c] <= hi, (text, bounds, row)
 
     prop()
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """AS OF TIMESTAMP: each manifest records its commit instant, and a
+    timestamp resolves to the newest commit at or before it — exact at
+    the recorded instants, stable between them."""
+    path = _table(
+        spark, tmp_path, [[(1, "a")], [(2, "b")], [(3, "c")]]
+    )
+    ts = {
+        v: snap._read_manifest(path, v)["committed_at"]
+        for v in snap.versions(path)
+    }
+    assert ts[0] <= ts[1] <= ts[2]
+    # Exactly at each commit instant: that version.
+    for v in (0, 1, 2):
+        assert snap.version_at(path, ts[v]) >= v  # same-tick commits allowed
+        got = _rows(snap.read_snapshot(spark, path, timestamp=ts[v]))
+        assert {(v0 + 1) for v0 in range(v + 1)} <= {k for k, _ in got}
+    # Far future: latest. Before the first commit: error.
+    assert snap.version_at(path, ts[2] + 1e6) == 2
+    with pytest.raises(FileNotFoundError):
+        snap.version_at(path, ts[0] - 1e6)
+    with pytest.raises(ValueError, match="not both"):
+        snap.read_snapshot(spark, path, version=1, timestamp=ts[1])
