@@ -290,11 +290,32 @@ def zorder_frame(
     ``width_bucket`` over its [min, max] (one 2-scalar agg fetch per
     column — never a per-row collect; heavy value skew would call for
     quantile-based cell edges instead, the Delta range-id variant), the
-    cell ids are Morton-interleaved JVM-side.
+    cell ids are Morton-interleaved JVM-side. STRING columns cluster by
+    their 7-byte UTF-8 prefix embedded as a big-endian integer — a
+    left-aligned (zero-padded) prefix compares exactly like the string
+    does lexicographically, so zone maps on the raw string stay tight
+    and range-prunable.
     """
+    from pyspark.sql.types import StringType
+
+    def _ordinal(c: str) -> F.Column:
+        if isinstance(df.schema[c].dataType, StringType):
+            # 7 bytes = 56 bits: conv() stays positive (no sign flip on
+            # high bytes); rpad keeps short strings left-aligned so the
+            # integer order equals lexicographic order on the prefix.
+            return F.expr(
+                f"CAST(conv(hex(rpad(encode(`{c}`, 'UTF-8'), 7, X'00')), 16, 10) AS DOUBLE)"
+            )
+        return F.col(c).cast("double")
+
     n_buckets = 1 << bits
+    ords = {c: _ordinal(c) for c in cols}
     bounds = df.agg(
-        *[f for c in cols for f in (F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))]
+        *[
+            f
+            for c in cols
+            for f in (F.min(ords[c]).alias(f"lo_{c}"), F.max(ords[c]).alias(f"hi_{c}"))
+        ]
     ).first()
     if any(bounds[f"lo_{c}"] is None for c in cols):
         return df
@@ -308,7 +329,7 @@ def zorder_frame(
             bucketized.append(F.lit(0))
             continue
         cell = F.width_bucket(
-            F.col(c).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(n_buckets)
+            ords[c], F.lit(float(lo)), F.lit(float(hi)), F.lit(n_buckets)
         )
         # width_bucket: 1..n in range, n+1 at the upper bound — clamp to 0..n-1
         # and map NULL cells to 0 so NULL rows cluster together at the origin.

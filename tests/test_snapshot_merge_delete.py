@@ -616,3 +616,36 @@ def test_timestamp_time_travel(spark, tmp_path):
         snap.version_at(path, ts[0] - 1e6)
     with pytest.raises(ValueError, match="not both"):
         snap.read_snapshot(spark, path, version=1, timestamp=ts[1])
+
+
+def test_zorder_on_string_keys_prunes_lexicographic_ranges(spark, tmp_path):
+    """String cluster columns embed their 7-byte UTF-8 prefix as the
+    Morton input, so zone maps on the raw strings are tight and a
+    lexicographic range predicate prunes files — the doc-id case every
+    training-data table hits."""
+    path = str(tmp_path / "tbl")
+    rows = [(f"doc-{i:05d}", i % 7) for i in range(4096)]
+    snap.write_snapshot(
+        spark.createDataFrame(rows, "doc_id string, label long"), path
+    )
+    v = snap.compact_snapshot(
+        spark, path, target_file_bytes=2 << 10, cluster_by=["doc_id"], bits=12
+    )
+    m = snap._read_manifest(path, v)
+    n_files = len(m["files"])
+    assert n_files >= 8
+    stats = snap.file_stats(path, v)
+    # Zone maps hold the raw strings, and clustering makes them tight:
+    # most files' [min, max] spans a narrow id range.
+    pred = "doc_id BETWEEN 'doc-00100' AND 'doc-00160'"
+    df = snap.scan_snapshot(spark, path, pred)
+    assert len(df.inputFiles()) < n_files / 2
+    got = {r["doc_id"] for r in df.collect()}
+    assert got == {f"doc-{i:05d}" for i in range(100, 161)}
+    # Mixed string+numeric 2-D clustering also prunes on the string dim.
+    v2 = snap.compact_snapshot(
+        spark, path, target_file_bytes=2 << 10, cluster_by=["doc_id", "label"], bits=6
+    )
+    df2 = snap.scan_snapshot(spark, path, pred)
+    assert {r["doc_id"] for r in df2.collect()} == got
+    assert len(df2.inputFiles()) < len(snap._read_manifest(path, v2)["files"])
