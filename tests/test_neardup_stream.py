@@ -1,0 +1,94 @@
+"""Streaming near-dup dedup (streaming/neardup_stream.py): persisted LSH
+bucket state, in-batch keep-min clustering, corpus-probe drops, and
+exactly-once replay across both state tables."""
+
+from __future__ import annotations
+
+import json
+
+from receiptanalyzerpipeline_spark.sources import snapshots as snap
+from receiptanalyzerpipeline_spark.streaming.neardup_stream import neardup_dedup_sink
+
+BASE_A = (
+    "the quick brown fox jumps over the lazy dog while the curious cat "
+    "watches from the tall green fence near the quiet garden path today"
+)
+BASE_C = (
+    "distributed query engines schedule shuffle exchanges across executor "
+    "nodes while the optimizer prunes columns and pushes filters into scans"
+)
+DISTINCT_B = (
+    "completely unrelated prose about baking sourdough bread with a slow "
+    "overnight fermentation and a very hot dutch oven for the final crust"
+)
+DISTINCT_D = (
+    "alpine meadows bloom in late june when the snowpack melts and the "
+    "marmots emerge to whistle warnings across the high granite slopes"
+)
+
+
+def _run(spark, landing, corpus, buckets, cp):
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    q = (
+        stream.writeStream.foreachBatch(neardup_dedup_sink(corpus, buckets))
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+
+
+def test_streaming_neardup_corpus_stays_deduped(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    corpus, buckets = str(tmp_path / "corpus"), str(tmp_path / "buckets")
+
+    # Batch 0: two distinct docs — both survive.
+    # Batch 1: near-dup of A (vs corpus), new doc C, and an in-batch
+    #          near-dup pair (C, C') where C has the smaller id.
+    batches = [
+        [(1, BASE_A), (2, DISTINCT_B)],
+        [
+            (10, BASE_A + " with one extra trailing clause appended here"),
+            (11, BASE_C),
+            (12, BASE_C + " plus a small appended suffix for this twin"),
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        with open(landing / f"f{i}.json", "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    _run(spark, landing, corpus, buckets, str(tmp_path / "cp1"))
+    kept = {r["doc_id"] for r in snap.read_snapshot(spark, corpus).collect()}
+    assert kept == {1, 2, 11}  # 10 dropped vs corpus; 12 dropped in-batch
+
+    # Bucket state covers exactly the survivors.
+    state_ids = {
+        r["doc_id"]
+        for r in snap.read_snapshot(spark, buckets).select("doc_id").collect()
+    }
+    assert state_ids == {1, 2, 11}
+
+    # Batch 2 after a restart: another near-dup of A (dropped against the
+    # PERSISTED state, not the live stream) and a genuinely new doc.
+    with open(landing / "f2.json", "w") as f:
+        f.write(json.dumps({"doc_id": 20, "text": BASE_A + " again slightly longer"}) + "\n")
+        f.write(json.dumps({"doc_id": 21, "text": DISTINCT_D}) + "\n")
+    _run(spark, landing, corpus, buckets, str(tmp_path / "cp1"))
+    kept = {r["doc_id"] for r in snap.read_snapshot(spark, corpus).collect()}
+    assert kept == {1, 2, 11, 21}
+
+    # Fresh checkpoint: full replay is a no-op for BOTH state tables
+    # (batch-id ledgers), deterministic batches via maxFilesPerTrigger=1.
+    v_c, v_b = snap.current_version(corpus), snap.current_version(buckets)
+    _run(spark, landing, corpus, buckets, str(tmp_path / "cp2"))
+    assert snap.current_version(corpus) == v_c
+    assert snap.current_version(buckets) == v_b
+    assert {r["doc_id"] for r in snap.read_snapshot(spark, corpus).collect()} == {
+        1, 2, 11, 21,
+    }
