@@ -414,6 +414,7 @@ def cmd_curate_stream(args: argparse.Namespace) -> int:
         id_col=args.id_col,
         text_col=args.text_col,
         n_shards=args.shards,
+        near_dedup=args.near_dedup,
     )
     q.awaitTermination()
     return 0
@@ -553,6 +554,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="append per-batch progress JSONL here (observability)")
     cs.add_argument("--once", action="store_true", default=True,
                     help="availableNow: drain the backlog and exit (default)")
+    cs.add_argument("--near-dedup", action="store_true",
+                    help="also drop MinHash-LSH near-dups: in-batch keep-first, "
+                         "vs-corpus via persisted text-free LSH state")
     cs.set_defaults(fn=cmd_curate_stream)
 
     t = sub.add_parser("tokenize", help="train a BPE merge table; optionally encode the corpus")

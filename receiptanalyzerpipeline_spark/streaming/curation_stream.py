@@ -98,12 +98,97 @@ def curation_sink(
     eval_docs: DataFrame | None = None,
     sample_rate: float = 1.0,
     n_shards: int = 16,
+    near_dedup: bool = False,
+    nd_threshold: float = 0.5,
+    nd_k: int = 3,
+    nd_n_hashes: int = 32,
+    nd_rows_per_band: int = 2,
 ):
-    """``foreachBatch`` commit function for the streaming curation loop."""
+    """``foreachBatch`` commit function for the streaming curation loop.
+
+    ``near_dedup`` adds MinHash-LSH near-dup filtering (the streaming
+    counterpart of ``curate --near-dedup``): in-batch clusters keep their
+    smallest id; vs-corpus candidates come from a persisted band-bucket
+    table and are verified TEXT-FREE against persisted signatures with
+    the unbiased MinHash estimator (fraction of equal components) — the
+    curation state keeps no document text. Policy note: streaming keeps
+    the FIRST-ARRIVED member of each near-dup cluster (causal — future
+    docs are unknown); the batch CLI keeps the longest (q_d10). The LSH
+    state lives in two snapshot tables beside the fingerprint snapshot
+    (``<snapshot>_lshb`` buckets, ``<snapshot>_lshs`` signatures), each
+    exactly-once by batch id and committed BEFORE the authoritative
+    fingerprint manifest."""
     import os
     from pathlib import Path
 
     snapshot_commit = snap.snapshot_sink(snapshot_path)
+    buckets_path, sigs_path = f"{snapshot_path}_lshb", f"{snapshot_path}_lshs"
+
+    def _neardup_filter(fresh: DataFrame) -> DataFrame:
+        from receiptanalyzerpipeline_spark.operators.dedup import minhash_signatures
+        from receiptanalyzerpipeline_spark.streaming.neardup_stream import (
+            _band_buckets,
+            dedup_in_batch_neardup,
+            minhash_estimate,
+        )
+
+        spark = fresh.sparkSession
+        batch = fresh.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        batch = dedup_in_batch_neardup(
+            batch, nd_k, nd_threshold, nd_n_hashes, nd_rows_per_band
+        )
+        sigs = minhash_signatures(batch, "doc_id", "text", k=nd_k, n_hashes=nd_n_hashes)
+        if snap.current_version(buckets_path) is not None:
+            bb = _band_buckets(sigs, nd_n_hashes, nd_rows_per_band)
+            state_b = snap.read_snapshot(spark, buckets_path)
+            cands = (
+                bb.alias("n")
+                .join(
+                    state_b.alias("o"),
+                    (F.col("n.band") == F.col("o.band"))
+                    & (F.col("n.vals") == F.col("o.vals")),
+                )
+                .select(
+                    F.col("n.doc_id").alias("new_id"),
+                    F.col("o.doc_id").alias("old_id"),
+                )
+                .distinct()
+            )
+            state_s = snap.read_snapshot(spark, sigs_path).select(
+                F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_old")
+            )
+            est = minhash_estimate(F.col("sig"), F.col("sig_old"), nd_n_hashes)
+            dupes = (
+                cands.join(sigs.withColumnRenamed("doc_id", "new_id"), "new_id")
+                .join(state_s, "old_id")
+                .where(est >= nd_threshold)
+                .select(F.col("new_id").alias("doc_id"))
+                .distinct()
+            )
+            batch = batch.join(dupes, "doc_id", "left_anti")
+        return fresh.join(
+            batch.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+        )
+
+    def _commit_lsh_state(fresh: DataFrame, batch_id: int) -> None:
+        from receiptanalyzerpipeline_spark.operators.dedup import minhash_signatures
+        from receiptanalyzerpipeline_spark.streaming.neardup_stream import _band_buckets
+
+        sigs = minhash_signatures(
+            fresh.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+            "doc_id", "text", k=nd_k, n_hashes=nd_n_hashes,
+        )
+        if not snap.batch_committed(buckets_path, batch_id):
+            snap.write_snapshot(
+                _band_buckets(sigs, nd_n_hashes, nd_rows_per_band),
+                buckets_path, mode="append", manifest_extra={"batch_id": batch_id},
+            )
+        if not snap.batch_committed(sigs_path, batch_id):
+            snap.write_snapshot(
+                sigs, sigs_path, mode="append", manifest_extra={"batch_id": batch_id},
+            )
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         if snap.batch_committed(snapshot_path, batch_id):
@@ -116,7 +201,10 @@ def curation_sink(
             prior = snap.read_snapshot(batch_df.sparkSession, snapshot_path).select("fp")
         fresh = _curate_batch(
             batch_df, prior, id_col, text_col, rules, eval_docs, sample_rate
-        ).persist()
+        )
+        if near_dedup:
+            fresh = _neardup_filter(fresh)
+        fresh = fresh.persist()
         try:
             shard_rows = fresh.select(
                 id_col,
@@ -126,6 +214,11 @@ def curation_sink(
             data_dir = Path(shards_path) / "data" / f"snap-{batch_id}"
             os.makedirs(data_dir.parent, exist_ok=True)
             shard_rows.write.mode("overwrite").parquet(str(data_dir))
+            if near_dedup:
+                # LSH state commits FIRST (each idempotent by batch id):
+                # a crash between them and the fingerprint manifest
+                # replays into skip-state + commit-fingerprints.
+                _commit_lsh_state(fresh, batch_id)
             # Commit point: snapshot manifest (id + fingerprint only — the
             # dedup state later batches anti-join against).
             snapshot_commit(fresh.select(id_col, "fp"), batch_id)

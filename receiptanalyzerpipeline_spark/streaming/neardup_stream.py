@@ -73,6 +73,37 @@ def _exact_jaccard(pairs: DataFrame, k: int) -> DataFrame:
     )
 
 
+def dedup_in_batch_neardup(
+    batch: DataFrame,
+    k: int,
+    threshold: float,
+    n_hashes: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """Drop in-batch near-dups, keeping each LSH cluster's smallest
+    doc_id (columns must be (doc_id, text))."""
+    pairs = minhash_lsh_jaccard_pairs(
+        batch, "doc_id", "text",
+        k=k, threshold=threshold, n_hashes=n_hashes, rows_per_band=rows_per_band,
+    )
+    labels = connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("id").alias("__id"), F.col("component").alias("__comp")
+    )
+    return (
+        batch.join(labels, batch["doc_id"] == labels["__id"], "left")
+        .where(F.col("__comp").isNull() | (F.col("doc_id") == F.col("__comp")))
+        .drop("__id", "__comp")
+    )
+
+
+def minhash_estimate(sig_a, sig_b, n_hashes: int):
+    """Unbiased MinHash Jaccard estimate: the fraction of equal signature
+    components. Text-free — verifies candidates against persisted
+    signatures when the corpus text is not retained."""
+    eq = F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda b: b)
+    return F.size(eq).cast("double") / F.lit(float(n_hashes))
+
+
 def neardup_dedup_sink(
     corpus_path: str,
     buckets_path: str,
@@ -101,18 +132,7 @@ def neardup_dedup_sink(
         )
 
         # 1. In-batch near-dup clusters → keep each cluster's smallest id.
-        pairs = minhash_lsh_jaccard_pairs(
-            batch, "doc_id", "text",
-            k=k, threshold=threshold, n_hashes=n_hashes, rows_per_band=rows_per_band,
-        )
-        labels = connected_components(pairs.select("id_a", "id_b")).select(
-            F.col("id").alias("__id"), F.col("component").alias("__comp")
-        )
-        batch = (
-            batch.join(labels, batch["doc_id"] == labels["__id"], "left")
-            .where(F.col("__comp").isNull() | (F.col("doc_id") == F.col("__comp")))
-            .drop("__id", "__comp")
-        )
+        batch = dedup_in_batch_neardup(batch, k, threshold, n_hashes, rows_per_band)
 
         # 2. Probe the persisted bucket state for corpus near-dups.
         sigs = minhash_signatures(batch, "doc_id", "text", k=k, n_hashes=n_hashes)

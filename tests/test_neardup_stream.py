@@ -92,3 +92,63 @@ def test_streaming_neardup_corpus_stays_deduped(spark, tmp_path):
     assert {r["doc_id"] for r in snap.read_snapshot(spark, corpus).collect()} == {
         1, 2, 11, 21,
     }
+
+
+def test_streaming_curation_with_near_dedup(spark, tmp_path):
+    """curate-stream --near-dedup: the curation loop drops near-dups both
+    in-batch (keep-first) and against the persisted TEXT-FREE LSH state
+    (band buckets + signatures, MinHash-estimator verified), exactly-once
+    under full replay."""
+    from receiptanalyzerpipeline_spark.streaming.curation_stream import (
+        read_shard_membership,
+        run_streaming_curation,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows0 = [(1, BASE_A), (2, DISTINCT_B)]
+    rows1 = [
+        (10, BASE_A + " with one extra trailing clause appended here"),
+        (11, BASE_C),
+        (12, BASE_C + " plus a small appended suffix for this twin"),
+    ]
+    for i, rows in enumerate((rows0, rows1)):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+            str(landing / f"b{i}"), mode="overwrite"
+        )
+
+    snapshot = str(tmp_path / "state")
+    shards = str(tmp_path / "shards")
+
+    def run(cp: str) -> None:
+        q = run_streaming_curation(
+            spark,
+            str(landing) + "/b*",
+            snapshot_path=snapshot,
+            shards_path=shards,
+            checkpoint=cp,
+            schema="doc_id long, text string",
+            near_dedup=True,
+        )
+        q.awaitTermination(timeout=300)
+
+    run(str(tmp_path / "cp1"))
+    kept = {r["doc_id"] for r in read_shard_membership(spark, shards).collect()}
+    assert kept == {1, 2, 11}  # 10: near-dup vs corpus; 12: in-batch twin
+
+    # The LSH state is text-free and covers exactly the survivors.
+    sigs = snap.read_snapshot(spark, snapshot + "_lshs")
+    assert set(sigs.columns) == {"doc_id", "sig"}
+    assert {r["doc_id"] for r in sigs.collect()} == {1, 2, 11}
+
+    # Full replay from a fresh checkpoint: all three state tables no-op.
+    vs = [
+        snap.current_version(p)
+        for p in (snapshot, snapshot + "_lshb", snapshot + "_lshs")
+    ]
+    run(str(tmp_path / "cp2"))
+    assert vs == [
+        snap.current_version(p)
+        for p in (snapshot, snapshot + "_lshb", snapshot + "_lshs")
+    ]
+    assert {r["doc_id"] for r in read_shard_membership(spark, shards).collect()} == kept
