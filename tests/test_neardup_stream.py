@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import functions as F
+
 from receiptanalyzerpipeline_spark.sources import snapshots as snap
 from receiptanalyzerpipeline_spark.streaming.neardup_stream import neardup_dedup_sink
 
@@ -152,3 +154,25 @@ def test_streaming_curation_with_near_dedup(spark, tmp_path):
         for p in (snapshot, snapshot + "_lshb", snapshot + "_lshs")
     ]
     assert {r["doc_id"] for r in read_shard_membership(spark, shards).collect()} == kept
+
+
+def test_neardup_probe_plan_is_equi_join(spark):
+    """The vs-corpus candidate probe must compile to a hash/sort-merge
+    EQUI-join on (band, vals) — never a nested-loop/cartesian — because
+    at scale the bucket state is the big side."""
+    from receiptanalyzerpipeline_spark.operators.dedup import minhash_signatures
+    from receiptanalyzerpipeline_spark.streaming.neardup_stream import _band_buckets
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} " * 20) for i in range(50)], "doc_id long, text string"
+    )
+    bb = _band_buckets(minhash_signatures(docs, "doc_id", "text"), 32, 2)
+    state = bb.withColumnRenamed("doc_id", "old_id")
+    cands = bb.alias("n").join(
+        state.alias("o"),
+        (F.col("n.band") == F.col("o.band")) & (F.col("n.vals") == F.col("o.vals")),
+    )
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan
+
