@@ -259,7 +259,9 @@ def cmd_table(args: argparse.Namespace) -> int:
         print(f"committed version {v}: {n} file(s)" + (f", clustered on {cluster}" if cluster else ""))
         return 0
     if op == "vacuum":
-        expired = snap.expire_snapshots(p, keep_last=args.keep_last)
+        expired = snap.expire_snapshots(
+            p, keep_last=args.keep_last, keep_from_version=args.keep_from
+        )
         print(f"expired versions: {expired or 'none'}")
         return 0
     if op == "constrain":
@@ -521,6 +523,8 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--cluster-by", help="compact: comma-separated Z-order columns")
     tb.add_argument("--target-file-mb", type=int, default=128, help="compact: target file size")
     tb.add_argument("--keep-last", type=int, default=2, help="vacuum: versions to keep")
+    tb.add_argument("--keep-from", type=int, default=None,
+                    help="vacuum: never expire versions >= this (consumer watermark)")
     tb.add_argument("--from-version", type=int, default=0, help="changes: starting version")
     tb.add_argument("--max-rows", type=int, default=100)
     tb.add_argument("--set", action="append",

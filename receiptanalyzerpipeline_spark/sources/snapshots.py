@@ -1105,7 +1105,10 @@ def compact_snapshot(
 
 
 def expire_snapshots(
-    path: str, keep_last: int = 2, orphan_grace_s: float = 3600.0
+    path: str,
+    keep_last: int = 2,
+    orphan_grace_s: float = 3600.0,
+    keep_from_version: int | None = None,
 ) -> list[int]:
     """Retention pass: drop all but the newest ``keep_last`` versions and
     delete data files no surviving manifest references. Returns the
@@ -1123,7 +1126,13 @@ def expire_snapshots(
     A dir is removed only when no surviving manifest references any file
     in it AND it is older than ``orphan_grace_s`` (so an in-flight
     writer's fresh dir is never swept — Delta VACUUM's retention-hours
-    contract)."""
+    contract).
+
+    ``keep_from_version`` protects CONSUMER WATERMARKS: versions >= it
+    are never expired regardless of ``keep_last``, so an IVM refresh
+    watermark or a CDC stream's committed offset stays diff-able. Pass
+    the slowest consumer's recorded version (e.g. a materialized view's
+    ``base_version``, a snapshot_cdc checkpoint offset)."""
     import shutil
     import time
 
@@ -1133,6 +1142,10 @@ def expire_snapshots(
         expired: list[int] = []
     else:
         survivors, expired = vs[-keep_last:], vs[:-keep_last]
+    if keep_from_version is not None and expired:
+        protected = [v for v in expired if v >= keep_from_version]
+        expired = [v for v in expired if v < keep_from_version]
+        survivors = protected + survivors
     keep_files = {f for v in survivors for f in _read_manifest(path, v)["files"]}
     drop_files = [
         f

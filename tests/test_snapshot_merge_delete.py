@@ -649,3 +649,20 @@ def test_zorder_on_string_keys_prunes_lexicographic_ranges(spark, tmp_path):
     df2 = snap.scan_snapshot(spark, path, pred)
     assert {r["doc_id"] for r in df2.collect()} == got
     assert len(df2.inputFiles()) < len(snap._read_manifest(path, v2)["files"])
+
+
+def test_vacuum_keep_from_protects_consumer_watermarks(spark, tmp_path):
+    """keep_from_version: retention never expires a version a consumer
+    still needs, so an IVM/CDC watermark at that version stays diff-able
+    after the vacuum."""
+    path = _table(
+        spark, tmp_path,
+        [[(1, "a")], [(2, "b")], [(3, "c")], [(4, "d")], [(5, "e")]],
+    )
+    expired = snap.expire_snapshots(path, keep_last=1, keep_from_version=2)
+    assert expired == [0, 1]
+    assert snap.versions(path) == [2, 3, 4]
+    # The protected watermark still supports a row-level change feed
+    # (changes strictly AFTER the watermark version).
+    feed = snap.read_row_changes(spark, path, 2)
+    assert {r["k"] for r in feed.collect()} == {4, 5}
