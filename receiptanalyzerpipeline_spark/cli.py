@@ -288,8 +288,9 @@ def cmd_table(args: argparse.Namespace) -> int:
         if not args.where:
             print("scan needs --where", file=sys.stderr)
             return 2
-        df = snap.scan_snapshot(spark, p, args.where)
-        n_live = len(snap._read_manifest(p, snap.current_version(p))["files"])
+        at = args.version if args.version is not None else snap.current_version(p)
+        df = snap.scan_snapshot(spark, p, args.where, version=args.version)
+        n_live = len(snap._read_manifest(p, at)["files"])
         print(f"# scanning {len(df.inputFiles())}/{n_live} file(s) after zone-map pruning")
         df.show(n=args.max_rows, truncate=False)
         return 0
@@ -525,6 +526,8 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--keep-last", type=int, default=2, help="vacuum: versions to keep")
     tb.add_argument("--keep-from", type=int, default=None,
                     help="vacuum: never expire versions >= this (consumer watermark)")
+    tb.add_argument("--version", type=int, default=None,
+                    help="scan: read AS OF this version (default latest)")
     tb.add_argument("--from-version", type=int, default=0, help="changes: starting version")
     tb.add_argument("--max-rows", type=int, default=100)
     tb.add_argument("--set", action="append",

@@ -87,20 +87,23 @@ class EngineSession:
         name: str,
         path: str,
         version: int | None = None,
+        timestamp: float | None = None,
         changes_from: int | None = None,
     ) -> None:
         """Register a snapshot table for ad-hoc SQL: ``name`` is the
-        table AS OF ``version`` (default: latest — time travel is just
-        registering an older version under its own name). With
-        ``changes_from``, also registers ``{name}_changes`` — the
-        row-level retraction feed (_op/_version columns) since that
+        table AS OF ``version`` or AS OF ``timestamp`` (default: latest —
+        time travel is just registering an older state under its own
+        name). With ``changes_from``, also registers ``{name}_changes`` —
+        the row-level retraction feed (_op/_version columns) since that
         version, queryable like any table."""
         from receiptanalyzerpipeline_spark.sources.snapshots import (
             read_row_changes,
             read_snapshot,
         )
 
-        read_snapshot(self.spark, path, version=version).createOrReplaceTempView(name)
+        read_snapshot(
+            self.spark, path, version=version, timestamp=timestamp
+        ).createOrReplaceTempView(name)
         self.views.append(name)
         if changes_from is not None:
             read_row_changes(self.spark, path, changes_from).createOrReplaceTempView(

@@ -213,6 +213,11 @@ def test_cli_table_lifecycle(spark, tmp_path, capsys):
     feed = capsys.readouterr().out
     assert "delete" in feed and "insert" in feed
 
+    # scan AS OF a pre-delete version still sees the deleted row
+    # (before retention expires that version below).
+    assert main(["table", "scan", path, "--where", "k = 1", "--version", "1"]) == 0
+    assert "| a " in capsys.readouterr().out.replace("|a ", "| a ")
+
     assert main(["table", "vacuum", path, "--keep-last", "1"]) == 0
     out = capsys.readouterr().out
     assert "expired versions: [0, 1, 2]" in out

@@ -165,12 +165,18 @@ def test_snapshot_time_travel_and_changes_in_sql(spark, sf_dir, tmp_path):
     eng = EngineSession(spark, sf_dir=sf_dir)
     eng.snapshot("tbl", path)                      # latest
     eng.snapshot("tbl_v0", path, version=v0)       # time travel
+    from receiptanalyzerpipeline_spark.sources.snapshots import _read_manifest
+
+    ts0 = _read_manifest(path, v0)["committed_at"]
+    eng.snapshot("tbl_t0", path, timestamp=ts0)    # AS OF TIMESTAMP
     eng.snapshot("tbl_live", path, changes_from=v0)  # + change feed
 
     latest = {tuple(r) for r in eng.sql("SELECT k, v FROM tbl ORDER BY k").collect()}
     assert latest == {(2, "B!"), (3, "c")}
     asof = {tuple(r) for r in eng.sql("SELECT k, v FROM tbl_v0 ORDER BY k").collect()}
     assert asof == {(1, "a"), (2, "b")}
+    t0 = {tuple(r) for r in eng.sql("SELECT k, v FROM tbl_t0 ORDER BY k").collect()}
+    assert t0 == asof
     # Net change per key from the retraction feed, in plain SQL.
     net = eng.sql(
         "SELECT k, CAST(SUM(CASE WHEN _op = 'insert' THEN 1 ELSE -1 END) AS BIGINT) AS d "
