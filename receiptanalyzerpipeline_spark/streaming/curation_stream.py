@@ -124,6 +124,24 @@ def curation_sink(
     snapshot_commit = snap.snapshot_sink(snapshot_path)
     buckets_path, sigs_path = f"{snapshot_path}_lshb", f"{snapshot_path}_lshs"
 
+    def _committed_state_version(state_path: str) -> int | None:
+        """Newest version of an LSH state table whose batch is ALSO
+        committed in the authoritative fingerprint table.
+
+        LSH state commits strictly BEFORE the fingerprint manifest, so a
+        crash in that window leaves the state table one version ahead,
+        containing the batch's own docs. A replay that probed that
+        orphaned version would self-match every doc (MinHash estimate
+        1.0) and silently drop the whole batch. Only versions the
+        fingerprint ledger acknowledges are probe-safe; versions without
+        a batch_id (maintenance commits like compaction) are always
+        derived from acknowledged data and count as committed."""
+        for v in reversed(snap.versions(state_path)):
+            bid = snap._read_manifest(state_path, v).get("batch_id")
+            if bid is None or snap.batch_committed(snapshot_path, bid):
+                return v
+        return None
+
     def _neardup_filter(fresh: DataFrame) -> DataFrame:
         from receiptanalyzerpipeline_spark.operators.dedup import minhash_signatures
         from receiptanalyzerpipeline_spark.streaming.neardup_stream import (
@@ -140,9 +158,11 @@ def curation_sink(
             batch, nd_k, nd_threshold, nd_n_hashes, nd_rows_per_band
         )
         sigs = minhash_signatures(batch, "doc_id", "text", k=nd_k, n_hashes=nd_n_hashes)
-        if snap.current_version(buckets_path) is not None:
+        v_b = _committed_state_version(buckets_path)
+        v_s = _committed_state_version(sigs_path)
+        if v_b is not None and v_s is not None:
             bb = _band_buckets(sigs, nd_n_hashes, nd_rows_per_band)
-            state_b = snap.read_snapshot(spark, buckets_path)
+            state_b = snap.read_snapshot(spark, buckets_path, version=v_b)
             cands = (
                 bb.alias("n")
                 .join(
@@ -156,7 +176,7 @@ def curation_sink(
                 )
                 .distinct()
             )
-            state_s = snap.read_snapshot(spark, sigs_path).select(
+            state_s = snap.read_snapshot(spark, sigs_path, version=v_s).select(
                 F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_old")
             )
             est = minhash_estimate(F.col("sig"), F.col("sig_old"), nd_n_hashes)
@@ -217,7 +237,10 @@ def curation_sink(
             if near_dedup:
                 # LSH state commits FIRST (each idempotent by batch id):
                 # a crash between them and the fingerprint manifest
-                # replays into skip-state + commit-fingerprints.
+                # replays into skip-state + commit-fingerprints, and the
+                # replay's probe reads state AS OF the last fingerprint-
+                # acknowledged version (_committed_state_version) so the
+                # orphaned attempt's own docs can't self-match.
                 _commit_lsh_state(fresh, batch_id)
             # Commit point: snapshot manifest (id + fingerprint only — the
             # dedup state later batches anti-join against).

@@ -156,6 +156,72 @@ def test_streaming_curation_with_near_dedup(spark, tmp_path):
     assert {r["doc_id"] for r in read_shard_membership(spark, shards).collect()} == kept
 
 
+def test_neardup_crash_between_lsh_and_fingerprint_commit(spark, tmp_path, monkeypatch):
+    """ADVICE r5 (high): a crash AFTER the LSH state commit but BEFORE the
+    fingerprint manifest must not lose the batch on replay. Without the
+    committed-state-version guard, the replayed probe sees the batch's own
+    docs in LSH state, every doc self-matches (estimate 1.0), and the
+    batch re-commits as an empty fingerprint set + empty shard export."""
+    from receiptanalyzerpipeline_spark.streaming import curation_stream as cs
+    from receiptanalyzerpipeline_spark.streaming.curation_stream import (
+        curation_sink,
+        read_shard_membership,
+    )
+
+    snapshot = str(tmp_path / "state")
+    shards = str(tmp_path / "shards")
+
+    real_sink = snap.snapshot_sink
+    crashed = {"done": False}
+
+    def crashing_sink(path):
+        inner = real_sink(path)
+
+        def commit(df, bid):
+            if bid == 1 and not crashed["done"]:
+                crashed["done"] = True
+                raise RuntimeError("injected crash before fingerprint commit")
+            return inner(df, bid)
+
+        return commit
+
+    monkeypatch.setattr(cs.snap, "snapshot_sink", crashing_sink)
+    sink = curation_sink(snapshot, shards, near_dedup=True)
+
+    b0 = spark.createDataFrame(
+        [(1, BASE_A), (2, DISTINCT_B)], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [
+            (10, BASE_A + " with one extra trailing clause appended here"),
+            (11, BASE_C),
+            (12, BASE_C + " plus a small appended suffix for this twin"),
+        ],
+        "doc_id long, text string",
+    )
+    sink(b0, 0)
+    try:
+        sink(b1, 1)
+    except RuntimeError:
+        pass
+    # Crash window reproduced: LSH state has batch 1, fingerprints don't.
+    assert snap.batch_committed(snapshot + "_lshb", 1)
+    assert snap.batch_committed(snapshot + "_lshs", 1)
+    assert not snap.batch_committed(snapshot, 1)
+
+    sink(b1, 1)  # replay
+    fp_ids = {r["doc_id"] for r in snap.read_snapshot(spark, snapshot).collect()}
+    assert fp_ids == {1, 2, 11}  # 11 survived the replay — batch NOT lost
+    kept = {r["doc_id"] for r in read_shard_membership(spark, shards).collect()}
+    assert kept == {1, 2, 11}
+    # State tables did not double-commit on replay.
+    for p in (snapshot + "_lshb", snapshot + "_lshs"):
+        bids = [
+            snap._read_manifest(p, v).get("batch_id") for v in snap.versions(p)
+        ]
+        assert bids.count(1) == 1
+
+
 def test_neardup_probe_plan_is_equi_join(spark):
     """The vs-corpus candidate probe must compile to a hash/sort-merge
     EQUI-join on (band, vals) — never a nested-loop/cartesian — because
