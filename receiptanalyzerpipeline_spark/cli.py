@@ -559,8 +559,9 @@ def build_parser() -> argparse.ArgumentParser:
     cs.add_argument("--max-files-per-trigger", type=int, default=1)
     cs.add_argument("--metrics", default=None,
                     help="append per-batch progress JSONL here (observability)")
-    cs.add_argument("--once", action="store_true", default=True,
-                    help="availableNow: drain the backlog and exit (default)")
+    cs.add_argument("--once", action=argparse.BooleanOptionalAction, default=True,
+                    help="availableNow: drain the backlog and exit (default; "
+                         "--no-once runs the stream continuously)")
     cs.add_argument("--near-dedup", action="store_true",
                     help="also drop MinHash-LSH near-dups: in-batch keep-first, "
                          "vs-corpus via persisted text-free LSH state")

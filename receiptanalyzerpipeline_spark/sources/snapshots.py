@@ -188,6 +188,7 @@ def write_snapshot(
     mode: str = "append",
     manifest_extra: dict | None = None,
     validate_constraints: bool = True,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -196,7 +197,11 @@ def write_snapshot(
     stay on disk — historical versions remain readable until a
     retention pass removes them). ``manifest_extra`` entries are written
     INTO the manifest atomically with the commit (e.g. a streaming
-    sink's ``batch_id`` replay marker).
+    sink's ``batch_id`` replay marker). ``stats_cols`` computes per-file
+    [min, max] zone maps over the commit's new files and publishes them
+    in the same manifest — manifests are immutable once published, so
+    metadata that must travel with a commit (compaction provenance,
+    clustering, stats) goes through here, never a post-hoc rewrite.
 
     Concurrency: data files land in a uniquely-named dir (no writer ever
     collides on data), then the manifest is published with a
@@ -215,6 +220,9 @@ def write_snapshot(
     new_files = sorted(
         str(p) for p in data_dir.glob("*.parquet") if not p.name.startswith("_")
     )
+    explicit_stats = (
+        _file_stats(df.sparkSession, new_files, stats_cols) if stats_cols else None
+    )
     while True:
         # A version is COMMITTED iff its manifest exists — chain from the
         # newest manifest, never the VERSION pointer (which lags across
@@ -232,6 +240,8 @@ def write_snapshot(
             _check_append_schema(pm, df)
             files = pm["files"] + new_files
             stat_fields.update(_propagate_stats(df.sparkSession, pm, pm["files"], new_files))
+        if explicit_stats is not None:
+            stat_fields["stats"] = explicit_stats
         # Schema travels with the commit so a version whose file list is
         # empty (all rows deleted, empty bootstrap batch) stays readable.
         m = {
@@ -434,11 +444,32 @@ def batch_committed(path: str, batch_id: int) -> bool:
     Sources: live manifests PLUS the ``_batches.json`` ledger, where
     ``expire_snapshots`` preserves the batch ids of manifests it deletes
     — without it, a very late replay of an already-expired batch would
-    re-commit as new data (duplicates)."""
+    re-commit as new data (duplicates).
+
+    Legacy tables (written before batch ids were stamped into manifests,
+    when the sink's contract was version-number==batch_id) are detected
+    by shape: no manifest anywhere records a batch_id AND the ledger is
+    empty. For those, an append manifest at version==batch_id counts as
+    committed — otherwise a pending replay against an upgraded table
+    re-commits the batch as duplicate rows. Trade-off: attaching a
+    brand-new stream (fresh checkpoint) to a table hand-built by plain
+    ``write_snapshot`` appends inherits the legacy contract for its
+    first deliveries — identical to pre-upgrade behavior; start such
+    streams on a fresh table path."""
     if batch_id in _ledger_batch_ids(path):
         return True
-    for v in versions(path):
-        if _read_manifest(path, v).get("batch_id") == batch_id:
+    stamped = False
+    vs = versions(path)
+    manifests = {v: _read_manifest(path, v) for v in vs}
+    for m in manifests.values():
+        bid = m.get("batch_id")
+        if bid == batch_id:
+            return True
+        if bid is not None:
+            stamped = True
+    if not stamped and batch_id in manifests:
+        lm = manifests[batch_id]
+        if lm.get("mode") == "append" and "compaction_of" not in lm:
             return True
     return False
 
@@ -1094,14 +1125,22 @@ def compact_snapshot(
         df = df.coalesce(target)
     # Rows were validated when first committed; re-checking the whole
     # table at every compaction would be an O(table) scan for nothing.
-    version = write_snapshot(df, path, mode="overwrite", validate_constraints=False)
-    m = _read_manifest(path, version)
-    m["compaction_of"] = cur
+    # compaction_of/cluster_by/stats ride the SAME atomic manifest
+    # publish: a post-hoc rewrite would let a concurrent reader (CDC
+    # offsets, IVM, read_row_changes) see truncated JSON or a commit
+    # that momentarily looks like a plain overwrite — which a CDC
+    # consumer would replay as a full-table delete+insert.
+    extra: dict = {"compaction_of": cur}
     if cluster_by:
-        m["cluster_by"] = cluster_by
-        m["stats"] = _file_stats(spark, m["files"], cluster_by)
-    _manifest_path(path, version).write_text(json.dumps(m))
-    return version
+        extra["cluster_by"] = cluster_by
+    return write_snapshot(
+        df,
+        path,
+        mode="overwrite",
+        validate_constraints=False,
+        manifest_extra=extra,
+        stats_cols=cluster_by or None,
+    )
 
 
 def expire_snapshots(

@@ -246,3 +246,18 @@ def test_cli_table_lifecycle(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "after zone-map pruning" in out and "B!" in out
     assert main(["table", "scan", path]) == 2
+
+
+def test_curate_stream_once_flag_is_togglable():
+    """ADVICE r5 (low): --once defaulted True via store_true, so
+    continuous mode was unreachable; --no-once must parse to False."""
+    from receiptanalyzerpipeline_spark.cli import build_parser
+
+    p = build_parser()
+    base = [
+        "curate-stream", "--input", "i", "--output", "o",
+        "--snapshot", "s", "--checkpoint", "c",
+    ]
+    assert p.parse_args(base).once is True
+    assert p.parse_args(base + ["--no-once"]).once is False
+    assert p.parse_args(base + ["--once"]).once is True

@@ -660,6 +660,79 @@ def test_compact_snapshot_reduces_files_and_preserves_history(spark, tmp_path):
     assert len(_read_manifest(path, v)["files"]) == len(m["files"])
 
 
+def test_compaction_manifest_publishes_once_and_complete(spark, tmp_path, monkeypatch):
+    """ADVICE r5 (medium): compaction metadata (compaction_of, cluster_by,
+    stats) must ride the SAME atomic conditional-put as the manifest — a
+    post-hoc in-place rewrite lets a concurrent CDC/IVM reader see
+    truncated JSON or mistake the commit for a plain overwrite."""
+    import json
+
+    from receiptanalyzerpipeline_spark.sources import snapshots as snap
+
+    path = str(tmp_path / "tbl")
+    for i in range(2):
+        snap.write_snapshot(
+            spark.range(i * 10, (i + 1) * 10)
+            .selectExpr("id", "id % 4 AS grp")
+            .repartition(3),
+            path,
+        )
+
+    published = []
+    real = snap._write_manifest_exclusive
+
+    def spy(p, version, m):
+        published.append((version, json.loads(json.dumps(m))))
+        return real(p, version, m)
+
+    monkeypatch.setattr(snap, "_write_manifest_exclusive", spy)
+    v = snap.compact_snapshot(spark, path, cluster_by=["grp"])
+
+    (pub,) = [m for ver, m in published if ver == v]
+    # Complete at publish time — nothing was added by a later rewrite.
+    assert pub["compaction_of"] == 1 and pub["cluster_by"] == ["grp"]
+    assert pub["stats"] and set(pub["stats"]) == set(pub["files"])
+    on_disk = json.loads(snap._manifest_path(path, v).read_text())
+    on_disk.pop("committed_at", None)  # stamped inside the exclusive put
+    assert on_disk == pub
+    # Readers that special-case compactions still see it as one.
+    assert snap.file_stats(path, v) == pub["stats"]
+
+
+def test_legacy_table_replay_is_recognized(spark, tmp_path):
+    """ADVICE r5 (low): a table written by the pre-batch-id sink (manifest
+    version == batch id, no batch_id field) must treat a pending replay of
+    those versions as committed — not re-commit duplicate rows."""
+    from receiptanalyzerpipeline_spark.sources.snapshots import (
+        _read_manifest,
+        batch_committed,
+        read_snapshot,
+        snapshot_sink,
+        versions,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "legacy")
+    # Simulate the legacy sink: plain appends, no batch_id stamped.
+    write_snapshot(spark.range(10).toDF("id"), path)
+    write_snapshot(spark.range(10, 20).toDF("id"), path)
+    assert all("batch_id" not in _read_manifest(path, v) for v in versions(path))
+
+    sink = snapshot_sink(path)
+    sink(spark.range(10).toDF("id"), 0)  # replay of legacy batch 0
+    sink(spark.range(10, 20).toDF("id"), 1)  # replay of legacy batch 1
+    assert read_snapshot(spark, path).count() == 20  # no duplicates
+    assert versions(path) == [0, 1]
+
+    # A genuinely new batch commits, stamped — and from then on the
+    # legacy shape no longer matches, so ids are tracked exactly.
+    assert not batch_committed(path, 2)
+    sink(spark.range(20, 25).toDF("id"), 2)
+    assert read_snapshot(spark, path).count() == 25
+    assert _read_manifest(path, 2)["batch_id"] == 2
+    assert batch_committed(path, 2) and not batch_committed(path, 3)
+
+
 def test_compaction_interleaves_safely_with_streaming_sink(spark, tmp_path):
     """The hazard the batch-id-tagged manifests close: a compaction takes
     the next version number mid-stream, and the NEXT micro-batch (whose id
