@@ -207,7 +207,7 @@ def cmd_table(args: argparse.Namespace) -> int:
                 (
                     v,
                     m.get("mode", ""),
-                    len(m["files"]),
+                    snap.manifest_file_count(m),
                     m.get("rewrote_files"),
                     m.get("carried_files"),
                     "compaction" if "compaction_of" in m else "",
@@ -255,7 +255,7 @@ def cmd_table(args: argparse.Namespace) -> int:
         v = snap.compact_snapshot(
             spark, p, target_file_bytes=args.target_file_mb << 20, cluster_by=cluster
         )
-        n = len(snap._read_manifest(p, v)["files"])
+        n = snap.manifest_file_count(snap._read_manifest(p, v))
         print(f"committed version {v}: {n} file(s)" + (f", clustered on {cluster}" if cluster else ""))
         return 0
     if op == "vacuum":
@@ -290,7 +290,7 @@ def cmd_table(args: argparse.Namespace) -> int:
             return 2
         at = args.version if args.version is not None else snap.current_version(p)
         df = snap.scan_snapshot(spark, p, args.where, version=args.version)
-        n_live = len(snap._read_manifest(p, at)["files"])
+        n_live = snap.manifest_file_count(snap._read_manifest(p, at))
         print(f"# scanning {len(df.inputFiles())}/{n_live} file(s) after zone-map pruning")
         df.show(n=args.max_rows, truncate=False)
         return 0

@@ -68,27 +68,32 @@ def _change_files(
     to_version] — the same consecutive-present-manifest diff as
     ``snapshots.read_row_changes`` (compactions skipped; an expired
     intermediate version folds into the next surviving diff)."""
+    # Driver-side only (partitions()); imported here so executors never
+    # need the snapshots module to unpickle the reader.
+    from receiptanalyzerpipeline_spark.sources.snapshots import _diff_file_sets
+
     present = [v for v in _versions(path) if from_version <= v <= to_version]
     if from_version >= 0 and (not present or present[0] != from_version):
         raise FileNotFoundError(
             f"version {from_version} at {path} expired; the CDC stream "
             "cannot derive changes (retention must keep consumer offsets)"
         )
-    prev_files: set = (
-        set(_manifest(path, from_version)["files"]) if from_version >= 0 else set()
-    )
+    prev_m: dict = _manifest(path, from_version) if from_version >= 0 else {}
     out: list[tuple[str, str, int]] = []
     for v in present:
         if v == from_version:
             continue
         m = _manifest(path, v)
-        cur = set(m["files"])
+        # Manifest-tree aware diff: group references shared by both sides
+        # cancel without being opened — the micro-batch plan stays
+        # O(changed groups) even on a 50k-file table.
+        removed, added = _diff_file_sets(path, prev_m, m)
         if "compaction_of" not in m:
-            for f in sorted(prev_files - cur):
+            for f in removed:
                 out.append((f, "delete", v))
-            for f in sorted(cur - prev_files):
+            for f in added:
                 out.append((f, "insert", v))
-        prev_files = cur
+        prev_m = m
     return out
 
 

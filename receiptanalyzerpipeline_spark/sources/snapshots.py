@@ -109,7 +109,7 @@ def set_constraints(path: str, constraints: dict[str, str]) -> int:
     m = {
         k: v
         for k, v in pm.items()
-        if k in ("files", "schema", "stats", "cluster_by")
+        if k in ("files", "schema", "stats", "cluster_by", "groups")
     }
     m["mode"] = "constraints"
     m["constraints"] = constraints
@@ -182,6 +182,223 @@ def _advance_pointer(path: str, version: int) -> None:
         os.replace(tmp, vf)  # atomic: old or new, never a mix
 
 
+# ---------------------------------------------------------------------------
+# Manifest tree (Iceberg-style manifest list → file groups).
+#
+# A flat manifest inlines every data file (and its zone-map stats) in one
+# JSON — O(live files) driver work on EVERY commit and read, the measured
+# cliff at ~6.4k files (SCALE.md). Past GROUP_THRESHOLD files, manifests
+# graduate to a TREE: immutable file-group JSONs under manifests/groups/
+# hold the per-file lists + stats, and the top manifest records only
+# {path, n, bounds} per group. Appends then carry prior groups BY
+# REFERENCE (O(change) commit), predicate pruning skips whole groups by
+# their bounds before opening any of them, CDC diffs cancel shared group
+# references, and MERGE rewrites only the groups its probe touched. The
+# commit protocol (atomic conditional-put of the top manifest) is
+# unchanged — groups are published before the manifest that references
+# them, and an unreferenced group is vacuumed like an orphan data dir.
+# ---------------------------------------------------------------------------
+
+GROUP_THRESHOLD = 256  # live files before a manifest graduates to a tree
+GROUP_TARGET = 128  # data files per group file
+MAX_SMALL_GROUPS = 16  # coalesce sub-target groups past this many
+
+
+def _group_dir(path: str) -> Path:
+    return Path(path) / "manifests" / "groups"
+
+
+from functools import lru_cache as _lru_cache  # noqa: E402
+
+
+@_lru_cache(maxsize=8192)
+def _read_group(gpath: str) -> tuple[tuple, dict]:
+    """(files, per-file stats) of an immutable group file. Cached — group
+    files are content-immutable (uuid-named, never rewritten), so the
+    cache can only ever serve exactly what a reread would. Callers must
+    not mutate the returned stats dict."""
+    g = json.loads(Path(gpath).read_text())
+    return tuple(g["files"]), g.get("stats") or {}
+
+
+def _stats_bounds(files: list[str], stats: dict | None) -> dict:
+    """Per-column [min, max] over a group's files — recorded in the TOP
+    manifest so pruning can skip the whole group without opening it. A
+    column is included only when EVERY file has a known range for it
+    (otherwise the group must stay conservatively unprunable)."""
+    if not stats:
+        return {}
+    cols = set.intersection(*(set(stats[f]) for f in files)) if all(
+        f in stats for f in files
+    ) else set()
+    out = {}
+    for c in cols:
+        los = [stats[f][c][0] for f in files]
+        his = [stats[f][c][1] for f in files]
+        if any(v is None for v in los) or any(v is None for v in his):
+            continue
+        out[c] = [min(los), max(his)]
+    return out
+
+
+def _write_group(path: str, files: list[str], stats: dict | None) -> dict:
+    """Publish one immutable group file; returns its manifest entry."""
+    import uuid as _uuid
+
+    gd = _group_dir(path)
+    gd.mkdir(parents=True, exist_ok=True)
+    g: dict = {"files": list(files)}
+    fstats = {f: stats[f] for f in files if f in stats} if stats else {}
+    if fstats:
+        g["stats"] = fstats
+    gp = gd / f"g-{_uuid.uuid4().hex[:12]}.json"
+    tmp = gd / (gp.name + ".tmp")
+    tmp.write_text(json.dumps(g))
+    os.replace(tmp, gp)
+    return {"path": str(gp), "n": len(files), "bounds": _stats_bounds(files, fstats)}
+
+
+def _grouped_entries(path: str, files: list[str], stats: dict | None) -> list[dict]:
+    """Chunk ``files`` (in the given order — cluster order for compacted
+    tables, so consecutive chunks get tight bounds) into group files."""
+    tgt = GROUP_TARGET
+    return [
+        _write_group(path, files[i : i + tgt], stats)
+        for i in range(0, len(files), tgt)
+    ]
+
+
+def _coalesce_small_groups(path: str, groups: list[dict]) -> list[dict]:
+    """Bound the top manifest's group count: one group lands per append
+    micro-batch, so without maintenance the group list itself regrows the
+    flat-manifest cliff one level up. When more than MAX_SMALL_GROUPS
+    sub-target groups accumulate, rewrite just those into target-sized
+    groups (full groups are never touched) — amortized O(change)."""
+    small = [g for g in groups if g["n"] < GROUP_TARGET]
+    if len(small) <= MAX_SMALL_GROUPS:
+        return groups
+    big = [g for g in groups if g["n"] >= GROUP_TARGET]
+    files: list[str] = []
+    stats: dict = {}
+    for g in small:
+        gf, gs = _read_group(g["path"])
+        files.extend(gf)
+        stats.update(gs)
+    return big + _grouped_entries(path, files, stats)
+
+
+def _manifest_files(path: str, m: dict) -> list[str]:
+    """The version's full data-file list: inline files + group expansion.
+    O(#groups) cached reads; call sites that only need counts or diffs
+    should use manifest_file_count / _diff_file_sets instead."""
+    files = list(m.get("files", []))
+    for g in m.get("groups", []):
+        files.extend(_read_group(g["path"])[0])
+    return files
+
+
+def _manifest_stats(path: str, m: dict) -> dict:
+    """Per-file zone maps: inline stats + group stats, merged."""
+    stats = dict(m.get("stats") or {})
+    for g in m.get("groups", []):
+        stats.update(_read_group(g["path"])[1])
+    return stats
+
+
+def _manifest_schema(spark: SparkSession, path: str, version: int, m: dict):
+    """The version's StructType from its recorded schema — O(1), no file
+    listing. Pre-schema manifests (round-4 tables) fall back to resolving
+    the file set once."""
+    sch = m.get("schema")
+    if sch is not None:
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(sch)
+    return read_snapshot(spark, path, version=version).schema
+
+
+def manifest_file_count(m: dict) -> int:
+    """Live file count without expanding any group."""
+    return len(m.get("files", [])) + sum(g["n"] for g in m.get("groups", []))
+
+
+def _tree_carry(
+    tree_groups: list[dict], probed_paths: set[str], touched: set[str]
+) -> tuple[list[dict], list[str], dict]:
+    """Copy-on-write carry over a manifest tree: groups the rewrite
+    provably didn't touch (pruned before opening, or opened and disjoint
+    from ``touched``) carry BY REFERENCE; touched groups contribute their
+    untouched remainder (files + stats) for regrouping. Returns
+    (carried_groups, residual_files, residual_stats)."""
+    carried_groups: list[dict] = []
+    resid_files: list[str] = []
+    resid_stats: dict = {}
+    for g in tree_groups:
+        if g["path"] not in probed_paths:  # pruned ⇒ provably untouched
+            carried_groups.append(g)
+            continue
+        gf, gs = _read_group(g["path"])
+        if touched.isdisjoint(gf):
+            carried_groups.append(g)
+            continue
+        rem = [f for f in gf if f not in touched]
+        resid_files.extend(rem)
+        resid_stats.update({f: gs[f] for f in rem if f in gs})
+    return carried_groups, resid_files, resid_stats
+
+
+def _diff_file_sets(path: str, m_old: dict, m_new: dict) -> tuple[list, list]:
+    """(removed, added) files between two manifests. Group references
+    shared by both sides cancel WITHOUT being opened, so consecutive
+    append diffs cost O(changed groups) — the CDC property that keeps
+    change feeds O(change) on tree manifests."""
+    go = {g["path"] for g in m_old.get("groups", [])}
+    gn = {g["path"] for g in m_new.get("groups", [])}
+    old = set(m_old.get("files", []))
+    new = set(m_new.get("files", []))
+    for p in go - gn:
+        old.update(_read_group(p)[0])
+    for p in gn - go:
+        new.update(_read_group(p)[0])
+    return sorted(old - new), sorted(new - old)
+
+
+def _append_carry(
+    spark: SparkSession,
+    path: str,
+    pm: dict,
+    df_cols: list[str],
+    new_files: list[str],
+    explicit_stats: dict | None = None,
+) -> tuple[list[str], list[dict], dict]:
+    """Shared append-chain logic for write_snapshot and snapshot_sink:
+    returns (inline_files, groups, extra_manifest_fields) for a commit
+    appending ``new_files`` onto the manifest ``pm``. Graduates the
+    table to a manifest tree once the live file count passes
+    GROUP_THRESHOLD; tree-mode appends carry prior groups by reference."""
+    prev_groups = list(pm.get("groups", []))
+    prev_inline = list(pm.get("files", []))
+    total = sum(g["n"] for g in prev_groups) + len(prev_inline) + len(new_files)
+    scols = pm.get("cluster_by")
+    if not prev_groups and total <= GROUP_THRESHOLD:
+        fields = _propagate_stats(spark, pm, prev_inline, new_files)
+        if explicit_stats is not None:
+            fields["stats"] = {**fields.get("stats", {}), **explicit_stats}
+        return prev_inline + new_files, [], fields
+    fields: dict = {}
+    if scols:
+        fields["cluster_by"] = scols
+    new_stats = explicit_stats
+    if new_stats is None and scols and new_files and set(scols) <= set(df_cols):
+        new_stats = _file_stats(spark, new_files, scols)
+    groups = prev_groups
+    if prev_inline:  # graduation: inline tail becomes its own group(s)
+        groups = groups + _grouped_entries(path, prev_inline, pm.get("stats"))
+    if new_files:
+        groups = groups + _grouped_entries(path, new_files, new_stats)
+    return [], _coalesce_small_groups(path, groups), fields
+
+
 def write_snapshot(
     df: DataFrame,
     path: str,
@@ -231,6 +448,7 @@ def write_snapshot(
         prev = committed[-1] if committed else None
         version = 0 if prev is None else prev + 1
         files = new_files
+        groups: list[dict] = []
         stat_fields: dict = {}
         if prev is not None:
             pm = _read_manifest(path, prev)
@@ -238,9 +456,14 @@ def write_snapshot(
                 stat_fields["constraints"] = pm["constraints"]
         if mode == "append" and prev is not None:
             _check_append_schema(pm, df)
-            files = pm["files"] + new_files
-            stat_fields.update(_propagate_stats(df.sparkSession, pm, pm["files"], new_files))
-        if explicit_stats is not None:
+            files, groups, carry_fields = _append_carry(
+                df.sparkSession, path, pm, df.columns, new_files, explicit_stats
+            )
+            stat_fields.update(carry_fields)
+        elif len(new_files) > GROUP_THRESHOLD:
+            # Big overwrite (compaction of a large table): born as a tree.
+            files, groups = [], _grouped_entries(path, new_files, explicit_stats)
+        elif explicit_stats is not None:
             stat_fields["stats"] = explicit_stats
         # Schema travels with the commit so a version whose file list is
         # empty (all rows deleted, empty bootstrap batch) stays readable.
@@ -251,6 +474,9 @@ def write_snapshot(
             "schema": df.schema.jsonValue(),
             **stat_fields,
         }
+        if groups:
+            m["groups"] = groups
+            del m["files"]  # tree mode: file lists live in the groups
         if manifest_extra:
             m.update(manifest_extra)
         try:
@@ -286,7 +512,8 @@ def read_snapshot(
             raise FileNotFoundError(f"no committed version at {path}")
     manifest = _read_manifest(path, version)
     sch = manifest.get("schema")
-    if not manifest["files"]:
+    files = _manifest_files(path, manifest)
+    if not files:
         if sch is None:
             raise FileNotFoundError(f"version {version} at {path} lists no files")
         from pyspark.sql.types import StructType
@@ -299,8 +526,8 @@ def read_snapshot(
         # each version under ITS schema (not the newest file's).
         from pyspark.sql.types import StructType
 
-        return spark.read.schema(StructType.fromJson(sch)).parquet(*manifest["files"])
-    return spark.read.parquet(*manifest["files"])
+        return spark.read.schema(StructType.fromJson(sch)).parquet(*files)
+    return spark.read.parquet(*files)
 
 
 def version_at(path: str, timestamp: float) -> int:
@@ -342,12 +569,11 @@ def read_changes(
     diffs (q_d9's incremental-dedup shape)."""
     if to_version is None:
         to_version = current_version(path)
-    old = set(_read_manifest(path, from_version)["files"])
-    new = [f for f in _read_manifest(path, to_version)["files"] if f not in old]
+    _, new = _diff_file_sets(
+        path, _read_manifest(path, from_version), _read_manifest(path, to_version)
+    )
     if not new:
-        return spark.read.parquet(
-            *_read_manifest(path, to_version)["files"]
-        ).limit(0)
+        return read_snapshot(spark, path, version=to_version).limit(0)
     return spark.read.parquet(*new)
 
 
@@ -383,22 +609,19 @@ def read_row_changes(
             "cannot be derived (retention must keep the consumer watermark)"
         )
     frames = []
-    prev_files = set(_read_manifest(path, from_version)["files"])
+    prev_m = _read_manifest(path, from_version)
     for v in present[1:]:
         m = _read_manifest(path, v)
-        cur_files = set(m["files"])
+        removed, added = _diff_file_sets(path, prev_m, m)
         if "compaction_of" not in m:
-            for files, op in (
-                (sorted(prev_files - cur_files), "delete"),
-                (sorted(cur_files - prev_files), "insert"),
-            ):
+            for files, op in ((removed, "delete"), (added, "insert")):
                 if files:
                     frames.append(
                         spark.read.parquet(*files)
                         .withColumn("_op", F.lit(op))
                         .withColumn("_version", F.lit(v).cast("long"))
                     )
-        prev_files = cur_files
+        prev_m = m
     if not frames:
         return (
             read_snapshot(spark, path, version=to_version)
@@ -517,28 +740,32 @@ def snapshot_sink(path: str):
             committed = versions(path)
             version = committed[-1] + 1 if committed else 0
             files = new_files
+            groups: list[dict] = []
             fields: dict = {}
             if committed:
                 pm = _read_manifest(path, committed[-1])
                 _check_append_schema(pm, batch_df)
-                files = pm["files"] + new_files
-                # Zone maps + constraints survive streamed appends too.
-                fields = _propagate_stats(
-                    batch_df.sparkSession, pm, pm["files"], new_files
+                # Zone maps + constraints survive streamed appends too;
+                # past GROUP_THRESHOLD files the chain carries manifest-
+                # tree groups by reference (O(batch) commit, not O(table)).
+                files, groups, fields = _append_carry(
+                    batch_df.sparkSession, path, pm, batch_df.columns, new_files
                 )
+                if pm.get("constraints"):
+                    fields["constraints"] = pm["constraints"]
+            m = {
+                "version": version,
+                "mode": "append",
+                "batch_id": batch_id,
+                "files": files,
+                "schema": batch_df.schema.jsonValue(),
+                **fields,
+            }
+            if groups:
+                m["groups"] = groups
+                del m["files"]
             try:
-                _write_manifest_exclusive(
-                    path,
-                    version,
-                    {
-                        "version": version,
-                        "mode": "append",
-                        "batch_id": batch_id,
-                        "files": files,
-                        "schema": batch_df.schema.jsonValue(),
-                        **fields,
-                    },
-                )
+                _write_manifest_exclusive(path, version, m)
                 break
             except FileExistsError:
                 continue  # an interleaved commit took this version
@@ -623,7 +850,11 @@ def merge_sink(path: str, key_cols: list[str], order_col: str | None = None):
 
 
 def _commit_manifest(
-    path: str, files: list[str], mode: str, extra: dict | None = None
+    path: str,
+    files: list[str],
+    mode: str,
+    extra: dict | None = None,
+    groups: list[dict] | None = None,
 ) -> int:
     """Commit a prepared file list as the next version (shared tail of the
     copy-on-write ops below). Data files must already be fully written.
@@ -633,6 +864,10 @@ def _commit_manifest(
     committed = versions(path)
     version = committed[-1] + 1 if committed else 0
     m = {"version": version, "mode": mode, "files": files}
+    if groups:
+        m["groups"] = groups
+        if not files:
+            del m["files"]
     if extra:
         m.update(extra)
     try:
@@ -715,23 +950,30 @@ def merge_upsert(
             f"source has multiple rows for key {tuple(dup[0][k] for k in key_cols)}; "
             "MERGE requires unique source keys"
         )
-    target = read_snapshot(spark, path, version=cur)
-    if set(target.columns) != set(source.columns):
+    m = _read_manifest(path, cur)
+    target_schema = _manifest_schema(spark, path, cur, m)
+    if {f.name for f in target_schema} != set(source.columns):
         raise ValueError(
-            f"schema mismatch: target {sorted(target.columns)} vs "
+            f"schema mismatch: target {sorted(f.name for f in target_schema)} vs "
             f"source {sorted(source.columns)}"
         )
-    _check_constraints(source, _read_manifest(path, cur))
+    _check_constraints(source, m)
     keys = F.broadcast(source.select(*key_cols).distinct())
-    live = _read_manifest(path, cur)["files"]
+    inline = list(m.get("files", []))
+    tree_groups = list(m.get("groups", []))
     # Probe pruning: when the live manifest carries zone maps for key
     # columns (clustered compaction), files whose key range cannot overlap
     # the source's [min, max] are excluded from the match probe BEFORE any
     # scan — so a narrow upsert into a clustered table probes O(overlap)
-    # files, not O(table). Conservative: files without stats are probed.
-    stats = _read_manifest(path, cur).get("stats", {})
-    probe_files = live
-    if stats and live:
+    # files, not O(table). On a manifest TREE, whole groups are skipped by
+    # their recorded bounds without even opening them, so the driver-side
+    # metadata cost is O(overlapping groups), not O(live files).
+    # Conservative: files/groups without stats are probed.
+    inline_stats = m.get("stats") or {}
+    kbounds = None
+    if (inline_stats or any(g.get("bounds") for g in tree_groups)) and (
+        inline or tree_groups
+    ):
         kb = source.agg(
             *[
                 f
@@ -740,11 +982,23 @@ def merge_upsert(
             ]
         ).first()
         kbounds = {k: (kb[f"lo_{k}"], kb[f"hi_{k}"]) for k in key_cols}
-        probe_files = [f for f in live if _zone_overlaps(stats.get(f), kbounds)]
+    if kbounds is not None:
+        probe_files = [f for f in inline if _zone_overlaps(inline_stats.get(f), kbounds)]
+        probed_groups = [
+            g for g in tree_groups if _zone_overlaps(g.get("bounds") or None, kbounds)
+        ]
+        for g in probed_groups:
+            gf, gs = _read_group(g["path"])
+            probe_files.extend(f for f in gf if _zone_overlaps(gs.get(f), kbounds))
+    else:
+        probe_files = inline + [
+            f for g in tree_groups for f in _read_group(g["path"])[0]
+        ]
+        probed_groups = tree_groups
     if probe_files:
         # Schema-driven read: files predating an added column still probe
         # (the column reads as NULL there, matching the table view).
-        probe = spark.read.schema(target.schema).parquet(*probe_files)
+        probe = spark.read.schema(target_schema).parquet(*probe_files)
         # File provenance is materialized at the scan, BEFORE the
         # semi-join, so it survives any join strategy Catalyst picks.
         tgt_keys = probe.select(F.input_file_name().alias("__f"), *key_cols)
@@ -757,37 +1011,67 @@ def merge_upsert(
         }
     else:
         touched = set()
-    carried = [f for f in live if f not in touched]
     data_dir = _fresh_data_dir(path)
     # New file set = surviving rows from touched files (key NOT in source)
     # + the full source (updates and inserts), written before the manifest
     # commit — readers of the current version are unaffected throughout.
     survivors = (
         (
-            spark.read.schema(target.schema).parquet(*sorted(touched))
+            spark.read.schema(target_schema).parquet(*sorted(touched))
             if touched
-            else target.limit(0)
+            else spark.createDataFrame([], target_schema)
         )
         .join(keys, key_cols, "left_anti")
     )
-    out = survivors.unionByName(source.select(*target.columns))
+    out = survivors.unionByName(source.select(*[f.name for f in target_schema]))
     out.write.mode("error").parquet(str(data_dir))
     new_files = sorted(
         str(p) for p in data_dir.glob("*.parquet") if not p.name.startswith("_")
     )
-    return _commit_manifest(
-        path,
-        carried + new_files,
-        "merge",
-        {
-            "merge_of": cur,
-            "rewrote_files": len(touched),
-            "carried_files": len(carried),
-            "schema": target.schema.jsonValue(),
-            **_propagate_stats(spark, _read_manifest(path, cur), carried, new_files),
-            **(manifest_extra or {}),
-        },
+    carried_inline = [f for f in inline if f not in touched]
+    if not tree_groups:
+        n_carried = len(carried_inline)
+        return _commit_manifest(
+            path,
+            carried_inline + new_files,
+            "merge",
+            {
+                "merge_of": cur,
+                "rewrote_files": len(touched),
+                "carried_files": n_carried,
+                "schema": target_schema.jsonValue(),
+                **_propagate_stats(spark, m, carried_inline, new_files),
+                **(manifest_extra or {}),
+            },
+        )
+    # Tree manifest: groups whose probe found no touched file are carried
+    # BY REFERENCE (a metadata move, never opened past the probe); only
+    # groups actually containing touched files are rewritten — their
+    # untouched remainder plus the merge output become new group(s).
+    carried_groups, resid_files, resid_stats = _tree_carry(
+        tree_groups, {g["path"] for g in probed_groups}, touched
     )
+    resid_files = carried_inline + resid_files
+    resid_stats.update({f: inline_stats[f] for f in carried_inline if f in inline_stats})
+    scols = m.get("cluster_by")
+    new_stats = None
+    if scols and new_files and {f.name for f in target_schema} >= set(scols):
+        new_stats = _file_stats(spark, new_files, scols)
+    groups = carried_groups + _grouped_entries(
+        path, resid_files, resid_stats or None
+    ) + _grouped_entries(path, new_files, new_stats)
+    fields: dict = {
+        "merge_of": cur,
+        "rewrote_files": len(touched),
+        "carried_files": sum(g["n"] for g in carried_groups) + len(carried_inline),
+        "schema": target_schema.jsonValue(),
+        **(manifest_extra or {}),
+    }
+    if m.get("constraints"):
+        fields["constraints"] = m["constraints"]
+    if scols:
+        fields["cluster_by"] = scols
+    return _commit_manifest(path, [], "merge", fields, groups=_coalesce_small_groups(path, groups))
 
 
 def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
@@ -802,22 +1086,60 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     cur = current_version(path)
     if cur is None:
         raise FileNotFoundError(f"no committed version at {path}")
-    target = read_snapshot(spark, path, version=cur)
+    m = _read_manifest(path, cur)
+    target_schema = _manifest_schema(spark, path, cur, m)
     cond = F.expr(predicate)
-    touched = _touched_files(target, cond)
-    live = _read_manifest(path, cur)["files"]
-    carried = [f for f in live if f not in touched]
+    inline = list(m.get("files", []))
+    tree_groups = list(m.get("groups", []))
+    inline_stats = m.get("stats") or {}
+    # Zone-prune the touch PROBE itself: a file (or a whole group) whose
+    # recorded range cannot satisfy the predicate provably holds no
+    # matching row, so it is never opened — the probe scans O(overlap).
+    bounds = _bounds_from_predicate(predicate)
+    if bounds:
+        cand = [f for f in inline if _zone_overlaps(inline_stats.get(f), bounds)]
+        probed_groups = [
+            g for g in tree_groups if _zone_overlaps(g.get("bounds") or None, bounds)
+        ]
+    else:
+        cand = inline
+        probed_groups = tree_groups
+    for g in probed_groups:
+        gf, gs = _read_group(g["path"])
+        if bounds:
+            cand.extend(f for f in gf if _zone_overlaps(gs.get(f), bounds))
+        else:
+            cand.extend(gf)
+    touched = (
+        _touched_files(spark.read.schema(target_schema).parquet(*cand), cond)
+        if cand
+        else set()
+    )
+    carried_groups, resid_files, resid_stats = _tree_carry(
+        tree_groups, {g["path"] for g in probed_groups}, touched
+    )
+    carried_inline = [f for f in inline if f not in touched]
+    base_fields = {
+        "delete_of": cur,
+        "schema": target_schema.jsonValue(),
+    }
+    if m.get("constraints"):
+        base_fields["constraints"] = m["constraints"]
+    scols = m.get("cluster_by")
     if not touched:
+        if not tree_groups:
+            return _commit_manifest(
+                path, carried_inline, "delete",
+                {**base_fields, **_propagate_stats(spark, m, carried_inline, [])},
+            )
+        fields = dict(base_fields)
+        if scols:
+            fields["cluster_by"] = scols
         return _commit_manifest(
-            path, carried, "delete",
-            {
-                "delete_of": cur,
-                "schema": target.schema.jsonValue(),
-                **_propagate_stats(spark, _read_manifest(path, cur), carried, []),
-            },
+            path, carried_inline, "delete", fields, groups=carried_groups
         )
     data_dir = _fresh_data_dir(path)
-    spark.read.schema(target.schema).parquet(*sorted(touched)).where(~cond).write.mode(
+    spark.read.schema(target_schema).parquet(*sorted(touched)).where(~cond).write.mode(
         "error"
     ).parquet(
         str(data_dir)
@@ -825,17 +1147,31 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     new_files = sorted(
         str(p) for p in data_dir.glob("*.parquet") if not p.name.startswith("_")
     )
+    rewrite_fields = {
+        **base_fields,
+        "rewrote_files": len(touched),
+        "carried_files": len(carried_inline) + sum(g["n"] for g in carried_groups),
+    }
+    if not tree_groups:
+        return _commit_manifest(
+            path,
+            carried_inline + new_files,
+            "delete",
+            {**rewrite_fields, **_propagate_stats(spark, m, carried_inline, new_files)},
+        )
+    resid_files = carried_inline + resid_files
+    resid_stats.update({f: inline_stats[f] for f in carried_inline if f in inline_stats})
+    new_stats = None
+    if scols and new_files and set(scols) <= {f.name for f in target_schema}:
+        new_stats = _file_stats(spark, new_files, scols)
+    groups = carried_groups + _grouped_entries(
+        path, resid_files, resid_stats or None
+    ) + _grouped_entries(path, new_files, new_stats)
+    if scols:
+        rewrite_fields["cluster_by"] = scols
     return _commit_manifest(
-        path,
-        carried + new_files,
-        "delete",
-        {
-            "delete_of": cur,
-            "rewrote_files": len(touched),
-            "carried_files": len(carried),
-            "schema": target.schema.jsonValue(),
-            **_propagate_stats(spark, _read_manifest(path, cur), carried, new_files),
-        },
+        path, [], "delete", rewrite_fields,
+        groups=_coalesce_small_groups(path, groups),
     )
 
 
@@ -876,10 +1212,11 @@ def _file_stats(
 
 
 def file_stats(path: str, version: int | None = None) -> dict:
-    """Zone-map stats recorded in ``version``'s manifest (may be {})."""
+    """Zone-map stats recorded in ``version``'s manifest (may be {});
+    on a manifest tree, the groups' stats merged."""
     if version is None:
         version = current_version(path)
-    return _read_manifest(path, version).get("stats", {})
+    return _manifest_stats(path, _read_manifest(path, version))
 
 
 def _propagate_stats(
@@ -1070,8 +1407,19 @@ def read_snapshot_pruned(
         if version is None:
             raise FileNotFoundError(f"no committed version at {path}")
     manifest = _read_manifest(path, version)
-    stats = manifest.get("stats", {})
-    keep = [f for f in manifest["files"] if _zone_overlaps(stats.get(f), bounds)]
+    stats = manifest.get("stats") or {}
+    keep = [
+        f for f in manifest.get("files", []) if _zone_overlaps(stats.get(f), bounds)
+    ]
+    # Manifest tree: a group whose recorded bounds cannot overlap is
+    # skipped WITHOUT being opened — pruning cost is O(overlapping
+    # groups), so a narrow predicate on a 50k-file table reads a handful
+    # of group JSONs, not a 50k-entry manifest.
+    for g in manifest.get("groups", []):
+        if not _zone_overlaps(g.get("bounds") or None, bounds):
+            continue
+        gf, gs = _read_group(g["path"])
+        keep.extend(f for f in gf if _zone_overlaps(gs.get(f), bounds))
     if not keep:
         return read_snapshot(spark, path, version).limit(0)
     sch = manifest.get("schema")
@@ -1113,7 +1461,7 @@ def compact_snapshot(
         raise FileNotFoundError(f"no committed version at {path}")
     import math
 
-    files = _read_manifest(path, cur)["files"]
+    files = _manifest_files(path, _read_manifest(path, cur))
     total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
     target = max(1, math.ceil(total / target_file_bytes))
     df = read_snapshot(spark, path, version=cur)
@@ -1185,11 +1533,16 @@ def expire_snapshots(
         protected = [v for v in expired if v >= keep_from_version]
         expired = [v for v in expired if v < keep_from_version]
         survivors = protected + survivors
-    keep_files = {f for v in survivors for f in _read_manifest(path, v)["files"]}
+    keep_files = {
+        f for v in survivors for f in _manifest_files(path, _read_manifest(path, v))
+    }
+    keep_groups = {
+        g["path"] for v in survivors for g in _read_manifest(path, v).get("groups", [])
+    }
     drop_files = [
         f
         for v in expired
-        for f in _read_manifest(path, v)["files"]
+        for f in _manifest_files(path, _read_manifest(path, v))
         if f not in keep_files
     ]
     # Preserve the expired manifests' batch ids BEFORE deleting them, so
@@ -1220,4 +1573,18 @@ def expire_snapshots(
             if now - d.stat().st_mtime < orphan_grace_s:
                 continue
             shutil.rmtree(d)
+    # Manifest-tree GC: group files no surviving manifest references
+    # (expired versions' groups, coalesce/graduation leftovers, crashed
+    # commits). The grace period protects an in-flight writer that has
+    # published groups but not yet its manifest — same contract as
+    # orphan data dirs.
+    gdir = _group_dir(path)
+    if gdir.exists():
+        now = time.time()
+        for gp in gdir.glob("g-*.json"):
+            if str(gp) in keep_groups:
+                continue
+            if now - gp.stat().st_mtime < orphan_grace_s:
+                continue
+            gp.unlink()
     return expired
