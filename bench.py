@@ -73,7 +73,31 @@ def main() -> None:
         out["floor_violations"] = violations
         for v in violations:
             print(f"# FLOOR VIOLATION: {v}", file=sys.stderr)
+        _record_gate_artifact(out)
     print(json.dumps(out))
+
+
+def _record_gate_artifact(out: dict) -> None:
+    """Persist the floor-check outcome as BENCH_GATE.json so the pytest
+    gate (tests/test_bench_gate.py) can enforce it WITHOUT launching a
+    second Spark JVM mid-suite (concurrent JVMs produce spurious sub-
+    100 ms regressions — the root-caused r03→r04 noise episode). The
+    driver's per-round bench run refreshes this; the gate test fails,
+    rather than skips, when the artifact is missing or stale (query-set
+    drift). Non-default scale factors don't overwrite the gate record."""
+    if abs(out.get("sf", -1.0) - 0.1) > 1e-9:
+        return
+    artifact = {
+        "recorded_at": time.time(),
+        "sf": out["sf"],
+        "queries": out["queries"],
+        "floor_violations": out["floor_violations"],
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_GATE.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(artifact, f, indent=1)
+    os.replace(tmp, path)
 
 
 def check_floors(timings: dict[str, float]) -> list[str] | None:

@@ -1,19 +1,14 @@
-"""Mechanical bench gate (VERDICT r4 task 1).
-
-Full-bench enforcement runs only when SPARK_GRAFT_BENCH_GATE=1 because it
-needs a quiet host (no concurrent Spark JVM — contention on sub-100 ms
-measurements produces spurious failures, see the r03→r04 +27% noise episode
-root-caused in BASELINE.md). The floor *logic* is always unit-tested.
-"""
+"""Mechanical bench gate (VERDICT r4 task 1; artifact form VERDICT r5
+task 2). bench.py records its floor-check outcome in BENCH_GATE.json on
+every default-sf run; the gate test here validates that record — always,
+no skip, no second Spark JVM mid-suite (concurrent JVMs are the r03→r04
+phantom-regression cause root-caused in BASELINE.md)."""
 
 from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
-
-import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -56,19 +51,30 @@ def test_check_floors_logic():
     assert bench.check_floors(partial) == []
 
 
-@pytest.mark.skipif(
-    os.environ.get("SPARK_GRAFT_BENCH_GATE") != "1",
-    reason="full bench gate needs a quiet host; set SPARK_GRAFT_BENCH_GATE=1",
-)
-def test_bench_meets_committed_floors():
-    env = dict(os.environ, SPARK_GRAFT_BENCH_REPS="5")
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True,
-        text=True,
-        env=env,
-        timeout=900,
+def test_bench_gate_artifact_current_and_clean():
+    """The per-round bench gate, enforced WITHOUT a mid-suite Spark
+    subprocess (a second JVM under pytest is exactly the contention that
+    produced the r03→r04 phantom regressions): every bench.py run at the
+    default sf records its floor-check outcome in BENCH_GATE.json, and
+    this test FAILS — never skips — when that record is missing, covers
+    a different query set than the committed floors (stale: a headline
+    query was added/removed without re-running the bench), or contains
+    violations. The driver runs bench.py every round, so a green suite
+    means the latest quiet-host bench genuinely met the floors."""
+    gate_path = os.path.join(REPO, "BENCH_GATE.json")
+    assert os.path.exists(gate_path), (
+        "BENCH_GATE.json missing — run `python bench.py` on a quiet host "
+        "(the per-round bench run records it)"
     )
-    assert proc.returncode == 0, proc.stderr[-2000:]
-    out = json.loads(proc.stdout.strip().splitlines()[-1])
-    assert out.get("floor_violations", []) == []
+    with open(gate_path) as f:
+        gate = json.load(f)
+    with open(os.path.join(REPO, "BENCH_FLOORS.json")) as f:
+        floors = json.load(f)
+    assert set(gate["queries"]) == set(floors["reference"]), (
+        "BENCH_GATE.json is stale: its query set differs from "
+        "BENCH_FLOORS.json — re-run `python bench.py` on a quiet host"
+    )
+    assert gate["floor_violations"] == [], gate["floor_violations"]
+    # The recorded run must actually have been checked against the
+    # CURRENT floors: re-derive violations from the recorded timings.
+    assert bench.check_floors(gate["queries"]) == []
