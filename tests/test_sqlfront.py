@@ -183,3 +183,64 @@ def test_snapshot_time_travel_and_changes_in_sql(spark, sf_dir, tmp_path):
         "FROM tbl_live_changes GROUP BY k ORDER BY k"
     ).collect()
     assert {(r["k"], r["d"]) for r in net} == {(1, -1), (2, 0), (3, 1)}
+
+
+def test_sql_write_verbs_full_lifecycle(spark, tmp_path):
+    """VERDICT r5 task 7: create → insert → merge → delete →
+    time-travel select, purely via engine.sql()."""
+    eng = EngineSession(spark, table_root=str(tmp_path / "tables"))
+
+    r = eng.sql(
+        "CREATE TABLE t AS SELECT id AS k, CAST(id * 10 AS LONG) AS v "
+        "FROM range(5)"
+    ).collect()
+    assert [(row["table"], row["version"]) for row in r] == [("t", 0)]
+
+    r = eng.sql("INSERT INTO t SELECT id AS k, CAST(0 AS LONG) AS v FROM range(5, 8)").collect()
+    assert r[0]["version"] == 1
+    assert eng.sql("SELECT COUNT(*) AS n FROM t").first()["n"] == 8
+
+    r = eng.sql(
+        "MERGE INTO t USING (SELECT id AS k, CAST(-1 AS LONG) AS v FROM range(2, 4)) ON (k)"
+    ).collect()
+    assert r[0]["version"] == 2
+    got = {(row["k"], row["v"]) for row in eng.sql("SELECT k, v FROM t WHERE k < 4").collect()}
+    assert got == {(0, 0), (1, 10), (2, -1), (3, -1)}
+
+    r = eng.sql("DELETE FROM t WHERE k >= 6").collect()
+    assert r[0]["version"] == 3
+    assert eng.sql("SELECT COUNT(*) AS n FROM t").first()["n"] == 6
+
+    # Time travel: the FOR ... AS OF sugar, pre-merge and pre-delete.
+    v1 = {
+        (row["k"], row["v"])
+        for row in eng.sql("SELECT k, v FROM t FOR VERSION AS OF 1 WHERE k < 4").collect()
+    }
+    assert v1 == {(0, 0), (1, 10), (2, 20), (3, 30)}
+    from receiptanalyzerpipeline_spark.sources.snapshots import _read_manifest
+
+    ts2 = _read_manifest(eng.snapshot_paths["t"], 2)["committed_at"]
+    n2 = eng.sql(f"SELECT COUNT(*) AS n FROM t FOR TIMESTAMP AS OF {ts2}").first()["n"]
+    assert n2 == 8
+    # A joined time-travel read parses too (sugar composes with plain SQL).
+    drift = eng.sql(
+        "SELECT cur.k FROM t cur JOIN t FOR VERSION AS OF 0 old ON cur.k = old.k "
+        "WHERE cur.v <> old.v ORDER BY cur.k"
+    ).collect()
+    assert [row["k"] for row in drift] == [2, 3]
+
+
+def test_sql_write_verbs_preflight_blocks_hazardous_source(spark, tmp_path):
+    """A CTAS whose SOURCE plan trips the audit must not write anything."""
+    eng = EngineSession(
+        spark, table_root=str(tmp_path / "tables"), on_hazard="error"
+    )
+    with pytest.raises(SqlHazardError):
+        eng.sql(
+            "CREATE TABLE bad AS SELECT a.id, SUM(b.id) OVER () AS s "
+            "FROM range(10) a CROSS JOIN range(10) b"
+        )
+    assert "bad" not in eng.snapshot_paths
+    import os
+
+    assert not os.path.exists(str(tmp_path / "tables" / "bad"))
