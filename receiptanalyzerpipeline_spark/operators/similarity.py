@@ -155,18 +155,23 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     probe_id: str = "q_id",
     probe_vec: str = "q_emb",
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+    dims: int = EMBED_DIMS,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing a hyperplane
     bucket with the probe in ≥1 of the hash tables. Trades recall for a
     corpus-partition-pruned scan — the IVF/LSH shape that survives a 100×
     corpus. Signatures are computed once per vector (map-side); the join
-    key is (table, bucket)."""
+    key is (table, bucket). ``lsh_recall_params`` derives (n_planes,
+    n_tables) from corpus size + a recall target."""
+    tb = lambda c: lsh_table_buckets(c, n_planes=n_planes, n_tables=n_tables, dims=dims)  # noqa: E731
     bucketed = corpus.select(
-        id_col, vec_col, F.explode(lsh_table_buckets(F.col(vec_col))).alias("tb")
+        id_col, vec_col, F.explode(tb(F.col(vec_col))).alias("tb")
     )
     probes_b = F.broadcast(
         probes.select(
-            probe_id, probe_vec, F.explode(lsh_table_buckets(F.col(probe_vec))).alias("q_tb")
+            probe_id, probe_vec, F.explode(tb(F.col(probe_vec))).alias("q_tb")
         )
     )
     cands = (
@@ -259,6 +264,37 @@ def auto_n_planes(
     if n <= target:
         return lo
     return max(lo, min(hi, math.ceil(math.log2(n / float(target)))))
+
+
+def lsh_recall_params(
+    n: int,
+    recall_target: float = 0.9,
+    sim_floor: float = 0.8,
+    max_tables: int = 64,
+    occupancy: int = TARGET_BUCKET_OCCUPANCY,
+) -> tuple[int, int]:
+    """(n_planes, n_tables) hitting a RECALL target at bounded cost —
+    the occupancy family extended to quality (VERDICT r5 task 6).
+
+    n_planes comes from ``auto_n_planes`` (buckets sized ~``occupancy``
+    so candidate work per probe stays constant as the corpus grows).
+    n_tables comes from the random-hyperplane collision bound: two
+    vectors at cosine similarity s agree on one plane with probability
+    p = 1 − arccos(s)/π, so a neighbor at s ≥ sim_floor survives one
+    table with p^planes and AT LEAST ONE of T tables with
+    1 − (1−p^planes)^T ≥ recall_target  ⇒  T = ⌈log(1−target) /
+    log(1−p^planes)⌉. Guaranteed for single neighbors at the floor;
+    recall@k is a mild union over k of them — the empirical test pins
+    the bound's slack."""
+    import math
+
+    n_planes = auto_n_planes(n, target=occupancy)
+    p = 1.0 - math.acos(max(-1.0, min(1.0, sim_floor))) / math.pi
+    per_table = p**n_planes
+    if per_table >= 1.0 - 1e-12:
+        return n_planes, 1
+    need = math.log(max(1e-12, 1.0 - recall_target)) / math.log(1.0 - per_table)
+    return n_planes, max(1, min(max_tables, math.ceil(need)))
 
 
 def hard_negative_pairs(
