@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from receiptanalyzerpipeline_spark.sources import snapshots as snap
@@ -220,6 +221,107 @@ def test_neardup_crash_between_lsh_and_fingerprint_commit(spark, tmp_path, monke
             snap._read_manifest(p, v).get("batch_id") for v in snap.versions(p)
         ]
         assert bids.count(1) == 1
+
+
+@pytest.mark.parametrize("crash_at", [0, 1, 2])
+def test_neardup_crash_matrix_converges_to_no_crash_state(
+    spark, tmp_path, monkeypatch, crash_at
+):
+    """VERDICT r5 task 5: inject a failure before EVERY commit in the
+    near-dedup batch protocol (0=buckets, 1=signatures, 2=fingerprints —
+    the shard export precedes all three and is overwrite-idempotent),
+    replay the batch, and assert the converged state equals a run that
+    never crashed."""
+    from receiptanalyzerpipeline_spark.streaming import curation_stream as cs
+    from receiptanalyzerpipeline_spark.streaming.curation_stream import (
+        curation_sink,
+        read_shard_membership,
+    )
+
+    b0 = spark.createDataFrame(
+        [(1, BASE_A), (2, DISTINCT_B)], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [
+            (10, BASE_A + " with one extra trailing clause appended here"),
+            (11, BASE_C),
+            (12, BASE_C + " plus a small appended suffix for this twin"),
+        ],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(20, DISTINCT_D), (21, BASE_C + " with yet another tiny suffix")],
+        "doc_id long, text string",
+    )
+    batches = [(b0, 0), (b1, 1), (b2, 2)]
+
+    def run(base, crash_batch=None, crash_commit=None):
+        snapshot, shards = str(base / "state"), str(base / "shards")
+        counter = {"n": 0}
+        real_ws, real_sink = snap.write_snapshot, snap.snapshot_sink
+
+        def crashing_ws(df, path, **kw):
+            if counter["n"] == crash_commit:
+                counter["n"] += 1
+                raise RuntimeError("injected crash")
+            counter["n"] += 1
+            return real_ws(df, path, **kw)
+
+        def crashing_sink_factory(path):
+            inner = real_sink(path)
+
+            def commit(df, bid):
+                if bid == crash_batch and counter["n"] == crash_commit:
+                    counter["n"] += 1
+                    raise RuntimeError("injected crash")
+                counter["n"] += 1
+                return inner(df, bid)
+
+            return commit
+
+        if crash_batch is not None:
+            monkeypatch.setattr(cs.snap, "snapshot_sink", crashing_sink_factory)
+        sink = curation_sink(snapshot, shards, near_dedup=True)
+        for df, bid in batches:
+            if bid == crash_batch:
+                monkeypatch.setattr(cs.snap, "write_snapshot", crashing_ws)
+                counter["n"] = 0
+                try:
+                    sink(df, bid)
+                    raise AssertionError("injected crash did not fire")
+                except RuntimeError:
+                    pass
+                monkeypatch.setattr(cs.snap, "write_snapshot", real_ws)
+                counter["n"] = -10**9  # disarm
+                sink(df, bid)  # replay
+            else:
+                sink(df, bid)
+        monkeypatch.setattr(cs.snap, "snapshot_sink", real_sink)
+        return {
+            "shards": sorted(
+                (r["doc_id"], r["shard_id"])
+                for r in read_shard_membership(spark, shards).collect()
+            ),
+            "fp_ids": sorted(
+                r["doc_id"] for r in snap.read_snapshot(spark, snapshot).collect()
+            ),
+            "sig_ids": sorted(
+                r["doc_id"]
+                for r in snap.read_snapshot(spark, snapshot + "_lshs").collect()
+            ),
+            "batch_versions": [
+                sorted(
+                    snap._read_manifest(p, v).get("batch_id")
+                    for v in snap.versions(p)
+                )
+                for p in (snapshot, snapshot + "_lshb", snapshot + "_lshs")
+            ],
+        }
+
+    clean = run(tmp_path / "clean")
+    crashed = run(tmp_path / f"crash{crash_at}", crash_batch=1, crash_commit=crash_at)
+    assert crashed == clean
+    assert clean["fp_ids"] == [1, 2, 11, 20]  # 10/12/21 are near-dups
 
 
 def test_neardup_probe_plan_is_equi_join(spark):
