@@ -418,6 +418,7 @@ def cmd_curate_stream(args: argparse.Namespace) -> int:
         text_col=args.text_col,
         n_shards=args.shards,
         near_dedup=args.near_dedup,
+        bucket_fps=args.bucket_fps,
     )
     q.awaitTermination()
     return 0
@@ -565,6 +566,10 @@ def build_parser() -> argparse.ArgumentParser:
     cs.add_argument("--near-dedup", action="store_true",
                     help="also drop MinHash-LSH near-dups: in-batch keep-first, "
                          "vs-corpus via persisted text-free LSH state")
+    cs.add_argument("--bucket-fps", type=int, default=None, metavar="N",
+                    help="bucketed state layout: cluster dedup state by "
+                         "hash(fp) mod N so each batch's anti-join reads "
+                         "only the state files its own buckets touch")
     cs.set_defaults(fn=cmd_curate_stream)
 
     t = sub.add_parser("tokenize", help="train a BPE merge table; optionally encode the corpus")

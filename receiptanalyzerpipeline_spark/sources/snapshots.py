@@ -697,7 +697,7 @@ def batch_committed(path: str, batch_id: int) -> bool:
     return False
 
 
-def snapshot_sink(path: str):
+def snapshot_sink(path: str, cluster_by: list[str] | None = None):
     """``foreachBatch`` function committing each micro-batch as a table
     version, EXACTLY-ONCE under replay: each manifest records its
     micro-batch id, and a batch some manifest already records is skipped
@@ -710,6 +710,12 @@ def snapshot_sink(path: str):
     the manifest publish is a conditional-put, and losing the race to an
     interleaved maintenance commit just re-chains on the new head and
     retries (the batch is an append; appends commute).
+
+    ``cluster_by`` declares zone-map columns from the FIRST commit on:
+    every batch's new files get [min, max] stats for them (one bounded
+    scan of the batch's files), so state tables written by a stream are
+    born prunable — the bucketed-state probe (``read_snapshot_in``)
+    depends on it.
 
     Usage::
 
@@ -742,17 +748,40 @@ def snapshot_sink(path: str):
             files = new_files
             groups: list[dict] = []
             fields: dict = {}
+            declared = (
+                cluster_by
+                if cluster_by and set(cluster_by) <= set(batch_df.columns)
+                else None
+            )
             if committed:
                 pm = _read_manifest(path, committed[-1])
                 _check_append_schema(pm, batch_df)
+                # Declared cluster columns the table doesn't yet record
+                # need this batch's stats computed explicitly; once the
+                # manifest carries cluster_by, _append_carry does it.
+                explicit = (
+                    _file_stats(batch_df.sparkSession, new_files, declared)
+                    if declared and not pm.get("cluster_by")
+                    else None
+                )
                 # Zone maps + constraints survive streamed appends too;
                 # past GROUP_THRESHOLD files the chain carries manifest-
                 # tree groups by reference (O(batch) commit, not O(table)).
                 files, groups, fields = _append_carry(
-                    batch_df.sparkSession, path, pm, batch_df.columns, new_files
+                    batch_df.sparkSession, path, pm, batch_df.columns, new_files,
+                    explicit,
                 )
                 if pm.get("constraints"):
                     fields["constraints"] = pm["constraints"]
+                if declared and not fields.get("cluster_by"):
+                    fields["cluster_by"] = declared
+            elif declared:
+                fields = {
+                    "cluster_by": declared,
+                    "stats": _file_stats(
+                        batch_df.sparkSession, new_files, declared
+                    ),
+                }
             m = {
                 "version": version,
                 "mode": "append",
@@ -1420,6 +1449,52 @@ def read_snapshot_pruned(
             continue
         gf, gs = _read_group(g["path"])
         keep.extend(f for f in gf if _zone_overlaps(gs.get(f), bounds))
+    if not keep:
+        return read_snapshot(spark, path, version).limit(0)
+    sch = manifest.get("schema")
+    if sch is not None:
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(StructType.fromJson(sch)).parquet(*keep)
+    return spark.read.parquet(*keep)
+
+
+def read_snapshot_in(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: set,
+    version: int | None = None,
+) -> DataFrame:
+    """Read AS OF ``version`` touching only files whose zone range on
+    ``col`` can contain AT LEAST ONE of ``values`` — the scattered-set
+    twin of ``read_snapshot_pruned`` (whose bounds are one contiguous
+    range). This is the bucketed-state probe shape: a streaming batch
+    collects its own (small) bucket set and the state side shrinks to
+    O(|values| / n_buckets) of the table before any join. On a manifest
+    tree, whole groups are skipped by their bounds without being opened.
+    Files without stats for ``col`` are conservatively kept."""
+    if version is None:
+        version = current_version(path)
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+    manifest = _read_manifest(path, version)
+
+    def _hits(st: dict | None) -> bool:
+        rng = (st or {}).get(col)
+        if rng is None or rng[0] is None or rng[1] is None:
+            return True
+        try:
+            return any(rng[0] <= v <= rng[1] for v in values)
+        except TypeError:
+            return True
+    stats = manifest.get("stats") or {}
+    keep = [f for f in manifest.get("files", []) if _hits(stats.get(f))]
+    for g in manifest.get("groups", []):
+        if not _hits(g.get("bounds")):
+            continue
+        gf, gs = _read_group(g["path"])
+        keep.extend(f for f in gf if _hits(gs.get(f)))
     if not keep:
         return read_snapshot(spark, path, version).limit(0)
     sch = manifest.get("schema")

@@ -48,9 +48,19 @@ DEFAULT_RULES = (
 )
 
 
+def _fpb(col, n_buckets: int):
+    """Deterministic fingerprint bucket: the state-table cluster key."""
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def _bb(n_buckets: int):
+    """Band-bucket cluster key for the LSH state table (over band+vals)."""
+    return F.pmod(F.xxhash64("band", "vals"), F.lit(n_buckets)).cast("int")
+
+
 def _curate_batch(
     batch_df: DataFrame,
-    prior_fps: DataFrame | None,
+    prior_fps_fn,
     id_col: str,
     text_col: str,
     rules: str,
@@ -58,7 +68,10 @@ def _curate_batch(
     sample_rate: float,
 ) -> DataFrame:
     """One micro-batch through the q_x24 stages; returns surviving rows
-    with their content fingerprint attached."""
+    with their content fingerprint attached. ``prior_fps_fn`` maps the
+    in-batch deduped frame to the corpus fingerprints to anti-join
+    against (None = no prior state) — a function, not a frame, so the
+    bucketed layout can prune the state read by the BATCH's buckets."""
     metrics = C.heuristic_quality(batch_df, id_col, text_col)
     quality = batch_df.join(
         metrics.where(F.expr(rules)).select(F.col("doc_id").alias(id_col)), id_col
@@ -73,6 +86,7 @@ def _curate_batch(
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+    prior_fps = prior_fps_fn(in_batch)
     fresh = (
         in_batch.join(prior_fps, "fp", "left_anti")
         if prior_fps is not None
@@ -103,6 +117,8 @@ def curation_sink(
     nd_k: int = 3,
     nd_n_hashes: int = 32,
     nd_rows_per_band: int = 2,
+    bucket_fps: int | None = None,
+    bucket_files: int = 8,
 ):
     """``foreachBatch`` commit function for the streaming curation loop.
 
@@ -117,12 +133,49 @@ def curation_sink(
     state lives in two snapshot tables beside the fingerprint snapshot
     (``<snapshot>_lshb`` buckets, ``<snapshot>_lshs`` signatures), each
     exactly-once by batch id and committed BEFORE the authoritative
-    fingerprint manifest."""
+    fingerprint manifest.
+
+    ``bucket_fps`` (VERDICT r5 task 4) turns on the BUCKETED state
+    layout: the fingerprint snapshot carries a ``_fpb`` cluster column
+    (xxhash64(fp) mod N) with zone maps from the first commit on, each
+    batch's state files are range-partitioned on it (``bucket_files``
+    files per batch, tight per-file ranges), and the per-batch anti-join
+    reads ONLY the state files whose range overlaps the BATCH's own
+    bucket set (``read_snapshot_in``) — so the corpus side of the dedup
+    join scans O(|batch buckets| / N) of the table instead of all of it.
+    The same layout applies to the near-dup band-bucket table (cluster
+    key ``_bb`` over (band, vals))."""
     import os
     from pathlib import Path
 
-    snapshot_commit = snap.snapshot_sink(snapshot_path)
+    snapshot_commit = snap.snapshot_sink(
+        snapshot_path, cluster_by=["_fpb"] if bucket_fps else None
+    )
     buckets_path, sigs_path = f"{snapshot_path}_lshb", f"{snapshot_path}_lshs"
+
+    def _bucketed(df: DataFrame, col: str) -> DataFrame:
+        """Range-partition + sort a state batch by its bucket column so
+        every output file carries a tight [min, max] zone range."""
+        n = min(bucket_files, max(1, bucket_fps))
+        return df.repartitionByRange(n, col).sortWithinPartitions(col)
+
+    def _prior_fps_fn(in_batch: DataFrame):
+        if not snap.versions(snapshot_path):
+            return None
+        spark = in_batch.sparkSession
+        if not bucket_fps:
+            return snap.read_snapshot(spark, snapshot_path).select("fp")
+        # The batch's own bucket set (bounded by batch size) prunes the
+        # state read before the anti-join ever shuffles anything.
+        touched = {
+            r["b"]
+            for r in in_batch.select(
+                _fpb(F.col("fp"), bucket_fps).alias("b")
+            ).distinct().collect()
+        }
+        return snap.read_snapshot_in(
+            spark, snapshot_path, "_fpb", touched
+        ).select("fp")
 
     def _committed_state_version(state_path: str) -> int | None:
         """Newest version of an LSH state table whose batch is ALSO
@@ -162,7 +215,18 @@ def curation_sink(
         v_s = _committed_state_version(sigs_path)
         if v_b is not None and v_s is not None:
             bb = _band_buckets(sigs, nd_n_hashes, nd_rows_per_band)
-            state_b = snap.read_snapshot(spark, buckets_path, version=v_b)
+            if bucket_fps:
+                touched = {
+                    r["b"]
+                    for r in bb.select(_bb(bucket_fps).alias("b"))
+                    .distinct()
+                    .collect()
+                }
+                state_b = snap.read_snapshot_in(
+                    spark, buckets_path, "_bb", touched, version=v_b
+                )
+            else:
+                state_b = snap.read_snapshot(spark, buckets_path, version=v_b)
             cands = (
                 bb.alias("n")
                 .join(
@@ -201,9 +265,20 @@ def curation_sink(
             "doc_id", "text", k=nd_k, n_hashes=nd_n_hashes,
         )
         if not snap.batch_committed(buckets_path, batch_id):
+            state_b = _band_buckets(sigs, nd_n_hashes, nd_rows_per_band)
+            extra: dict = {"batch_id": batch_id}
+            kw: dict = {}
+            if bucket_fps:
+                state_b = _bucketed(
+                    state_b.withColumn("_bb", _bb(bucket_fps)), "_bb"
+                )
+                if snap.current_version(buckets_path) is None:
+                    # Bootstrap: declare the cluster key with the first
+                    # commit; later appends propagate stats themselves.
+                    extra["cluster_by"] = ["_bb"]
+                    kw["stats_cols"] = ["_bb"]
             snap.write_snapshot(
-                _band_buckets(sigs, nd_n_hashes, nd_rows_per_band),
-                buckets_path, mode="append", manifest_extra={"batch_id": batch_id},
+                state_b, buckets_path, mode="append", manifest_extra=extra, **kw,
             )
         if not snap.batch_committed(sigs_path, batch_id):
             snap.write_snapshot(
@@ -216,11 +291,8 @@ def curation_sink(
             # manifest, so both exist — no-op (pointer repair only).
             snapshot_commit(batch_df.limit(0), batch_id)
             return
-        prior = None
-        if snap.versions(snapshot_path):
-            prior = snap.read_snapshot(batch_df.sparkSession, snapshot_path).select("fp")
         fresh = _curate_batch(
-            batch_df, prior, id_col, text_col, rules, eval_docs, sample_rate
+            batch_df, _prior_fps_fn, id_col, text_col, rules, eval_docs, sample_rate
         )
         if near_dedup:
             fresh = _neardup_filter(fresh)
@@ -243,8 +315,15 @@ def curation_sink(
                 # orphaned attempt's own docs can't self-match.
                 _commit_lsh_state(fresh, batch_id)
             # Commit point: snapshot manifest (id + fingerprint only — the
-            # dedup state later batches anti-join against).
-            snapshot_commit(fresh.select(id_col, "fp"), batch_id)
+            # dedup state later batches anti-join against; bucketed
+            # layout adds the _fpb cluster key, range-partitioned so
+            # every state file carries a tight bucket range).
+            fps = fresh.select(id_col, "fp")
+            if bucket_fps:
+                fps = _bucketed(
+                    fps.withColumn("_fpb", _fpb(F.col("fp"), bucket_fps)), "_fpb"
+                )
+            snapshot_commit(fps, batch_id)
         finally:
             fresh.unpersist(blocking=False)
 
