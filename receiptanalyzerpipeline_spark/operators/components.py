@@ -50,8 +50,11 @@ def connected_components(
     )
     converged = False
     for _ in range(max_iter):
+        # Label/edge sides are graph-proportional: force SMJ so no round
+        # ever builds a driver-side broadcast from a mis-estimated
+        # post-checkpoint size (1 GB-driver OOM class, sf1 sweep r6).
         nbr_min = (
-            sym.join(labels, sym["b"] == labels["id"])
+            sym.join(labels.hint("merge"), sym["b"] == labels["id"])
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
@@ -75,7 +78,7 @@ def connected_components(
             F.col("id").alias("component"), F.col("component").alias("grand")
         )
         new_labels = (
-            stepped.join(parents, "component", "left")
+            stepped.join(parents.hint("merge"), "component", "left")
             .select(
                 "id",
                 F.least(
@@ -86,7 +89,7 @@ def connected_components(
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "id")
+            .join(labels.alias("o").hint("merge"), "id")
             .where(F.col("n.component") != F.col("o.component"))
             .limit(1)
             .count()
@@ -162,8 +165,8 @@ def pagerank(
     pr = nodes.withColumn("pr", F.lit(1.0) / F.lit(n_nodes))
     for _ in range(iterations):
         contrib = (
-            e.join(pr, e["s"] == pr["node"])
-            .join(deg, "s")
+            e.join(pr.hint("merge"), e["s"] == pr["node"])
+            .join(deg.hint("merge"), "s")
             .select(
                 "d",
                 F.floor((F.col("pr") / F.col("outdeg")) * pico).alias("c"),
@@ -171,7 +174,7 @@ def pagerank(
         )
         summed = contrib.groupBy("d").agg(F.sum("c").alias("sc"))
         pr = (
-            nodes.join(summed, nodes["node"] == summed["d"], "left")
+            nodes.join(summed.hint("merge"), nodes["node"] == summed["d"], "left")
             .select(
                 "node",
                 (

@@ -80,8 +80,13 @@ def jaccard_pairs(
     (At 100 TB you put minhash_lsh_candidates in front; this is also the
     verify stage for those candidates.)
     """
-    idx = shingle_index(docs, id_col, text_col, k)
-    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # Every join side here is corpus-proportional, so the strategy must
+    # be size-independent: Spark's post-shuffle size ESTIMATES can fall
+    # under autoBroadcastJoinThreshold while the true built size is far
+    # larger, and on a default 1 GB driver (the gate's shape) the
+    # broadcast build OOMs — caught by the sf1 sweep. merge = SMJ.
+    idx = shingle_index(docs, id_col, text_col, k).hint("merge")
+    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_shingles")).hint("merge")
     a, b = idx.alias("a"), idx.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -177,8 +182,11 @@ def minhash_lsh_jaccard_pairs(
     cands = minhash_lsh_candidates(
         minhash_signatures(docs, id_col, text_col, k, n_hashes), n_hashes, rows_per_band
     )
-    idx = shingle_index(docs, id_col, text_col, k)
-    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # Size-independent strategies for corpus-proportional sides (see
+    # jaccard_pairs): a mis-estimated auto-broadcast of the shingle index
+    # OOMs a default driver at sf1 — sf1-sweep finding, round 6.
+    idx = shingle_index(docs, id_col, text_col, k).hint("merge")
+    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_shingles")).hint("merge")
     inter = (
         cands.join(idx.alias("ia"), F.col("id_a") == F.col("ia.doc_id"))
         .join(

@@ -345,20 +345,42 @@ def q_n3(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "entity-resolution", "fuzzy"),
 )
 def q_er1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Output-identical scale hardening (sf1-sweep finding, round 6): the
+    # plain brand join auto-broadcast the build side, and with the whole
+    # table in one small parquet file the probe scan was ONE partition —
+    # sum(block²) Levenshteins on a single task (hours at sf1). Three
+    # changes, none affecting results (the oracle is unchanged):
+    # 1. compose the block key with a LENGTH BAND (width 4 ≥ max edit 2,
+    #    adjacent bands joined ⇒ lossless: |len diff| ≤ 2 pairs can never
+    #    span non-adjacent bands) — more, finer join keys;
+    # 2. cheap |len_a − len_b| ≤ 2 guard before the Levenshtein;
+    # 3. merge hint ⇒ both sides shuffle on (brand, band): parallelism =
+    #    distinct (brand, band) keys, never a one-task broadcast probe.
     part = table(spark, sf_dir, "part")
+    band_w = 4
     a = part.select(
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
         F.col("p_brand").alias("brand"),
+        F.floor(F.length("p_name") / band_w).alias("band"),
     )
     b = part.select(
         F.col("p_partkey").alias("key_b"),
         F.col("p_name").alias("name_b"),
         F.col("p_brand").alias("brand"),
+        F.floor(F.length("p_name") / band_w).alias("band_b"),
     )
+    b3 = b.withColumn(
+        "band",
+        F.explode(F.array(F.col("band_b") - 1, F.col("band_b"), F.col("band_b") + 1)),
+    ).drop("band_b")
     return (
-        a.join(b, "brand")
+        a.hint("merge")
+        .join(b3, ["brand", "band"])
         .where(F.col("key_a") < F.col("key_b"))
+        .where(
+            (F.length("name_a") - F.length("name_b")).between(-2, 2)
+        )
         .select(
             "key_a",
             "key_b",

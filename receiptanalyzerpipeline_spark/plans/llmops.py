@@ -2295,3 +2295,71 @@ def q_x34(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# --- ANN auto-parameters: occupancy + recall-bound derivation (q_x35) ---
+
+_AUTOPARAM_PLANES = (
+    "CAST(GREATEST(4, LEAST(16, CEIL(ROUND(LOG2(n / 32.0), 6)))) AS BIGINT)"
+)
+_AUTOPARAM_CELLS = "CAST(GREATEST(4, LEAST(4096, CEIL(n / 256.0))) AS BIGINT)"
+_AUTOPARAM_TABLES = (
+    "CAST(GREATEST(1, LEAST(64, CEIL(ROUND(LN(0.1) / "
+    "LN(1.0 - POWER(1.0 - ACOS(0.8) / PI(), n_planes)), 6)))) AS BIGINT)"
+)
+
+
+@register(
+    "q_x35_ann_autoparams",
+    oracle=f"""
+        WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+        d AS (SELECT n,
+                     {_AUTOPARAM_PLANES} AS n_planes,
+                     {_AUTOPARAM_CELLS} AS n_cells
+              FROM c)
+        SELECT n, n_planes, n_cells,
+               {_AUTOPARAM_TABLES} AS n_tables,
+               n_planes AS planes_py,
+               {_AUTOPARAM_TABLES} AS tables_py,
+               n_cells AS cells_py
+        FROM d
+    """,
+    doc=(
+        "ANN auto-parameter derivation, cross-engine pinned: n_planes "
+        "(occupancy target 32, auto_n_planes), n_tables (random-"
+        "hyperplane recall bound at target 0.9 / floor 0.8, "
+        "lsh_recall_params), n_cells (IVF occupancy 256, auto_n_cells) — "
+        "each computed twice: as SQL formulas over count(embeddings) in "
+        "BOTH engines, and as literals from the PYTHON operators on the "
+        "Spark side (planes_py/tables_py/cells_py; the oracle re-derives "
+        "them from the same formulas). A hash match therefore proves the "
+        "Python implementations equal the declared closed forms, and "
+        "both engines agree — the parameter half of the recall harness "
+        "(SCALE.md ANN recall table; scripts/ann_recall_scale.py). "
+        "Transcendentals are ROUND(x, 6)-quantized before CEIL so an "
+        "ulp of libm divergence cannot flip the integer."
+    ),
+    tags=("retrieval", "autotuning", "llm"),
+)
+def q_x35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from receiptanalyzerpipeline_spark.operators.ivf import auto_n_cells
+    from receiptanalyzerpipeline_spark.operators.similarity import lsh_recall_params
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()  # bounded driver scalar (the auto_n_planes precedent)
+    planes_py, tables_py = lsh_recall_params(n, recall_target=0.9, sim_floor=0.8)
+    cells_py = auto_n_cells(n)
+    d = emb.agg(F.count(F.lit(1)).alias("n")).selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        f"{_AUTOPARAM_PLANES} AS n_planes",
+        f"{_AUTOPARAM_CELLS} AS n_cells",
+    )
+    return d.selectExpr(
+        "n",
+        "n_planes",
+        "n_cells",
+        f"{_AUTOPARAM_TABLES} AS n_tables",
+        f"CAST({planes_py} AS BIGINT) AS planes_py",
+        f"CAST({tables_py} AS BIGINT) AS tables_py",
+        f"CAST({cells_py} AS BIGINT) AS cells_py",
+    )

@@ -488,6 +488,11 @@ _SUITES = [
             # Two projections of the same eval query: recall@10 then MRR@10.
             Part("retrieval_recall", "q_x34_retrieval_metrics", {"doc_id": "qid", "n": "hits", "v": "recall"}),
             Part("retrieval_mrr", "q_x34_retrieval_metrics", {"doc_id": "qid", "n": "n_relevant", "v": "mrr"}),
+            # ANN auto-params (round 6): python operators vs closed-form
+            # SQL, both engines — v carries the python literal for the pin.
+            Part("autoparam_planes", "q_x35_ann_autoparams", {"doc_id": "n", "n": "n_planes", "v": "CAST(planes_py AS DOUBLE)"}),
+            Part("autoparam_tables", "q_x35_ann_autoparams", {"doc_id": "n", "n": "n_tables", "v": "CAST(tables_py AS DOUBLE)"}),
+            Part("autoparam_cells", "q_x35_ann_autoparams", {"doc_id": "n", "n": "n_cells", "v": "CAST(cells_py AS DOUBLE)"}),
         ],
         order=["doc_id", "n"],
         doc="Model-scoring boundary: bigram-LM perplexity + deterministic document embedder (exploded to scalars).",
