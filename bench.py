@@ -61,6 +61,38 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    violations = check_floors(timings)
+    retries: dict[str, int] = {}
+    if violations:
+        # VERDICT r6 task 1: a floor violation measured on a busy host
+        # (the driver's end-of-round bench shares the machine with
+        # whatever just ran) must not leave a red gate artifact for
+        # noise. Re-measure ONLY the violating queries, best-of-N after
+        # a settle, up to 3 rounds; a genuine regression survives every
+        # retry, scheduler jitter does not. The retry reps/settle are
+        # deliberately generous — this path only runs when the gate
+        # would otherwise go red.
+        retry_reps = max(reps, 5)
+        for attempt in range(3):
+            if not violations:
+                break
+            names = [v.split(":", 1)[0] for v in violations]
+            print(
+                f"# floor retry {attempt + 1}/3 after settle: {names}",
+                file=sys.stderr,
+            )
+            time.sleep(2.0)
+            for name in names:
+                df = prepared[name]
+                for _ in range(retry_reps):
+                    t0 = time.perf_counter()
+                    df.toArrow()
+                    timings[name] = min(
+                        timings[name], round(time.perf_counter() - t0, 4)
+                    )
+                retries[name] = retries.get(name, 0) + retry_reps
+            violations = check_floors(timings)
+
     out = {
         "metric": "headline query wall-clock (prepared plan, warm), Spark local",
         "value": round(sum(timings.values()), 4),
@@ -68,7 +100,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    violations = check_floors(timings)
+    if retries:
+        out["floor_retries"] = retries
     if violations is not None:
         out["floor_violations"] = violations
         for v in violations:
@@ -93,6 +126,8 @@ def _record_gate_artifact(out: dict) -> None:
         "queries": out["queries"],
         "floor_violations": out["floor_violations"],
     }
+    if out.get("floor_retries"):
+        artifact["floor_retries"] = out["floor_retries"]
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_GATE.json")
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

@@ -142,23 +142,35 @@ def _parse_wav(content: bytes) -> dict:
 
 
 def _parse_av(content: bytes) -> dict:  # pragma: no cover - needs PyAV
-    """PyAV decode for arbitrary containers (the [media] extra)."""
+    """PyAV decode for arbitrary containers (the [media] extra).
+
+    Corrupt/truncated containers raise av.AVError (an OSError subclass)
+    from av.open/decode; re-raise as ValueError so the UDF wrappers'
+    per-row error isolation catches it like any other decode failure —
+    one bad row must not kill the whole mapInPandas batch."""
     import io
 
     import av
 
-    with av.open(io.BytesIO(content)) as c:
-        vstreams = [s for s in c.streams if s.type == "video"]
-        astreams = [s for s in c.streams if s.type == "audio"]
-        duration_ms = int((c.duration or 0) / 1000)  # av.time_base = 1e6
-        fps = float(vstreams[0].average_rate) if vstreams else 0.0
-        return {
-            "duration_ms": duration_ms,
-            "fps": fps,
-            "sample_rate": int(astreams[0].rate) if astreams else 0,
-            "n_channels": int(astreams[0].channels) if astreams else 0,
-            "payload": content,
-        }
+    try:
+        ctx = av.open(io.BytesIO(content))
+    except OSError as e:
+        raise ValueError(f"undecodable container: {e}") from e
+    try:
+        with ctx as c:
+            vstreams = [s for s in c.streams if s.type == "video"]
+            astreams = [s for s in c.streams if s.type == "audio"]
+            duration_ms = int((c.duration or 0) / 1000)  # av.time_base = 1e6
+            fps = float(vstreams[0].average_rate) if vstreams else 0.0
+            return {
+                "duration_ms": duration_ms,
+                "fps": fps,
+                "sample_rate": int(astreams[0].rate) if astreams else 0,
+                "n_channels": int(astreams[0].channels) if astreams else 0,
+                "payload": content,
+            }
+    except OSError as e:
+        raise ValueError(f"undecodable container: {e}") from e
 
 
 def _parse_stub(content: bytes) -> dict:

@@ -32,9 +32,100 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pair_mass", "auto_blocking_keys", "blocked_pairs", "join_cardinality"]
+__all__ = [
+    "pair_mass",
+    "auto_blocking_keys",
+    "blocked_pairs",
+    "join_cardinality",
+    "prefix_filter_pairs",
+]
 
 TARGET_PAIRS_PER_RECORD = 32.0
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    q: int = 3,
+    d: int = 2,
+    block_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """LOSSLESS candidate pairs for ``levenshtein(name_a, name_b) <= d``:
+    the symmetric rarest-(d*q+1)-gram prefix filter (q_er2's machinery,
+    factored out so any blocked fuzzy join can route through it when the
+    coarse blocking's pair mass explodes — VERDICT r6 task 4).
+
+    Theorem: strings within edit distance d share at least
+    max(|s|,|t|) − q + 1 − d·q q-grams, so any pair under the threshold
+    shares ≥ 1 gram of each member's d·q+1 RAREST grams (ranked by a
+    CONSISTENT global frequency — both join sides derive from the same
+    ranking, which is all the symmetric-prefix theorem needs). Short
+    strings (longer member < q·(d+1), where the bound is vacuous) index
+    a catch-all bucket instead; the 5-char sentinel cannot collide with
+    real q-grams. See plans/curation.py q_er2 for the full derivation
+    and the exhaustive-join proof tests (tests/test_curation.py).
+
+    ``block_keys`` adds exact-match blocking columns (e.g. brand): the
+    gram join then requires gram AND key equality, and cost scales with
+    per-(key, gram) co-occurrence — never block².
+
+    Returns (key_a, key_b, name_a, name_b) distinct candidates; callers
+    apply the edit-distance verify. Output is a SUPERSET of the true
+    pairs and the verify stage makes the composition exact, so routing
+    between this and a coarse equi-join cannot change results.
+    """
+    prefix_n = d * q + 1
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(name_col).alias("name"),
+        *[F.col(k) for k in block_keys],
+    )
+    grams_sql = (
+        f"array_distinct(transform(sequence(1, length(name) - {q - 1}), "
+        f"i -> substring(name, i, {q})))"
+    )
+    case_sql = (
+        f"CASE WHEN length(name) >= {q * (d + 1)} THEN {grams_sql} "
+        f"WHEN length(name) >= {q} THEN array_append({grams_sql}, '#SHRT') "
+        f"ELSE array('#SHRT') END"
+    )
+    g = base.select(
+        "key", "name", *block_keys, F.explode(F.expr(case_sql)).alias("gram")
+    )
+    freq = g.groupBy("gram").agg(F.count("*").alias("cnt"))
+    prefix = (
+        g.join(freq, "gram")
+        .groupBy("key", "name", *block_keys)
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("cnt", "gram"))), 1, prefix_n
+            ).alias("pg")
+        )
+        .select(
+            "key",
+            "name",
+            *block_keys,
+            F.explode(F.transform(F.col("pg"), lambda x: x["gram"])).alias("gram"),
+        )
+    )
+    a = prefix.select(
+        F.col("key").alias("key_a"), F.col("name").alias("name_a"),
+        *block_keys, "gram",
+    )
+    b = prefix.select(
+        F.col("key").alias("key_b"), F.col("name").alias("name_b"),
+        *block_keys, "gram",
+    )
+    return (
+        a.join(b, ["gram", *block_keys])
+        .where(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= d)
+        )
+        .select("key_a", "key_b", "name_a", "name_b")
+        .distinct()
+    )
 
 
 def pair_mass(df: DataFrame, cols: list[str]) -> tuple[int, int]:

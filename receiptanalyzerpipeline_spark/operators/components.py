@@ -25,8 +25,73 @@ contract (edges in, min-labeled nodes out) is unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class _IterStore:
+    """Persisted-table iteration state (VERDICT r6 task 5).
+
+    Eager ``localCheckpoint`` per round PINS every round's blocks in the
+    block manager for the life of the query — at sf1 under a default
+    1 GB heap the accumulated pins killed the JVM (three failed sf1
+    attempts: stage-materialization failures, then connection refused).
+    Writing each round to a temp parquet table and reading it back keeps
+    the lineage just as flat while holding ZERO heap between rounds:
+    superseded rounds are plain directories, deleted the moment their
+    last consumer has run. On a cluster the same pattern lands on the
+    shuffle-local disks (spark.local.dir); only the FINAL small result
+    is pinned (one eager localCheckpoint) so the store can vanish."""
+
+    def __init__(self, spark: SparkSession, prefix: str):
+        self.spark = spark
+        self.root = tempfile.mkdtemp(prefix=prefix)
+        self._gen = 0
+        self._paths: dict[int, str] = {}
+
+    def put(self, df: DataFrame) -> DataFrame:
+        path = os.path.join(self.root, f"t{self._gen}")
+        self._gen += 1
+        df.write.mode("error").parquet(path)
+        out = self.spark.read.parquet(path)
+        self._paths[id(out)] = path
+        return out
+
+    def drop(self, df: DataFrame | None) -> None:
+        """Delete a superseded round's files (safe once no plan that is
+        still going to RUN reads them)."""
+        if df is None:
+            return
+        path = self._paths.pop(id(df), None)
+        if path:
+            shutil.rmtree(path, ignore_errors=True)
+
+    def finish(self, df: DataFrame, disk_only: bool = False) -> DataFrame:
+        """Pin the final result and delete every file the iteration
+        wrote. ``disk_only=True`` pins to local disk instead of heap —
+        for results that are only small *relative to the corpus* (pair
+        lists at a clone-dense sf1 are millions of rows; heap-pinning
+        those in a 1 GB driver-default session is the q_d2 OOM)."""
+        if disk_only:
+            from pyspark import StorageLevel
+
+            try:
+                out = df.localCheckpoint(
+                    eager=True, storageLevel=StorageLevel.DISK_ONLY
+                )
+            except TypeError:  # storageLevel arg needs Spark >= 4.0
+                out = df.localCheckpoint(eager=True)
+        else:
+            out = df.localCheckpoint(eager=True)
+        shutil.rmtree(self.root, ignore_errors=True)
+        return out
+
+    def close(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)
 
 
 def connected_components(
@@ -41,71 +106,83 @@ def connected_components(
     where component is the minimum node id in the cluster — deterministic
     regardless of partitioning or iteration order.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.distinct().localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    store = _IterStore(spark, "rap-cc-")
+    try:
+        sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        sym = sym.unionByName(
+            sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        # Edge discovery (often an expensive near-dup pair job) runs ONCE;
+        # every round scans the small persisted edge table instead.
+        sym = store.put(sym.distinct())
 
-    labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
-        "component", F.col("id")
-    )
-    converged = False
-    for _ in range(max_iter):
-        # Label/edge sides are graph-proportional: force SMJ so no round
-        # ever builds a driver-side broadcast from a mis-estimated
-        # post-checkpoint size (1 GB-driver OOM class, sf1 sweep r6).
-        nbr_min = (
-            sym.join(labels.hint("merge"), sym["b"] == labels["id"])
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_min"))
+        labels = store.put(
+            sym.select(F.col("a").alias("id"))
+            .distinct()
+            .withColumn("component", F.col("id"))
         )
-        stepped = (
-            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
+        converged = False
+        for _ in range(max_iter):
+            # Label/edge sides are graph-proportional: force SMJ so no round
+            # ever builds a driver-side broadcast from a mis-estimated
+            # size (1 GB-driver OOM class, sf1 sweep r6).
+            nbr_min = (
+                sym.join(labels.hint("merge"), sym["b"] == labels["id"])
+                .groupBy("a")
+                .agg(F.min("component").alias("nbr_min"))
             )
-            # materialized once: the shortcut below reads it from two sides
-            .localCheckpoint(eager=True)
-        )
-        # Pointer-jumping shortcut (component ← label(component)): labels are
-        # always node ids, so chasing one hop per round on top of the
-        # neighbor step contracts paths geometrically — a diameter-D chain
-        # converges in O(log D) rounds instead of D, which is what makes
-        # max_iter=25 safely cover any graph that fits in storage.
-        parents = stepped.select(
-            F.col("id").alias("component"), F.col("component").alias("grand")
-        )
-        new_labels = (
-            stepped.join(parents.hint("merge"), "component", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("grand", F.col("component"))
-                ).alias("component"),
+            stepped = store.put(
+                labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                    ).alias("component"),
+                )
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o").hint("merge"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        # Unconverged labels are silently WRONG clusters (and a leakage-safe
-        # split built on them leaks) — fail loudly instead of returning them.
-        raise RuntimeError(
-            f"connected_components did not converge within max_iter={max_iter} "
-            "rounds; raise max_iter (rounds needed ≈ log2(graph diameter) + 2)"
-        )
-    return labels
+            # Pointer-jumping shortcut (component ← label(component)): labels
+            # are always node ids, so chasing one hop per round on top of the
+            # neighbor step contracts paths geometrically — a diameter-D chain
+            # converges in O(log D) rounds instead of D, which is what makes
+            # max_iter=25 safely cover any graph that fits in storage.
+            parents = stepped.select(
+                F.col("id").alias("component"), F.col("component").alias("grand")
+            )
+            new_labels = store.put(
+                stepped.join(parents.hint("merge"), "component", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"), F.coalesce("grand", F.col("component"))
+                    ).alias("component"),
+                )
+            )
+            store.drop(stepped)  # consumed by the new_labels write
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o").hint("merge"), "id")
+                .where(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            store.drop(labels)
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            # Unconverged labels are silently WRONG clusters (and a
+            # leakage-safe split built on them leaks) — fail loudly
+            # instead of returning them.
+            raise RuntimeError(
+                f"connected_components did not converge within max_iter="
+                f"{max_iter} rounds; raise max_iter (rounds needed ≈ "
+                "log2(graph diameter) + 2)"
+            )
+        return store.finish(labels)
+    finally:
+        store.close()
 
 
 def dedup_survivors(
@@ -146,43 +223,52 @@ def pagerank(
     ~1e-12 per round — noise relative to PageRank's damping tolerance.
 
     Cost per iteration: one shuffle (contribution groupBy on dst) plus a
-    broadcast-or-shuffle join back to nodes; lineage truncated per round
-    so the plan stays flat. Dangling nodes (no out-edges) contribute
-    nothing, standard simplified PR.
+    merge join back to nodes; each round is persisted to a temp parquet
+    table (``_IterStore``) so the plan stays flat AND nothing stays
+    pinned in the heap — the expensive edge-discovery job also runs
+    exactly once instead of once per iteration. Dangling nodes (no
+    out-edges) contribute nothing, standard simplified PR.
 
     Returns (node, pagerank DOUBLE).
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    deg = e.groupBy("s").agg(F.count("*").alias("outdeg"))
-    nodes = (
-        e.select(F.col("s").alias("node"))
-        .unionByName(e.select(F.col("d").alias("node")))
-        .distinct()
-    )
-    n_nodes = nodes.count()  # one scalar; the loop itself is driver-free
-    base = F.lit(0.15)  # (1 - damping), kept symmetric with the oracle SQL
-    pico = F.lit(1e12)
-    pr = nodes.withColumn("pr", F.lit(1.0) / F.lit(n_nodes))
-    for _ in range(iterations):
-        contrib = (
-            e.join(pr.hint("merge"), e["s"] == pr["node"])
-            .join(deg.hint("merge"), "s")
-            .select(
-                "d",
-                F.floor((F.col("pr") / F.col("outdeg")) * pico).alias("c"),
-            )
+    spark = edges.sparkSession
+    store = _IterStore(spark, "rap-pr-")
+    try:
+        e = store.put(edges.select(F.col(src).alias("s"), F.col(dst).alias("d")))
+        deg = e.groupBy("s").agg(F.count("*").alias("outdeg"))
+        nodes = store.put(
+            e.select(F.col("s").alias("node"))
+            .unionByName(e.select(F.col("d").alias("node")))
+            .distinct()
         )
-        summed = contrib.groupBy("d").agg(F.sum("c").alias("sc"))
-        pr = (
-            nodes.join(summed.hint("merge"), nodes["node"] == summed["d"], "left")
-            .select(
-                "node",
-                (
-                    base / F.lit(n_nodes)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("sc"), F.lit(0)).cast("double") / pico)
-                ).alias("pr"),
+        n_nodes = nodes.count()  # one scalar; the loop itself is driver-free
+        base = F.lit(0.15)  # (1 - damping), kept symmetric with the oracle SQL
+        pico = F.lit(1e12)
+        pr = nodes.withColumn("pr", F.lit(1.0) / F.lit(n_nodes))
+        stored_pr: DataFrame | None = None
+        for _ in range(iterations):
+            contrib = (
+                e.join(pr.hint("merge"), e["s"] == pr["node"])
+                .join(deg.hint("merge"), "s")
+                .select(
+                    "d",
+                    F.floor((F.col("pr") / F.col("outdeg")) * pico).alias("c"),
+                )
             )
-            .localCheckpoint(eager=False)
-        )
-    return pr.select("node", F.col("pr").alias("pagerank"))
+            summed = contrib.groupBy("d").agg(F.sum("c").alias("sc"))
+            pr = store.put(
+                nodes.join(summed.hint("merge"), nodes["node"] == summed["d"], "left")
+                .select(
+                    "node",
+                    (
+                        base / F.lit(n_nodes)
+                        + F.lit(damping)
+                        * (F.coalesce(F.col("sc"), F.lit(0)).cast("double") / pico)
+                    ).alias("pr"),
+                )
+            )
+            store.drop(stored_pr)
+            stored_pr = pr
+        return store.finish(pr.select("node", F.col("pr").alias("pagerank")))
+    finally:
+        store.close()

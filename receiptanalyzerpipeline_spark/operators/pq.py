@@ -129,6 +129,69 @@ def pq_search(
     )
 
 
+def calibrate_shortlist(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    dims: int,
+    m: int,
+    recall_target: float = 0.9,
+    k: int = 10,
+    sample_probes: int = 12,
+    max_shortlist: int = 4096,
+) -> tuple[int, float]:
+    """Smallest power-of-two-of-k ``shortlist`` whose PQ-rerank recall@k
+    against EXACT L2 on a bounded probe sample meets ``recall_target``;
+    returns (shortlist, measured_recall).
+
+    VERDICT r6 task 6: a fixed shortlist decays with corpus size (0.915
+    recall at 20 k vectors → 0.735 at 200 k with shortlist 64 — the ADC
+    approximation error stays constant while the number of near-tied
+    candidates grows), so the shortlist must be DERIVED, not guessed —
+    same bounded-empirical pattern as ``ivf.calibrate_nprobe``. The
+    probe sample is LIMIT-bounded (driver-side-scalar class), each trial
+    is one pq_search_rerank over ≤ sample × shortlist rows, and the scan
+    doubles until the bar clears — calibration cost is
+    O(sample × log(max_shortlist/k)), corpus-size-free.
+
+    ``emb`` must be the same (vec_id, v) table the codes were fit on.
+    """
+    probes = (
+        emb.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+        .orderBy("q_id")
+        .limit(sample_probes)
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rk = Window.partitionBy("q_id").orderBy("d", "vec_id")
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in emb.join(F.broadcast(probes), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", d2.alias("d"))
+        .withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= k)
+        .collect()
+    }
+    if not truth:
+        return k, 1.0
+    shortlist, best = max(k, 16), 0.0
+    while True:
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in pq_search_rerank(
+                probes, codebooks, codes, emb, dims=dims, m=m,
+                shortlist=shortlist, top_k=k,
+            ).collect()
+        }
+        best = len(got & truth) / len(truth)
+        if best >= recall_target or shortlist >= max_shortlist:
+            return min(shortlist, max_shortlist), best
+        shortlist *= 2
+
+
 def pq_search_rerank(
     probes: DataFrame,
     codebooks: DataFrame,

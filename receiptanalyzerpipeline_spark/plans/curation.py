@@ -345,17 +345,27 @@ def q_n3(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "entity-resolution", "fuzzy"),
 )
 def q_er1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Output-identical scale hardening (sf1-sweep finding, round 6): the
-    # plain brand join auto-broadcast the build side, and with the whole
-    # table in one small parquet file the probe scan was ONE partition —
-    # sum(block²) Levenshteins on a single task (hours at sf1). Three
-    # changes, none affecting results (the oracle is unchanged):
-    # 1. compose the block key with a LENGTH BAND (width 4 ≥ max edit 2,
-    #    adjacent bands joined ⇒ lossless: |len diff| ≤ 2 pairs can never
-    #    span non-adjacent bands) — more, finer join keys;
-    # 2. cheap |len_a − len_b| ≤ 2 guard before the Levenshtein;
-    # 3. merge hint ⇒ both sides shuffle on (brand, band): parallelism =
-    #    distinct (brand, band) keys, never a one-task broadcast probe.
+    return _er1_plan(spark, sf_dir)
+
+
+def _er1_plan(
+    spark: SparkSession, sf_dir: str, pairs_per_record_budget: float = 64.0
+) -> DataFrame:
+    # Occupancy-targeted routing (VERDICT r6 task 4): the coarse
+    # (brand, length-band) blocking is linear-ish at small SF, but on a
+    # clone-dense corpus its per-block pair mass grows quadratically —
+    # the sf1 sweep killed the JVM after 348 s of in-block Levenshteins.
+    # blocking.join_cardinality computes the EXACT candidate count of the
+    # coarse join from per-key counts (O(distinct keys), no join run);
+    # when it exceeds the pairs-per-record budget, the plan routes
+    # through the LOSSLESS rarest-q-gram prefix filter
+    # (blocking.prefix_filter_pairs, q_er2's machinery) with brand as an
+    # exact blocking key — candidate mass then scales with true-match
+    # density, not block². Both branches verify with the same exact
+    # Levenshtein, so results (and the oracle hash) are identical either
+    # way; only the candidate-generation cost differs.
+    from receiptanalyzerpipeline_spark.operators import blocking as B
+
     part = table(spark, sf_dir, "part")
     band_w = 4
     a = part.select(
@@ -374,14 +384,33 @@ def q_er1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         F.explode(F.array(F.col("band_b") - 1, F.col("band_b"), F.col("band_b") + 1)),
     ).drop("band_b")
-    return (
-        a.hint("merge")
-        .join(b3, ["brand", "band"])
-        .where(F.col("key_a") < F.col("key_b"))
-        .where(
-            (F.length("name_a") - F.length("name_b")).between(-2, 2)
+
+    n = part.count()
+    coarse_pairs = B.join_cardinality(a, b3, ["brand", "band"])
+    if coarse_pairs <= pairs_per_record_budget * max(n, 1):
+        # Length band is lossless for edit ≤ 2 (width 4 ≥ max edit, and
+        # adjacent bands are joined, so |len diff| ≤ 2 pairs can never
+        # span non-adjacent bands). merge hint ⇒ both sides shuffle on
+        # (brand, band): parallelism = distinct keys, never a one-task
+        # broadcast probe (round-6 hardening, kept for the coarse path).
+        cands = (
+            a.hint("merge")
+            .join(b3, ["brand", "band"])
+            .where(F.col("key_a") < F.col("key_b"))
+            .where((F.length("name_a") - F.length("name_b")).between(-2, 2))
+            .select("key_a", "key_b", "name_a", "name_b")
         )
-        .select(
+    else:
+        cands = B.prefix_filter_pairs(
+            part.withColumnRenamed("p_brand", "brand"),
+            "p_partkey",
+            "p_name",
+            q=3,
+            d=2,
+            block_keys=("brand",),
+        )
+    return (
+        cands.select(
             "key_a",
             "key_b",
             "name_a",
@@ -1056,69 +1085,21 @@ def q_x25(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q_er2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    Q, D = 3, 2
-    prefix_n = D * Q + 1
-    parts = table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("key"), F.col("p_name").alias("name")
-    )
-    # substring() needs a column start position — expressed via expr.
-    # Short-string guard (ADVICE r3, widened): the q-gram overlap lower
-    # bound for ed(s,t) <= D is max(|s|,|t|) - Q + 1 - D*Q shared grams —
-    # VACUOUS whenever the longer string is under Q*(D+1) chars (and for
-    # length < Q, sequence() is descending and yields bogus grams). So
-    # gram generation is gated on length >= Q, and every string of length
-    # <= Q*(D+1)-1 additionally indexes a catch-all bucket: a pair whose
-    # longer member is short meets there (the shorter member is within D
-    # of it, hence also under the threshold); a pair whose longer member
-    # has length >= Q*(D+1) has guaranteed overlap >= 1, where the
-    # symmetric (D*Q+1)-rarest-prefix intersection theorem applies. The
-    # lossless claim then holds for arbitrary inputs, not just p_name
-    # (tests/test_curation.py proves it vs the exhaustive join on
-    # short/empty strings). Sentinel is 5 chars; real grams are exactly
-    # Q=3, so it cannot collide. Unreachable on p_name (driver data), so
-    # the oracle's exhaustive-join hash match is unchanged.
-    # CASE ordered so the dominant branch (long strings) evaluates the
-    # gram array directly — no empty-array concat in the hot path (the
-    # explode feeds both freq and the prefix join, so it runs twice).
-    grams_sql = (
-        f"array_distinct(transform(sequence(1, length(name) - {Q - 1}), "
-        f"i -> substring(name, i, {Q})))"
-    )
-    case_sql = (
-        f"CASE WHEN length(name) >= {Q * (D + 1)} THEN {grams_sql} "
-        f"WHEN length(name) >= {Q} THEN array_append({grams_sql}, '#SHRT') "
-        f"ELSE array('#SHRT') END"
-    )
-    g = parts.select("key", "name", F.explode(F.expr(case_sql)).alias("gram"))
-    freq = g.groupBy("gram").agg(F.count("*").alias("cnt"))
-    prefix = (
-        g.join(freq, "gram")
-        .groupBy("key", "name")
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list(F.struct("cnt", "gram"))), 1, prefix_n
-            ).alias("pg")
-        )
-        .select(
-            "key", "name", F.explode(F.transform(F.col("pg"), lambda x: x["gram"])).alias("gram")
-        )
-    )
-    a = prefix.select(F.col("key").alias("key_a"), F.col("name").alias("name_a"), "gram")
-    b = prefix.select(F.col("key").alias("key_b"), F.col("name").alias("name_b"), "gram")
-    cands = (
-        a.join(b, "gram")
-        .where(
-            (F.col("key_a") < F.col("key_b"))
-            & (F.abs(F.length("name_a") - F.length("name_b")) <= D)
-        )
-        .select("key_a", "key_b", "name_a", "name_b")
-        .distinct()
-    )
+    # Candidate generation lives in operators/blocking.prefix_filter_pairs
+    # (factored out in round 7 so q_er1 can route through the same
+    # lossless filter when its coarse blocking explodes); with no block
+    # keys this is exactly the original q_er2 plan. Full derivation of
+    # the symmetric rarest-prefix theorem + the short-string catch-all
+    # bucket is in that function's docstring; the exhaustive oracle here
+    # proves losslessness end-to-end (tests/test_curation.py covers the
+    # short/empty-string edge cases vs the exhaustive join).
+    from receiptanalyzerpipeline_spark.operators.blocking import prefix_filter_pairs
+
+    parts = table(spark, sf_dir, "part")
     return (
-        cands.withColumn(
-            "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
-        )
-        .where(F.col("edit_dist") <= D)
+        prefix_filter_pairs(parts, "p_partkey", "p_name", q=3, d=2)
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .where(F.col("edit_dist") <= 2)
         .orderBy("key_a", "key_b")
     )
 

@@ -594,6 +594,87 @@ def q_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.intersect(s).unionByName(cust).distinct().orderBy("nationkey", "src")
 
 
+@register(
+    "q_u3_sql_write_lifecycle",
+    oracle="""
+        WITH v0 AS (
+            SELECT CAST(c_custkey AS BIGINT) AS k, CAST(c_nationkey AS BIGINT) AS v
+            FROM customer WHERE c_custkey <= 100
+        ),
+        ins AS (
+            SELECT CAST(c_custkey AS BIGINT) AS k, CAST(c_nationkey AS BIGINT) AS v
+            FROM customer WHERE c_custkey > 100 AND c_custkey <= 120
+        ),
+        v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM ins),
+        msrc AS (
+            SELECT CAST(c_custkey AS BIGINT) AS k, CAST(-1 AS BIGINT) AS v
+            FROM customer
+            WHERE c_custkey <= 10 OR (c_custkey > 115 AND c_custkey <= 125)
+        ),
+        v2 AS (
+            SELECT v1.k, COALESCE(m.v, v1.v) AS v
+            FROM v1 LEFT JOIN msrc m ON v1.k = m.k
+            UNION ALL
+            SELECT m.k, m.v FROM msrc m
+            WHERE NOT EXISTS (SELECT 1 FROM v1 WHERE v1.k = m.k)
+        ),
+        v3 AS (SELECT * FROM v2 WHERE NOT (k > 118))
+        SELECT cur.k AS k,
+               'now=' || CAST(cur.v AS VARCHAR) || '|v1='
+                      || CAST(COALESCE(o.v, -999) AS VARCHAR) AS state
+        FROM v3 cur LEFT JOIN v1 o ON cur.k = o.k
+        ORDER BY k
+    """,
+    doc=(
+        "SQL front door WRITE lifecycle (VERDICT r6 task 8): CREATE TABLE "
+        "AS SELECT → INSERT INTO → MERGE INTO (SCD1) → DELETE FROM → "
+        "time-travel SELECT ... FOR VERSION AS OF, all through "
+        "sqlfront.EngineSession.sql() against a real snapshot table. The "
+        "ORACLE replays each version as a CTE (v1 = post-insert, v2 = "
+        "SCD1 merge as left-join-override + not-exists-insert, v3 = "
+        "post-delete), so the driver hash proves the write verbs AND the "
+        "AS-OF read produce exactly the relational-algebra semantics "
+        "they claim. The snapshot table is temp-dir scoped per call; the "
+        "small final result is pinned before cleanup."
+    ),
+    tags=("sql", "snapshot", "write", "timetravel"),
+)
+def q_u3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from receiptanalyzerpipeline_spark.sqlfront import EngineSession
+
+    root = tempfile.mkdtemp(prefix="rap-u3-")
+    try:
+        eng = EngineSession(spark, sf_dir=sf_dir, table_root=root)
+        eng.sql(
+            "CREATE TABLE lc_u3 AS SELECT CAST(c_custkey AS BIGINT) AS k, "
+            "CAST(c_nationkey AS BIGINT) AS v FROM customer WHERE c_custkey <= 100"
+        )
+        eng.sql(
+            "INSERT INTO lc_u3 SELECT CAST(c_custkey AS BIGINT) AS k, "
+            "CAST(c_nationkey AS BIGINT) AS v FROM customer "
+            "WHERE c_custkey > 100 AND c_custkey <= 120"
+        )
+        eng.sql(
+            "MERGE INTO lc_u3 USING (SELECT CAST(c_custkey AS BIGINT) AS k, "
+            "CAST(-1 AS BIGINT) AS v FROM customer "
+            "WHERE c_custkey <= 10 OR (c_custkey > 115 AND c_custkey <= 125)) ON (k)"
+        )
+        eng.sql("DELETE FROM lc_u3 WHERE k > 118")
+        out = eng.sql(
+            "SELECT cur.k AS k, "
+            "concat('now=', CAST(cur.v AS STRING), '|v1=', "
+            "CAST(coalesce(o.v, -999) AS STRING)) AS state "
+            "FROM lc_u3 cur LEFT JOIN lc_u3 FOR VERSION AS OF 1 o ON cur.k = o.k "
+            "ORDER BY k"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Q-F1/Q-F2: scalar string / date functions  (reference F1-F6)
 # ---------------------------------------------------------------------------

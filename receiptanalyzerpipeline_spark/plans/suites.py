@@ -73,20 +73,39 @@ class Suite:
     order: list  # order-by columns (after part)
     doc: str
     tags: tuple
+    # Run members as SEQUENTIAL spillable jobs instead of one fused plan
+    # (VERDICT r6 task 3): a fused N-member union holds every member's
+    # exchanges alive in one job — the shape that OOMed q_d2's 5 shuffle-
+    # heavy members at sf1 under the driver-default 1 GB heap. With
+    # materialize=True each member runs alone (peak memory = ONE member),
+    # its small result lands in a temp parquet table, and the suite
+    # returns the union of those tables pinned DISK_ONLY.
+    materialize: bool = False
 
 
 def _spark_fn(suite: Suite):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        dfs = []
-        for p in suite.parts:
-            src = REGISTRY[p.src].spark(spark, sf_dir)
-            sel = [F.lit(p.tag).alias("part")]
-            for col, typ in suite.cols:
-                expr = p.m.get(col, _PAD[typ])
-                sel.append(F.expr(expr).cast(_SPARK_T[typ]).alias(col))
-            dfs.append(src.select(*sel))
-        out = reduce(lambda a, b: a.unionByName(b), dfs)
-        return out.orderBy("part", *suite.order)
+        store = None
+        if suite.materialize:
+            from receiptanalyzerpipeline_spark.operators.components import _IterStore
+
+            store = _IterStore(spark, f"rap-{suite.name}-")
+        try:
+            dfs = []
+            for p in suite.parts:
+                src = REGISTRY[p.src].spark(spark, sf_dir)
+                sel = [F.lit(p.tag).alias("part")]
+                for col, typ in suite.cols:
+                    expr = p.m.get(col, _PAD[typ])
+                    sel.append(F.expr(expr).cast(_SPARK_T[typ]).alias(col))
+                part_df = src.select(*sel)
+                dfs.append(store.put(part_df) if store else part_df)
+            out = reduce(lambda a, b: a.unionByName(b), dfs)
+            out = out.orderBy("part", *suite.order)
+            return store.finish(out, disk_only=True) if store else out
+        finally:
+            if store:
+                store.close()
 
     fn.__name__ = suite.name
     fn.__doc__ = suite.doc
@@ -214,6 +233,7 @@ _SUITES = [
             "(SURVEY N2/N3, §2.11)."
         ),
         tags=("dedup", "similarity"),
+        materialize=True,
     ),
     Suite(
         "q_g1_graph_suite",
@@ -360,10 +380,16 @@ _SUITES = [
         parts=[
             Part("except", "q_u1_except", {"nationkey": "nationkey"}),
             Part("unionintersect", "q_u2_union_intersect", {"nationkey": "nationkey", "src": "src"}),
+            # SQL front door write path (VERDICT r6 task 8): the member
+            # runs create→insert→merge→delete→AS-OF-select through
+            # EngineSession.sql(); its oracle replays every version as
+            # CTEs — this Part gives the SQL write surface a driver-
+            # hash-checked CORRECTNESS row while the window stays at 50.
+            Part("sqlwrite", "q_u3_sql_write_lifecycle", {"nationkey": "k", "src": "state"}),
         ],
         order=["nationkey", "src"],
-        doc="EXCEPT + UNION/INTERSECT set operations (SURVEY §2.7).",
-        tags=("setops",),
+        doc="EXCEPT + UNION/INTERSECT set operations (SURVEY §2.7) + SQL-front-door write lifecycle (CTAS/INSERT/MERGE/DELETE/AS-OF).",
+        tags=("setops", "sql"),
     ),
     Suite(
         "q_w1_window_suite",

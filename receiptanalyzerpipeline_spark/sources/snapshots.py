@@ -679,7 +679,8 @@ def batch_committed(path: str, batch_id: int) -> bool:
     ``write_snapshot`` appends inherits the legacy contract for its
     first deliveries — identical to pre-upgrade behavior; start such
     streams on a fresh table path."""
-    if batch_id in _ledger_batch_ids(path):
+    ledger = _ledger_batch_ids(path)
+    if batch_id in ledger:
         return True
     stamped = False
     vs = versions(path)
@@ -690,14 +691,22 @@ def batch_committed(path: str, batch_id: int) -> bool:
             return True
         if bid is not None:
             stamped = True
-    if not stamped and batch_id in manifests:
+    # Legacy shape requires BOTH no stamped manifest AND an empty ledger:
+    # after expiry moves every stamped id into the ledger, the live
+    # manifests alone look legacy, and a new batch id colliding with a
+    # version number would be silently treated as committed (dropped).
+    if not stamped and not ledger and batch_id in manifests:
         lm = manifests[batch_id]
         if lm.get("mode") == "append" and "compaction_of" not in lm:
             return True
     return False
 
 
-def snapshot_sink(path: str, cluster_by: list[str] | None = None):
+def snapshot_sink(
+    path: str,
+    cluster_by: list[str] | None = None,
+    manifest_extra: dict | None = None,
+):
     """``foreachBatch`` function committing each micro-batch as a table
     version, EXACTLY-ONCE under replay: each manifest records its
     micro-batch id, and a batch some manifest already records is skipped
@@ -789,6 +798,7 @@ def snapshot_sink(path: str, cluster_by: list[str] | None = None):
                 "files": files,
                 "schema": batch_df.schema.jsonValue(),
                 **fields,
+                **(manifest_extra or {}),
             }
             if groups:
                 m["groups"] = groups

@@ -228,6 +228,19 @@ class EngineSession:
         tname, query = mt.group(1), mt.group(2)
         path = self._table_path(tname)
         src = self.spark.sql(self._rewrite_time_travel(query))
+        if re.match(r"^\s*VALUES\b", query, re.I):
+            # A bare VALUES source plans with positional col1/col2/...
+            # names; map it positionally onto the target schema so the
+            # append schema check sees the table's own column names.
+            from receiptanalyzerpipeline_spark.sources import snapshots as snap
+
+            cols = snap.read_snapshot(self.spark, path).columns
+            if len(src.columns) != len(cols):
+                raise ValueError(
+                    f"INSERT INTO {tname} VALUES arity {len(src.columns)} "
+                    f"!= table arity {len(cols)}"
+                )
+            src = src.toDF(*cols)
         self._preflight(src, name)
         return self._commit_result(tname, write_snapshot(src, path, mode="append"))
 

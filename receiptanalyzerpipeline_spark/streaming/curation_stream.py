@@ -58,6 +58,17 @@ def _bb(n_buckets: int):
     return F.pmod(F.xxhash64("band", "vals"), F.lit(n_buckets)).cast("int")
 
 
+def _stamped_bucket_fps(path: str) -> int | None:
+    """The bucket modulus this state table was written under, or None if
+    the table doesn't exist / predates stamping. Newest stamp wins (all
+    commits carry the same value once a sink is constructed)."""
+    for v in reversed(snap.versions(path)):
+        n = snap._read_manifest(path, v).get("bucket_fps")
+        if n is not None:
+            return int(n)
+    return None
+
+
 def _curate_batch(
     batch_df: DataFrame,
     prior_fps_fn,
@@ -148,10 +159,26 @@ def curation_sink(
     import os
     from pathlib import Path
 
-    snapshot_commit = snap.snapshot_sink(
-        snapshot_path, cluster_by=["_fpb"] if bucket_fps else None
-    )
     buckets_path, sigs_path = f"{snapshot_path}_lshb", f"{snapshot_path}_lshs"
+    # Fail fast on a bucket-modulus change (ADVICE r6): file zone maps
+    # were written under the stamped N — probing them with bucket ids
+    # computed under a different modulus silently prunes files that hold
+    # matching fingerprints (duplicates readmitted, near-dups missed).
+    for p in (snapshot_path, buckets_path):
+        stamped = _stamped_bucket_fps(p)
+        if stamped is not None and stamped != (bucket_fps or 0):
+            raise ValueError(
+                f"bucket_fps={bucket_fps or 0} does not match the modulus "
+                f"{stamped} stamped into {p}'s manifests; restarting the "
+                "stream with a different N would mis-prune the bucketed "
+                "state probe. Rebuild the state tables or reuse the "
+                "stamped value."
+            )
+    snapshot_commit = snap.snapshot_sink(
+        snapshot_path,
+        cluster_by=["_fpb"] if bucket_fps else None,
+        manifest_extra={"bucket_fps": bucket_fps or 0},
+    )
 
     def _bucketed(df: DataFrame, col: str) -> DataFrame:
         """Range-partition + sort a state batch by its bucket column so
@@ -266,7 +293,7 @@ def curation_sink(
         )
         if not snap.batch_committed(buckets_path, batch_id):
             state_b = _band_buckets(sigs, nd_n_hashes, nd_rows_per_band)
-            extra: dict = {"batch_id": batch_id}
+            extra: dict = {"batch_id": batch_id, "bucket_fps": bucket_fps or 0}
             kw: dict = {}
             if bucket_fps:
                 state_b = _bucketed(

@@ -82,7 +82,11 @@ def main() -> None:
         fit_centroids,
         ivf_topk,
     )
-    from receiptanalyzerpipeline_spark.operators.pq import pq_fit_encode, pq_search_rerank
+    from receiptanalyzerpipeline_spark.operators.pq import (
+        calibrate_shortlist,
+        pq_fit_encode,
+        pq_search_rerank,
+    )
     from receiptanalyzerpipeline_spark.operators.similarity import (
         brute_force_topk,
         lsh_bucketed_topk,
@@ -151,16 +155,22 @@ def main() -> None:
         pq_probes = probes.select(
             "q_id", F.expr(unit.format(c="q_emb")).alias("qv")
         )
-        shortlist = max(64, 4 * args.k)
-        t0 = time.time()
         codebooks, codes = pq_fit_encode(pq_emb, dims=dim, m=8, ks=16)
+        # Shortlist DERIVED, not fixed (VERDICT r6 task 6): fixed 64
+        # decayed 0.915 → 0.735 recall at 200 k vectors.
+        shortlist, cal = calibrate_shortlist(
+            pq_emb, codebooks, codes, dims=dim, m=8,
+            recall_target=0.9, k=args.k, sample_probes=12,
+        )
+        t0 = time.time()
         got = pq_search_rerank(
             pq_probes, codebooks, codes, pq_emb, dims=dim, m=8,
             shortlist=shortlist, top_k=args.k + 1,  # rerank includes self
         ).where("q_id != vec_id").collect()
         print(json.dumps({
             "scale": scale, "n": n, "method": "pq",
-            "params": {"m": 8, "ks": 16, "shortlist": shortlist},
+            "params": {"m": 8, "ks": 16, "shortlist": shortlist,
+                       "calibration_recall": round(cal, 3)},
             "recall@k": round(recall_at_k(got, truth, args.k), 4),
             "search_s": round(time.time() - t0, 2),
         }), flush=True)

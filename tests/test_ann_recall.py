@@ -108,3 +108,56 @@ def test_calibrate_nprobe_meets_target_and_is_minimal(spark):
             ).collect()
         }
         assert len(got & truth) / len(truth) < 0.9
+
+
+def test_calibrate_shortlist_meets_target_and_is_minimal(spark):
+    """VERDICT r6 task 6: PQ's rerank shortlist is DERIVED like nprobe —
+    the smallest doubling that clears the recall bar against exact L2 on
+    a bounded probe sample."""
+    from pyspark.sql import functions as F
+
+    from receiptanalyzerpipeline_spark.operators.pq import (
+        calibrate_shortlist,
+        pq_fit_encode,
+        pq_search_rerank,
+    )
+
+    corpus = _corpus(spark, n=400, planted_pairs=0)
+    emb = corpus.select("vec_id", F.col("embedding").alias("v"))
+    codebooks, codes = pq_fit_encode(emb, dims=64, m=8, ks=16)
+    shortlist, recall = calibrate_shortlist(
+        emb, codebooks, codes, dims=64, m=8,
+        recall_target=0.9, k=10, sample_probes=12,
+    )
+    assert recall >= 0.9
+    assert 10 <= shortlist <= 4096
+    if shortlist > 16:  # minimality: half the shortlist missed the target
+        probes = (
+            emb.selectExpr("vec_id AS q_id", "v AS qv").orderBy("q_id").limit(12)
+        )
+        d2 = F.aggregate(
+            F.zip_with(F.col("qv"), F.col("v"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        from pyspark.sql.window import Window
+
+        rk = Window.partitionBy("q_id").orderBy("d", "vec_id")
+        truth = {
+            (r["q_id"], r["vec_id"])
+            for r in emb.join(
+                F.broadcast(probes), F.col("vec_id") != F.col("q_id")
+            )
+            .select("q_id", "vec_id", d2.alias("d"))
+            .withColumn("rank", F.row_number().over(rk))
+            .where(F.col("rank") <= 10)
+            .collect()
+        }
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in pq_search_rerank(
+                probes, codebooks, codes, emb, dims=64, m=8,
+                shortlist=shortlist // 2, top_k=10,
+            ).collect()
+        }
+        assert len(got & truth) / len(truth) < 0.9

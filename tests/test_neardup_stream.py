@@ -175,8 +175,8 @@ def test_neardup_crash_between_lsh_and_fingerprint_commit(spark, tmp_path, monke
     real_sink = snap.snapshot_sink
     crashed = {"done": False}
 
-    def crashing_sink(path):
-        inner = real_sink(path)
+    def crashing_sink(path, **kw):
+        inner = real_sink(path, **kw)
 
         def commit(df, bid):
             if bid == 1 and not crashed["done"]:
@@ -267,8 +267,8 @@ def test_neardup_crash_matrix_converges_to_no_crash_state(
             counter["n"] += 1
             return real_ws(df, path, **kw)
 
-        def crashing_sink_factory(path):
-            inner = real_sink(path)
+        def crashing_sink_factory(path, **kw):
+            inner = real_sink(path, **kw)
 
             def commit(df, bid):
                 if bid == crash_batch and counter["n"] == crash_commit:

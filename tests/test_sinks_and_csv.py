@@ -733,6 +733,39 @@ def test_legacy_table_replay_is_recognized(spark, tmp_path):
     assert batch_committed(path, 2) and not batch_committed(path, 3)
 
 
+def test_expired_table_does_not_reenter_legacy_mode(spark, tmp_path):
+    """ADVICE r6 (medium): after expire_snapshots moves every stamped
+    batch id into the _batches.json ledger, a table whose LIVE manifests
+    are all unstamped appends must not match the legacy shape — a new
+    batch id colliding with a live version number would be silently
+    treated as committed (dropped batch)."""
+    from receiptanalyzerpipeline_spark.sources.snapshots import (
+        batch_committed,
+        expire_snapshots,
+        read_snapshot,
+        snapshot_sink,
+        versions,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    sink = snapshot_sink(path)
+    sink(spark.range(5).toDF("id"), 0)  # stamped batch 0 → version 0
+    sink(spark.range(5, 10).toDF("id"), 1)  # stamped batch 1 → version 1
+    write_snapshot(spark.range(10, 12).toDF("id"), path, mode="append")  # v2
+    write_snapshot(spark.range(12, 14).toDF("id"), path, mode="append")  # v3
+    assert expire_snapshots(path, keep_last=2, orphan_grace_s=0.0) == [0, 1]
+    assert versions(path) == [2, 3]  # live manifests: unstamped appends only
+
+    # Expired-but-ledgered batches stay committed; a NEW batch whose id
+    # collides with a live version number must NOT read as committed.
+    assert batch_committed(path, 0) and batch_committed(path, 1)
+    assert not batch_committed(path, 2)
+    sink(spark.range(14, 20).toDF("id"), 2)
+    assert batch_committed(path, 2)
+    assert read_snapshot(spark, path).count() == 20  # batch 2 not dropped
+
+
 def test_compaction_interleaves_safely_with_streaming_sink(spark, tmp_path):
     """The hazard the batch-id-tagged manifests close: a compaction takes
     the next version number mid-stream, and the NEXT micro-batch (whose id

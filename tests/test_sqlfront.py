@@ -244,3 +244,25 @@ def test_sql_write_verbs_preflight_blocks_hazardous_source(spark, tmp_path):
     import os
 
     assert not os.path.exists(str(tmp_path / "tables" / "bad"))
+
+
+def test_sql_insert_values_positional(spark, tmp_path):
+    """ADVICE r6 (low): INSERT INTO t VALUES ... — a bare VALUES source
+    plans with col1/col2 column names; the front door maps it
+    positionally onto the target schema before the append schema check."""
+    import pytest
+
+    eng = EngineSession(spark, table_root=str(tmp_path / "tables"))
+    eng.sql("CREATE TABLE t AS SELECT id AS k, CAST(id * 10 AS LONG) AS v FROM range(3)")
+    r = eng.sql(
+        "INSERT INTO t VALUES (CAST(100 AS LONG), CAST(7 AS LONG)), "
+        "(CAST(101 AS LONG), CAST(8 AS LONG))"
+    ).collect()
+    assert r[0]["version"] == 1
+    got = {
+        (row["k"], row["v"])
+        for row in eng.sql("SELECT k, v FROM t WHERE k >= 100").collect()
+    }
+    assert got == {(100, 7), (101, 8)}
+    with pytest.raises(ValueError, match="arity"):
+        eng.sql("INSERT INTO t VALUES (CAST(1 AS LONG))")

@@ -286,3 +286,34 @@ def test_bucketed_near_dedup_state_prunes(spark, tmp_path: Path):
     total = snap.manifest_file_count(m)
     pruned = snap.read_snapshot_in(spark, lshb, "_bb", {0, 1})
     assert len(pruned.inputFiles()) < total
+
+
+def test_bucket_fps_modulus_change_fails_fast(spark, tmp_path: Path):
+    """ADVICE r6: the bucket modulus is stamped into the state tables'
+    manifests; constructing a sink with a different N (whose probes
+    would compute bucket ids the file zone maps weren't written under)
+    must raise at construction, not silently mis-prune."""
+    import pytest
+
+    snapshot = str(tmp_path / "state")
+    shards = str(tmp_path / "shards")
+    sink = curation_sink(snapshot, shards, near_dedup=True, bucket_fps=64)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    sink(df, 0)
+    m = snap._read_manifest(snapshot, snap.current_version(snapshot))
+    assert m.get("bucket_fps") == 64
+
+    with pytest.raises(ValueError, match="bucket_fps"):
+        curation_sink(snapshot, shards, near_dedup=True, bucket_fps=32)
+    with pytest.raises(ValueError, match="bucket_fps"):
+        curation_sink(snapshot, shards, near_dedup=True)  # N → unbucketed
+    # Same N reconstructs fine and keeps committing.
+    sink2 = curation_sink(snapshot, shards, near_dedup=True, bucket_fps=64)
+    sink2(
+        spark.createDataFrame([(3, "iota kappa lambda mu")], "doc_id long, text string"),
+        1,
+    )
+    assert snap.batch_committed(snapshot, 1)
