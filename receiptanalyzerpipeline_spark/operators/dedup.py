@@ -71,42 +71,146 @@ def shingle_index(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
     ).where(F.col("shingle").isNotNull())
 
 
+def _collapse_reps(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-duplicate collapse: one REPRESENTATIVE (min id) per distinct
+    text, plus the rep → member mapping.
+
+    The production near-dup shape is exact-dedup FIRST: Jaccard (and any
+    text hash) depends only on the text, so pair discovery over the
+    distinct texts plus a mechanical expansion is result-identical to
+    discovery over the raw corpus — while candidate mass scales with
+    DISTINCT content, not duplication. On the round-6 sf1 replica
+    (50 k docs, 4 992 distinct texts) this is the difference between a
+    49 M-row candidate join that OOMs a 1 GB heap and an sf0.1-sized
+    problem; at 100 TB, where crawl corpora are majority exact-dup, it
+    is the only sane order of operations."""
+    fp = F.md5(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("_mid"), F.col(text_col).alias("_mtext"), fp.alias("_fp")
+    )
+    w = Window.partitionBy("_fp")
+    tagged = base.withColumn("_rep", F.min("_mid").over(w))
+    members = tagged.select(F.col("_rep").alias("_rid"), F.col("_mid").alias("_mem"))
+    reps = tagged.where(F.col("_mid") == F.col("_rep")).select(
+        F.col("_mid").alias("doc_id"), F.col("_mtext").alias("_text")
+    )
+    return reps, members
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame, members: DataFrame, nonempty_reps: DataFrame
+) -> DataFrame:
+    """Expand representative-level (id_a, id_b, jaccard) pairs back to
+    member-level pairs. Inter-group: every cross product of the two
+    groups' members carries the reps' jaccard (identical texts ⇒
+    identical shingle sets ⇒ identical value). Intra-group: identical
+    non-empty texts have jaccard n/(n+n−n) = 1.0 EXACTLY (same double
+    the exhaustive oracle computes); empty-shingle groups emit nothing,
+    matching the inverted-index semantics (no shared shingle ⇒ absent).
+    The two sets are disjoint (different vs identical md5), so the union
+    introduces no duplicates."""
+    ma = members.select(F.col("_rid").alias("id_a"), F.col("_mem").alias("_ma"))
+    mb = members.select(F.col("_rid").alias("id_b"), F.col("_mem").alias("_mb"))
+    inter = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    g = members.join(
+        nonempty_reps, members["_rid"] == nonempty_reps["_nid"]
+    ).select("_rid", "_mem")
+    intra = (
+        g.select(F.col("_rid").alias("_r"), F.col("_mem").alias("id_a"))
+        .join(g.select(F.col("_rid").alias("_r"), F.col("_mem").alias("id_b")), "_r")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+    return inter.unionByName(intra)
+
+
 def jaccard_pairs(
     docs: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact n-gram Jaccard ≥ threshold via the inverted-index self-join.
+    """Exact n-gram Jaccard ≥ threshold via the LOSSLESS rarest-prefix
+    inverted-index join (the SSJoin/PPJoin prefix-filtering principle —
+    the Jaccard sibling of q_er2's edit-distance q-gram prefix filter).
 
-    Shuffle key is the shingle, so cost scales with co-occurrence, not n².
-    (At 100 TB you put minhash_lsh_candidates in front; this is also the
-    verify stage for those candidates.)
+    Round-6's plain shingle self-join shuffled Σ_shingle cnt² rows into
+    the pair aggregation — on a clone-dense corpus that intermediate is
+    quadratic in duplication and killed a 1 GB heap at sf1 in 80 s (the
+    q_d2 OOM). Prefix filtering bounds it: order all shingles globally
+    by (corpus frequency, shingle), and index each doc by only its first
+    |x| − ⌈t·|x|⌉ + 1 shingles in that order. Any pair with
+    Jaccard ≥ t shares ≥ ⌈t·|x|⌉ elements (|A∩B| ≥ t·|A∪B| ≥ t·|x| for
+    BOTH sides), and two sorted sets whose prefixes are disjoint can
+    share at most (prefix-complement) = ⌈t·|x|⌉ − 1 elements — so every
+    qualifying pair collides on a prefix shingle and the filter drops
+    nothing (the ε in the ceil keeps the prefix CONSERVATIVE when t·|x|
+    lands on an exact float integer). Rare-first ordering keeps prefix
+    buckets small: corpus-common shingles rank last and rarely enter
+    any prefix, so candidate mass tracks true-match density.
+
+    The verify is exact and one-row-per-candidate: each side's distinct
+    shingle set rides along as an array, intersection via
+    array_intersect — identical integers into the identical double
+    division as the exhaustive oracle.
+
+    Every join side here is corpus-proportional, so the strategy must
+    be size-independent: Spark's post-shuffle size ESTIMATES can fall
+    under autoBroadcastJoinThreshold while the true built size is far
+    larger, and on a default 1 GB driver (the gate's shape) the
+    broadcast build OOMs — caught by the sf1 sweep. merge = SMJ.
+
+    Pair discovery runs over exact-duplicate REPRESENTATIVES and expands
+    back to members (``_collapse_reps``) — result-identical, and
+    candidate mass scales with distinct content, not duplication.
     """
-    # Every join side here is corpus-proportional, so the strategy must
-    # be size-independent: Spark's post-shuffle size ESTIMATES can fall
-    # under autoBroadcastJoinThreshold while the true built size is far
-    # larger, and on a default 1 GB driver (the gate's shape) the
-    # broadcast build OOMs — caught by the sf1 sweep. merge = SMJ.
-    idx = shingle_index(docs, id_col, text_col, k).hint("merge")
-    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_shingles")).hint("merge")
-    a, b = idx.alias("a"), idx.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+    reps, members = _collapse_reps(docs, id_col, text_col)
+    sh = F.filter(word_shingles(F.col("_text"), k), lambda x: x.isNotNull())
+    arrs = reps.select("doc_id", sh.alias("sh")).hint("merge")
+    idx = arrs.select("doc_id", F.explode("sh").alias("shingle"))
+    freq = idx.groupBy("shingle").agg(F.count("*").alias("cnt")).hint("merge")
+    pref = (
+        idx.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("cnt", "shingle"))).alias("r"))
         .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-            ).alias("jaccard"),
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"slice(r, 1, size(r) - ceil({threshold} * size(r) - 1e-9) + 1)"
+                )
+            ).alias("p"),
         )
+        .select("doc_id", F.col("p.shingle").alias("shingle"))
+    )
+    a = pref.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = pref.select(F.col("doc_id").alias("id_b"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = arrs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = arrs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jaccard = n_inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_inter)
+    rep_pairs = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jaccard.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+    nonempty = arrs.where(F.size("sh") > 0).select(F.col("doc_id").alias("_nid"))
+    return _expand_rep_pairs(rep_pairs, members, nonempty).where(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -177,39 +281,48 @@ def minhash_lsh_jaccard_pairs(
     """LSH-pruned near-dup pairs with *exact* Jaccard on the candidates.
 
     The scale path: signatures are map-side, candidates join on band
-    buckets, and the expensive shingle-intersection join runs only on the
-    candidate set."""
+    buckets, and the exact verify touches ONE ROW PER CANDIDATE PAIR:
+    each side's distinct shingle set rides along as an array and the
+    intersection is a per-row ``array_intersect`` — no exploded
+    per-shingle join. (The round-6 shape joined candidates against the
+    exploded shingle index twice, materializing |candidates| × |doc
+    shingles| intermediate rows — ~60 M at sf1, the dominant exchange in
+    the 343 s sf1-sweep wall. Arrays cut the verify's shuffle volume by
+    the shingle count per doc; Jaccard values are bit-identical — same
+    integer intersection/union fed to the same double division.)
+
+    Size-independent strategies for corpus-proportional sides (see
+    jaccard_pairs): a mis-estimated auto-broadcast of the shingle side
+    OOMs a default driver at sf1 — sf1-sweep finding, round 6.
+
+    Like ``jaccard_pairs``, discovery runs over exact-duplicate
+    REPRESENTATIVES and expands back (``_collapse_reps``): identical
+    texts have identical signatures, so every band of every clone pair
+    collides — the expansion reproduces exactly the pairs the raw-corpus
+    LSH would have generated and verified, at distinct-content cost."""
+    reps, members = _collapse_reps(docs, id_col, text_col)
     cands = minhash_lsh_candidates(
-        minhash_signatures(docs, id_col, text_col, k, n_hashes), n_hashes, rows_per_band
+        minhash_signatures(reps, "doc_id", "_text", k, n_hashes), n_hashes, rows_per_band
     )
-    # Size-independent strategies for corpus-proportional sides (see
-    # jaccard_pairs): a mis-estimated auto-broadcast of the shingle index
-    # OOMs a default driver at sf1 — sf1-sweep finding, round 6.
-    idx = shingle_index(docs, id_col, text_col, k).hint("merge")
-    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_shingles")).hint("merge")
-    inter = (
-        cands.join(idx.alias("ia"), F.col("id_a") == F.col("ia.doc_id"))
-        .join(
-            idx.alias("ib"),
-            (F.col("id_b") == F.col("ib.doc_id")) & (F.col("ia.shingle") == F.col("ib.shingle")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    sh = F.filter(
+        word_shingles(F.col("_text"), k), lambda x: x.isNotNull()
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
+    arrs = reps.select("doc_id", sh.alias("sh")).hint("merge")
+    sa = arrs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = arrs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jaccard = n_inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - n_inter
+    )
+    rep_pairs = (
+        cands.join(sa, "id_a")
         .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-            ).alias("jaccard"),
-        )
+        .select("id_a", "id_b", jaccard.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+    nonempty = arrs.where(F.size("sh") > 0).select(F.col("doc_id").alias("_nid"))
+    return _expand_rep_pairs(rep_pairs, members, nonempty).where(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -245,10 +358,24 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
     Pigeonhole: ≤3 differing bits over 4 bands ⇒ at least one band is
     bit-identical, so the band-equality join has perfect recall while
-    keeping the shuffle key a 15-bit integer."""
+    keeping the shuffle key a 15-bit integer.
+
+    The banded self-join runs over DISTINCT signatures (one
+    representative per simhash value, min doc_id) and expands back:
+    15-bit band keys give only 32 768 buckets, so raw band collisions
+    grow quadratically in corpus size — ~150 M rows at 50 k docs (the
+    q_d4 sf1 OOM) — while distinct-signature collisions track content
+    diversity. Identical signatures are Hamming 0 by definition, so the
+    intra-group expansion is exact, and inter-group pairs carry their
+    reps' XOR popcount unchanged — the output set is identical to the
+    raw-corpus join's."""
     n_bands = 4
     band_bits = HASH_BITS // n_bands  # 15
-    bands = sigs.select(
+    w = Window.partitionBy("simhash")
+    tagged = sigs.withColumn("_rep", F.min("doc_id").over(w))
+    members = tagged.select(F.col("_rep").alias("_rid"), F.col("doc_id").alias("_mem"))
+    reps = tagged.where(F.col("doc_id") == F.col("_rep")).select("doc_id", "simhash")
+    bands = reps.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -266,7 +393,7 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
         ).alias("bucket"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    return (
+    rep_pairs = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("id_a"),
@@ -276,6 +403,24 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+    ma = members.select(F.col("_rid").alias("id_a"), F.col("_mem").alias("_ma"))
+    mb = members.select(F.col("_rid").alias("id_b"), F.col("_mem").alias("_mb"))
+    inter = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        members.select(F.col("_rid").alias("_r"), F.col("_mem").alias("id_a"))
+        .join(members.select(F.col("_rid").alias("_r"), F.col("_mem").alias("id_b")), "_r")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).alias("hamming"))
+    )
+    return inter.unionByName(intra)
 
 
 def incremental_dedup_status(

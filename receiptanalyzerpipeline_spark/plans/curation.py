@@ -401,14 +401,68 @@ def _er1_plan(
             .select("key_a", "key_b", "name_a", "name_b")
         )
     else:
-        cands = B.prefix_filter_pairs(
-            part.withColumnRenamed("p_brand", "brand"),
-            "p_partkey",
-            "p_name",
-            q=3,
-            d=2,
-            block_keys=("brand",),
+        # Exact-duplicate collapse first (same move as dedup._collapse_reps):
+        # the pair-mass explosion on a clone-dense corpus is duplication²,
+        # and edit distance depends only on (brand, name) — so discovery
+        # runs over one representative per distinct (brand, name) and the
+        # pairs expand back mechanically. Intra-group pairs are edit 0
+        # (identical names, same brand — always under the threshold);
+        # inter-group pairs carry the reps' verified distance, with names
+        # swapped alongside keys when normalization reorders them.
+        from pyspark.sql.window import Window
+
+        base = part.select(
+            F.col("p_partkey").alias("key"),
+            F.col("p_name").alias("name"),
+            F.col("p_brand").alias("brand"),
         )
+        w = Window.partitionBy("brand", "name")
+        tagged = base.withColumn("rep", F.min("key").over(w))
+        members = tagged.select(
+            F.col("rep").alias("rid"), F.col("key").alias("mem")
+        )
+        reps = tagged.where(F.col("key") == F.col("rep")).select(
+            "key", "name", "brand"
+        )
+        rep_pairs = (
+            B.prefix_filter_pairs(
+                reps, "key", "name", q=3, d=2, block_keys=("brand",)
+            )
+            .withColumn(
+                "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
+            )
+            .where(F.col("edit_dist") <= 2)
+        )
+        ma = members.select(F.col("rid").alias("key_a"), F.col("mem").alias("_ma"))
+        mb = members.select(F.col("rid").alias("key_b"), F.col("mem").alias("_mb"))
+        swap = F.col("_ma") > F.col("_mb")
+        inter = (
+            rep_pairs.join(ma, "key_a")
+            .join(mb, "key_b")
+            .select(
+                F.least("_ma", "_mb").alias("key_a"),
+                F.greatest("_ma", "_mb").alias("key_b"),
+                F.when(swap, F.col("name_b")).otherwise(F.col("name_a")).alias("name_a"),
+                F.when(swap, F.col("name_a")).otherwise(F.col("name_b")).alias("name_b"),
+                "edit_dist",
+            )
+        )
+        g = members.join(
+            reps.select(F.col("key").alias("rid"), "name"), "rid"
+        )
+        intra = (
+            g.select("rid", "name", F.col("mem").alias("key_a"))
+            .join(g.select("rid", F.col("mem").alias("key_b")), "rid")
+            .where(F.col("key_a") < F.col("key_b"))
+            .select(
+                "key_a",
+                "key_b",
+                F.col("name").alias("name_a"),
+                F.col("name").alias("name_b"),
+                F.lit(0).cast("long").alias("edit_dist"),
+            )
+        )
+        return inter.unionByName(intra).orderBy("key_a", "key_b")
     return (
         cands.select(
             "key_a",

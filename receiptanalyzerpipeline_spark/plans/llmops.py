@@ -864,23 +864,65 @@ def q_d6(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "similarity", "embedding", "semdedup"),
 )
 def q_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The SemDeDup bucket self-join runs over DISTINCT vectors and the
+    # drop set expands back (the dedup._collapse_reps move): with only 16
+    # buckets, raw bucket collisions are quadratic in corpus size — the
+    # sf1 replica's 50 k vectors (4 992 distinct) would build ~78 M
+    # array-carrying rows. The member-level rule "x is dropped iff some
+    # y < x shares its bucket at cos >= 0.4" expands exactly: for a
+    # qualifying rep pair (ra < rb), members of rb's group above ra and
+    # members of ra's group above rb are dropped (min(group) < x ⟺ some
+    # member < x); within a group, everything above the min is dropped
+    # when the self-cosine qualifies (identical vectors — the guard only
+    # matters for degenerate zero vectors, where cos is NULL and the
+    # original join dropped nothing).
+    from pyspark.sql.window import Window as W
+
     emb = _emb(spark, sf_dir)
-    sigs = emb.select(
+    w = W.partitionBy("embedding")
+    tagged = emb.withColumn("_rep", F.min("vec_id").over(w))
+    members = tagged.select(
+        F.col("_rep").alias("_rid"), F.col("vec_id").alias("_mem")
+    )
+    reps = tagged.where(F.col("vec_id") == F.col("_rep")).select(
+        "vec_id", "embedding"
+    )
+    rsigs = reps.select(
         "vec_id", "embedding", S.lsh_bucket(F.col("embedding"), 4).cast("long").alias("bucket")
     )
-    a = sigs.select(
+    ra = rsigs.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), F.col("bucket")
     )
-    b = sigs.select(
+    rb = rsigs.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), F.col("bucket")
     )
-    dropped = (
-        a.join(b, "bucket")
+    qual = (
+        ra.join(rb, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .where(S.cosine(F.col("emb_a"), F.col("emb_b")) >= 0.4)
-        .select("id_b")
-        .distinct()
-        .withColumn("is_dropped", F.lit(True))
+        .select("id_a", "id_b")
+    )
+    rules = qual.select(
+        F.col("id_b").alias("_grp"), F.col("id_a").alias("_floor")
+    ).unionAll(
+        qual.select(F.col("id_a").alias("_grp"), F.col("id_b").alias("_floor"))
+    )
+    cross = (
+        members.join(rules, members["_rid"] == rules["_grp"])
+        .where(F.col("_mem") > F.col("_floor"))
+        .select(F.col("_mem").alias("id_b"))
+    )
+    self_ok = reps.where(
+        S.cosine(F.col("embedding"), F.col("embedding")) >= 0.4
+    ).select(F.col("vec_id").alias("_sid"))
+    intra = (
+        members.join(self_ok, members["_rid"] == self_ok["_sid"])
+        .where(F.col("_mem") > F.col("_rid"))
+        .select(F.col("_mem").alias("id_b"))
+    )
+    dropped = cross.unionAll(intra).distinct().withColumn("is_dropped", F.lit(True))
+    sigs = emb.select(
+        "vec_id", S.lsh_bucket(F.col("embedding"), 4).cast("long").alias("bucket")
     )
     return (
         sigs.join(dropped, sigs["vec_id"] == dropped["id_b"], "left")

@@ -451,6 +451,9 @@ _SUITES = [
             "(per-source targets -> md5-bucket keep bounds, exact sums)."
         ),
         tags=("curation", "sampling"),
+        # 7 shuffle-heavy members fused into one job spilled hard at sf1
+        # (369.6 s under the 1 GB envelope) — run them sequentially.
+        materialize=True,
     ),
     Suite(
         "q_x12_packing_suite",

@@ -107,14 +107,28 @@ def main() -> None:
     # onto 1-2 tasks — an artifact of the replica layout, not of any
     # plan. 16 MB splits restore scan parallelism without touching the
     # 1 GB heap constraint the sweep exists to test.
-    spark = (
-        SparkSession.builder.master(f"local[{args.cpus}]")
-        .appName("sf1-sweep")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "16m")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    def fresh_session():
+        # A query that kills the JVM (OOM → context shutdown) must not
+        # poison every later row with ConnectionRefused (the round-6
+        # sweep artifact problem): rebuild a clean driver-default session
+        # after any unhealthy run.
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            try:
+                active.stop()
+            except Exception:  # noqa: BLE001
+                pass
+        s = (
+            SparkSession.builder.master(f"local[{args.cpus}]")
+            .appName("sf1-sweep")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.files.maxPartitionBytes", "16m")
+            .getOrCreate()
+        )
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    spark = fresh_session()
 
     if not args.skip_build:
         t0 = time.time()
@@ -155,6 +169,11 @@ def main() -> None:
             row["spark_s"] = round(time.time() - t0, 2)
             results.append(row)
             print(json.dumps(row), flush=True)
+            try:  # health probe; rebuild the session if the JVM died
+                spark.range(1).count()
+            except Exception:  # noqa: BLE001
+                print("# session dead — rebuilding", file=sys.stderr, flush=True)
+                spark = fresh_session()
             continue
         sql = oracles.get(name)
         if sql is not None:

@@ -296,3 +296,16 @@ def test_temperature_mixture_flattens_skewed_sources(spark, tmp_path):
     assert abs(out["head"]["rate"] - 390.0 / 900.0) < 1e-9
     # md5-bucket sampling tracks the target rate closely at n=900
     assert abs(out["head"]["kept_frac"] - out["head"]["rate"]) < 0.05
+
+
+def test_er1_prefix_branch_matches_coarse_branch(spark):
+    """VERDICT r6 task 4: q_er1's occupancy routing must be result-
+    invariant — the lossless q-gram prefix branch (rep-collapsed) and
+    the coarse (brand, band) branch produce the identical pair set."""
+    from receiptanalyzerpipeline_spark.plans.curation import _er1_plan
+
+    sf = "/root/testdata/sf0.001"
+    coarse = {tuple(r) for r in _er1_plan(spark, sf, pairs_per_record_budget=1e18).collect()}
+    prefix = {tuple(r) for r in _er1_plan(spark, sf, pairs_per_record_budget=0.0).collect()}
+    assert len(coarse) > 0
+    assert prefix == coarse
