@@ -401,68 +401,18 @@ def _er1_plan(
             .select("key_a", "key_b", "name_a", "name_b")
         )
     else:
-        # Exact-duplicate collapse first (same move as dedup._collapse_reps):
-        # the pair-mass explosion on a clone-dense corpus is duplication²,
-        # and edit distance depends only on (brand, name) — so discovery
-        # runs over one representative per distinct (brand, name) and the
-        # pairs expand back mechanically. Intra-group pairs are edit 0
-        # (identical names, same brand — always under the threshold);
-        # inter-group pairs carry the reps' verified distance, with names
-        # swapped alongside keys when normalization reorders them.
-        from pyspark.sql.window import Window
-
-        base = part.select(
-            F.col("p_partkey").alias("key"),
-            F.col("p_name").alias("name"),
-            F.col("p_brand").alias("brand"),
-        )
-        w = Window.partitionBy("brand", "name")
-        tagged = base.withColumn("rep", F.min("key").over(w))
-        members = tagged.select(
-            F.col("rep").alias("rid"), F.col("key").alias("mem")
-        )
-        reps = tagged.where(F.col("key") == F.col("rep")).select(
-            "key", "name", "brand"
-        )
-        rep_pairs = (
-            B.prefix_filter_pairs(
-                reps, "key", "name", q=3, d=2, block_keys=("brand",)
-            )
-            .withColumn(
-                "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
-            )
-            .where(F.col("edit_dist") <= 2)
-        )
-        ma = members.select(F.col("rid").alias("key_a"), F.col("mem").alias("_ma"))
-        mb = members.select(F.col("rid").alias("key_b"), F.col("mem").alias("_mb"))
-        swap = F.col("_ma") > F.col("_mb")
-        inter = (
-            rep_pairs.join(ma, "key_a")
-            .join(mb, "key_b")
-            .select(
-                F.least("_ma", "_mb").alias("key_a"),
-                F.greatest("_ma", "_mb").alias("key_b"),
-                F.when(swap, F.col("name_b")).otherwise(F.col("name_a")).alias("name_a"),
-                F.when(swap, F.col("name_a")).otherwise(F.col("name_b")).alias("name_b"),
-                "edit_dist",
-            )
-        )
-        g = members.join(
-            reps.select(F.col("key").alias("rid"), "name"), "rid"
-        )
-        intra = (
-            g.select("rid", "name", F.col("mem").alias("key_a"))
-            .join(g.select("rid", F.col("mem").alias("key_b")), "rid")
-            .where(F.col("key_a") < F.col("key_b"))
-            .select(
-                "key_a",
-                "key_b",
-                F.col("name").alias("name_a"),
-                F.col("name").alias("name_b"),
-                F.lit(0).cast("long").alias("edit_dist"),
-            )
-        )
-        return inter.unionByName(intra).orderBy("key_a", "key_b")
+        # Lossless prefix-filter edit join with exact-duplicate collapse
+        # (blocking.prefix_filter_edit_join, the full derivation lives
+        # there): discovery and Levenshtein run once per distinct
+        # (brand, name); clone members expand back mechanically.
+        return B.prefix_filter_edit_join(
+            part.withColumnRenamed("p_brand", "brand"),
+            "p_partkey",
+            "p_name",
+            q=3,
+            d=2,
+            block_keys=("brand",),
+        ).orderBy("key_a", "key_b")
     return (
         cands.select(
             "key_a",
@@ -1139,23 +1089,23 @@ def q_x25(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q_er2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Candidate generation lives in operators/blocking.prefix_filter_pairs
-    # (factored out in round 7 so q_er1 can route through the same
-    # lossless filter when its coarse blocking explodes); with no block
-    # keys this is exactly the original q_er2 plan. Full derivation of
-    # the symmetric rarest-prefix theorem + the short-string catch-all
-    # bucket is in that function's docstring; the exhaustive oracle here
-    # proves losslessness end-to-end (tests/test_curation.py covers the
-    # short/empty-string edge cases vs the exhaustive join).
-    from receiptanalyzerpipeline_spark.operators.blocking import prefix_filter_pairs
+    # Candidate generation + verify live in operators/blocking.
+    # prefix_filter_edit_join (factored out in round 7, with the
+    # exact-duplicate collapse added after q_er2 itself ground at sf1 —
+    # clone groups square the gram-bucket mass AND multiply the
+    # Levenshtein count 100×). With no block keys this produces exactly
+    # the original q_er2 result; the exhaustive oracle proves the whole
+    # composition (prefix filter + collapse/expand) lossless end-to-end
+    # (tests/test_curation.py covers short/empty-string edge cases vs
+    # the exhaustive join).
+    from receiptanalyzerpipeline_spark.operators.blocking import (
+        prefix_filter_edit_join,
+    )
 
     parts = table(spark, sf_dir, "part")
-    return (
-        prefix_filter_pairs(parts, "p_partkey", "p_name", q=3, d=2)
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
-        .where(F.col("edit_dist") <= 2)
-        .orderBy("key_a", "key_b")
-    )
+    return prefix_filter_edit_join(
+        parts, "p_partkey", "p_name", q=3, d=2
+    ).orderBy("key_a", "key_b")
 
 
 # --- Fellegi–Sunter probabilistic record linkage (q_er3) ----------------
