@@ -391,7 +391,12 @@ def q_j2(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_j3(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    # merge hint: the probe side is the FACT table — Spark's column-pruned
+    # size estimate can fall under autoBroadcastJoinThreshold and build a
+    # corpus-proportional broadcast on the driver (1.5 M keys at sf1 blew
+    # a loaded 1 GB driver in the sweep). Anti/semi joins against facts
+    # shuffle; the repo-wide size-independence rule (see jaccard_pairs).
+    o = table(spark, sf_dir, "orders").hint("merge")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -412,7 +417,9 @@ def q_j3(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_j4(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
-    li = table(spark, sf_dir, "lineitem")
+    # merge hint: same broadcast-build hazard as q_j3 (lineitem is the
+    # biggest fact — 6 M rows at sf1); semi joins shuffle on the key.
+    li = table(spark, sf_dir, "lineitem").hint("merge")
     return (
         s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")

@@ -96,6 +96,12 @@ def main() -> None:
     ap.add_argument("--start-after", default=None,
                     help="resume: skip query names up to and including this")
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--restart-every", type=int, default=10,
+                    help="recycle the Spark session every N queries: pinned "
+                         "localCheckpoint blocks and broadcast refs from "
+                         "earlier queries otherwise accumulate driver state, "
+                         "and the envelope is per-QUERY (a fresh driver-"
+                         "default session), not per-marathon")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -146,6 +152,7 @@ def main() -> None:
     con_big = O.duckdb_connect(args.dst)
     results = []
     started = args.start_after is None
+    ran = 0
     for name in sorted(queries):
         if args.only is not None and name not in args.only:
             continue
@@ -153,6 +160,10 @@ def main() -> None:
             if name == args.start_after:
                 started = True
             continue
+        if args.restart_every and ran and ran % args.restart_every == 0:
+            print("# recycling session", file=sys.stderr, flush=True)
+            spark = fresh_session()
+        ran += 1
         print(f"# running {name}", file=sys.stderr, flush=True)
         row: dict = {"name": name}
         t0 = time.time()
