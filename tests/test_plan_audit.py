@@ -28,7 +28,10 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("q_n1_text_profile", "broadcast_nested_loop"): "1-row corpus-total cross for tf-idf normalization",
     ("q_n2_embedding_topk", "broadcast_nested_loop"): "8 probe vectors broadcast against the corpus (brute-force baseline)",
     ("q_n3_distinctive_terms", "broadcast_nested_loop"): "1-row totals cross; df side aggregates to vocabulary",
-    ("q_x10_selection_suite", "broadcast_nested_loop"): "per-source mixture weights (k sources) + 1-row totals",
+    # q_x10_selection_suite dropped off this list in round 7: with
+    # Suite(materialize=True) the suite plan is a union of temp-parquet
+    # scans, and the members' bounded nested loops live in the member
+    # plans (q_x18 et al. below), which the audit still covers directly.
     ("q_x18_dsir_importance", "broadcast_nested_loop"): "1-row feature-total cross (128-bucket tables broadcast-hash)",
     ("q_x22_kmeans_portable", "broadcast_nested_loop"): "k centroid rows broadcast per iteration",
     ("q_x22_portable_ml", "broadcast_nested_loop"): "k centroid rows broadcast per iteration (suite = kmeans + ivf + pq + bpe parts)",
