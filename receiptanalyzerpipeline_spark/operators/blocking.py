@@ -249,6 +249,17 @@ def prefix_filter_edit_join(
         F.col(name_col).alias("_name"),
         *[F.col(k) for k in block_keys],
     )
+    # NULL names (or NULL block keys) can never appear in a verified
+    # pair — levenshtein(NULL, ·) is NULL and the candidate equi-join
+    # drops NULL keys — but Window.partitionBy groups NULLs together,
+    # so without this filter two NULL-name rows would form a rep group
+    # and emit an unverified edit_dist=0 pair (ADVICE r7). Drop them up
+    # front so the collapsed path stays result-identical to the direct
+    # verify for arbitrary nullable inputs.
+    null_guard = F.col("_name").isNotNull()
+    for k in block_keys:
+        null_guard = null_guard & F.col(k).isNotNull()
+    base = base.where(null_guard)
     w = Window.partitionBy(*block_keys, "_name")
     tagged = base.withColumn("_rep", F.min("_key").over(w))
     members = tagged.select(F.col("_rep").alias("_rid"), F.col("_key").alias("_mem"))

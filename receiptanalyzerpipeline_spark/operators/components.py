@@ -28,9 +28,16 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Explicit override for where _IterStore writes per-round tables; must be
+# a path every executor AND the driver can read (HDFS/S3/NFS on a
+# cluster). Falls back to the SparkContext checkpoint dir, then — in
+# local mode only — a driver-local temp dir.
+ITER_STORE_DIR_CONF = "spark.receiptanalyzerpipeline.iterStoreDir"
 
 
 class _IterStore:
@@ -43,18 +50,65 @@ class _IterStore:
     Writing each round to a temp parquet table and reading it back keeps
     the lineage just as flat while holding ZERO heap between rounds:
     superseded rounds are plain directories, deleted the moment their
-    last consumer has run. On a cluster the same pattern lands on the
-    shuffle-local disks (spark.local.dir); only the FINAL small result
-    is pinned (one eager localCheckpoint) so the store can vanish."""
+    last consumer has run. Only the FINAL small result is pinned (one
+    eager localCheckpoint) so the store can vanish.
+
+    Store location (ADVICE r7): round tables must be visible to every
+    executor and the driver, so the root resolves in order to (1) the
+    ``spark.receiptanalyzerpipeline.iterStoreDir`` conf, (2) the
+    SparkContext checkpoint dir (``sc.setCheckpointDir`` — already
+    required to be cluster-visible by Spark's own ``checkpoint()``),
+    (3) a driver-local temp dir, which is ONLY correct in local mode —
+    on a cluster master without (1)/(2) the constructor raises instead
+    of silently losing executor-written partitions."""
 
     def __init__(self, spark: SparkSession, prefix: str):
         self.spark = spark
-        self.root = tempfile.mkdtemp(prefix=prefix)
         self._gen = 0
         self._paths: dict[int, str] = {}
+        root = spark.conf.get(ITER_STORE_DIR_CONF, None)
+        if not root:
+            try:
+                root = spark.sparkContext.getCheckpointDir()
+            except Exception:
+                root = None
+        if root:
+            self.root = root.rstrip("/") + f"/{prefix}{uuid.uuid4().hex}"
+            self._shared = True
+        else:
+            master = (spark.sparkContext.master or "").lower()
+            if not master.startswith("local"):
+                raise RuntimeError(
+                    "iterative operators need a cluster-visible scratch "
+                    f"dir on master {master!r}: set the "
+                    f"{ITER_STORE_DIR_CONF} conf or "
+                    "sparkContext.setCheckpointDir() to a path all "
+                    "executors can reach (a driver-local temp dir would "
+                    "lose executor-written partitions)"
+                )
+            self.root = tempfile.mkdtemp(prefix=prefix)
+            self._shared = False
+
+    def _rm(self, path: str) -> None:
+        if self._shared:
+            # Hadoop FS delete handles any scheme (hdfs://, s3a://,
+            # file://) the shared root may carry.
+            try:
+                jvm = self.spark._jvm
+                jpath = jvm.org.apache.hadoop.fs.Path(path)
+                fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+                fs.delete(jpath, True)
+            except Exception:
+                pass  # scratch cleanup is best-effort, like rmtree below
+        else:
+            shutil.rmtree(path, ignore_errors=True)
 
     def put(self, df: DataFrame) -> DataFrame:
-        path = os.path.join(self.root, f"t{self._gen}")
+        path = (
+            f"{self.root}/t{self._gen}"
+            if self._shared
+            else os.path.join(self.root, f"t{self._gen}")
+        )
         self._gen += 1
         df.write.mode("error").parquet(path)
         out = self.spark.read.parquet(path)
@@ -68,7 +122,7 @@ class _IterStore:
             return
         path = self._paths.pop(id(df), None)
         if path:
-            shutil.rmtree(path, ignore_errors=True)
+            self._rm(path)
 
     def finish(self, df: DataFrame, disk_only: bool = False) -> DataFrame:
         """Pin the final result and delete every file the iteration
@@ -76,22 +130,38 @@ class _IterStore:
         for results that are only small *relative to the corpus* (pair
         lists at a clone-dense sf1 are millions of rows; heap-pinning
         those in a 1 GB driver-default session is the q_d2 OOM)."""
-        if disk_only:
-            from pyspark import StorageLevel
+        from pyspark import StorageLevel
 
+        if disk_only:
             try:
                 out = df.localCheckpoint(
                     eager=True, storageLevel=StorageLevel.DISK_ONLY
                 )
             except TypeError:  # storageLevel arg needs Spark >= 4.0
-                out = df.localCheckpoint(eager=True)
+                # ADVICE r7: a heap-pinned localCheckpoint here would
+                # silently reintroduce the exact OOM class disk_only
+                # exists to avoid. persist(DISK_ONLY)+count holds zero
+                # heap; the lineage still references the store files we
+                # are about to delete, so a lost disk block fails
+                # loudly (FileNotFound) rather than recomputing — the
+                # same failure contract as lost checkpoint blocks.
+                import warnings
+
+                warnings.warn(
+                    "Spark < 4.0: localCheckpoint(storageLevel=...) "
+                    "unavailable; falling back to persist(DISK_ONLY)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                out = df.persist(StorageLevel.DISK_ONLY)
+                out.count()
         else:
             out = df.localCheckpoint(eager=True)
-        shutil.rmtree(self.root, ignore_errors=True)
+        self._rm(self.root)
         return out
 
     def close(self) -> None:
-        shutil.rmtree(self.root, ignore_errors=True)
+        self._rm(self.root)
 
 
 def connected_components(

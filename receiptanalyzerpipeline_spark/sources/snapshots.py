@@ -150,6 +150,26 @@ class CommitConflict(Exception):
     they commute, so the writer re-chains and retries internally."""
 
 
+def _apply_manifest_extra(m: dict, extra: dict | None) -> dict:
+    """Merge caller-supplied manifest metadata (``manifest_extra``) into
+    a fully-built protocol manifest, refusing to clobber commit-protocol
+    state (ADVICE r7): any key the protocol already wrote at this call
+    site — version/mode/files/groups/schema/batch_id/stats/... — is
+    reserved; a colliding key raises instead of silently corrupting
+    replay markers or file lists. Callers should namespace app metadata
+    (e.g. ``"app_owner"``) to stay clear of future protocol fields."""
+    if not extra:
+        return m
+    clash = sorted(set(extra) & set(m))
+    if clash:
+        raise ValueError(
+            f"manifest_extra keys {clash} collide with reserved manifest "
+            "fields written by the commit protocol; rename them"
+        )
+    m.update(extra)
+    return m
+
+
 def _write_manifest_exclusive(path: str, version: int, m: dict) -> None:
     """Atomic conditional-put of a manifest: the content is fully written
     to a temp file, then ``os.link`` publishes it iff version N is still
@@ -477,8 +497,7 @@ def write_snapshot(
         if groups:
             m["groups"] = groups
             del m["files"]  # tree mode: file lists live in the groups
-        if manifest_extra:
-            m.update(manifest_extra)
+        _apply_manifest_extra(m, manifest_extra)
         try:
             _write_manifest_exclusive(path, version, m)
             break
@@ -798,11 +817,11 @@ def snapshot_sink(
                 "files": files,
                 "schema": batch_df.schema.jsonValue(),
                 **fields,
-                **(manifest_extra or {}),
             }
             if groups:
                 m["groups"] = groups
                 del m["files"]
+            _apply_manifest_extra(m, manifest_extra)
             try:
                 _write_manifest_exclusive(path, version, m)
                 break
@@ -907,8 +926,7 @@ def _commit_manifest(
         m["groups"] = groups
         if not files:
             del m["files"]
-    if extra:
-        m.update(extra)
+    _apply_manifest_extra(m, extra)
     try:
         _write_manifest_exclusive(path, version, m)
     except FileExistsError:
@@ -1074,14 +1092,16 @@ def merge_upsert(
             path,
             carried_inline + new_files,
             "merge",
-            {
-                "merge_of": cur,
-                "rewrote_files": len(touched),
-                "carried_files": n_carried,
-                "schema": target_schema.jsonValue(),
-                **_propagate_stats(spark, m, carried_inline, new_files),
-                **(manifest_extra or {}),
-            },
+            _apply_manifest_extra(
+                {
+                    "merge_of": cur,
+                    "rewrote_files": len(touched),
+                    "carried_files": n_carried,
+                    "schema": target_schema.jsonValue(),
+                    **_propagate_stats(spark, m, carried_inline, new_files),
+                },
+                manifest_extra,
+            ),
         )
     # Tree manifest: groups whose probe found no touched file are carried
     # BY REFERENCE (a metadata move, never opened past the probe); only
@@ -1104,12 +1124,12 @@ def merge_upsert(
         "rewrote_files": len(touched),
         "carried_files": sum(g["n"] for g in carried_groups) + len(carried_inline),
         "schema": target_schema.jsonValue(),
-        **(manifest_extra or {}),
     }
     if m.get("constraints"):
         fields["constraints"] = m["constraints"]
     if scols:
         fields["cluster_by"] = scols
+    _apply_manifest_extra(fields, manifest_extra)
     return _commit_manifest(path, [], "merge", fields, groups=_coalesce_small_groups(path, groups))
 
 
