@@ -440,27 +440,37 @@ def incremental_dedup_status(
     Both probes are asymmetric joins: fingerprint left-join against the
     distinct corpus fingerprint set, and a batch-side × corpus-side
     shingle inverted-index join (shuffle key = shingle, never doc×doc).
-    At 100 TB the corpus-side fingerprint set and shingle index are
-    precomputed, stored, and bucketed by their join key, so each
-    incremental batch only shuffles ITS OWN rows into co-located
-    buckets; a bloom filter of batch shingles prunes the corpus-index
-    scan (session.py runtime bloom filters do this automatically once
-    the batch side is selective).
+    Round 8: status is a pure function of TEXT, so both sides collapse
+    to one representative per distinct text first (``_collapse_reps``)
+    and statuses expand back mechanically — the (bid, cid) intersection
+    mass then scales with distinct CONTENT on each side, not
+    duplication. On the 10×-clone sf1 replica the direct join was
+    ~100× the rep-level mass (measured 110 s for q_d9 alone under the
+    1 GB envelope); a real crawl corpus is majority exact-dup, so the
+    collapsed shape IS the 100 TB shape. At 100 TB the corpus-side
+    fingerprint set and rep shingle index are precomputed, stored, and
+    bucketed by their join key, so each incremental batch only shuffles
+    ITS OWN rows into co-located buckets; a bloom filter of batch
+    shingles prunes the corpus-index scan (session.py runtime bloom
+    filters do this automatically once the batch side is selective).
 
     Returns (id_col, status) — one row per batch document.
     """
     from receiptanalyzerpipeline_spark.operators.textanalysis import content_fingerprint
 
-    bfp = batch.select(
-        F.col(id_col), content_fingerprint(F.col(text_col)).alias("__fp")
+    breps, bmembers = _collapse_reps(batch, id_col, text_col)
+    creps, _cmembers = _collapse_reps(corpus, id_col, text_col)
+
+    bfp = breps.select(
+        "doc_id", content_fingerprint(F.col("_text")).alias("__fp")
     )
-    cfp = corpus.select(content_fingerprint(F.col(text_col)).alias("__fp")).distinct()
-    exact = bfp.join(cfp, "__fp", "left_semi").select(id_col).withColumn(
+    cfp = creps.select(content_fingerprint(F.col("_text")).alias("__fp")).distinct()
+    exact = bfp.join(cfp, "__fp", "left_semi").select("doc_id").withColumn(
         "__exact", F.lit(True)
     )
 
-    bidx = shingle_index(batch, id_col, text_col, k)
-    cidx = shingle_index(corpus, id_col, text_col, k)
+    bidx = shingle_index(breps, "doc_id", "_text", k)
+    cidx = shingle_index(creps, "doc_id", "_text", k)
     bsz = bidx.groupBy("doc_id").agg(F.count("*").alias("n_b"))
     csz = cidx.groupBy("doc_id").agg(F.count("*").alias("n_c"))
     inter = (
@@ -477,19 +487,25 @@ def incremental_dedup_status(
             / (F.col("n_b") + F.col("n_c") - F.col("n_inter"))
             >= threshold
         )
-        .select(F.col("bid").alias(id_col))
+        .select(F.col("bid").alias("doc_id"))
         .distinct()
         .withColumn("__near", F.lit(True))
     )
-    return (
-        batch.select(id_col)
-        .join(exact, id_col, "left")
-        .join(near, id_col, "left")
+    rep_status = (
+        breps.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
         .select(
-            id_col,
+            "doc_id",
             F.when(F.col("__exact"), "exact_dup")
             .when(F.col("__near"), "near_dup")
             .otherwise("new")
             .alias("status"),
         )
     )
+    # Identical texts classify identically: expand the rep's status to
+    # every member through the (rep, member) map — an equi-join that
+    # shuffles O(batch) small rows, never pairs.
+    return bmembers.join(
+        rep_status, bmembers["_rid"] == rep_status["doc_id"]
+    ).select(F.col("_mem").alias(id_col), "status")

@@ -102,7 +102,10 @@ def _spark_fn(suite: Suite):
                 dfs.append(store.put(part_df) if store else part_df)
             out = reduce(lambda a, b: a.unionByName(b), dfs)
             out = out.orderBy("part", *suite.order)
-            return store.finish(out, disk_only=True) if store else out
+            # detach, not finish: the per-part parquet tables already
+            # are the spillable materialization; re-pinning the union
+            # DISK_ONLY re-serialized 51.6M rows for 68 s at sf1 (r8).
+            return store.detach(out) if store else out
         finally:
             if store:
                 store.close()
