@@ -160,6 +160,83 @@ def compare(
     return res
 
 
+def compare_setwise(
+    name: str,
+    spark_df: DataFrame,
+    oracle_sql: str,
+    con: duckdb.DuckDBPyConnection,
+    work_dir: str,
+    memory_limit: str = "24GB",
+) -> CompareResult:
+    """Out-of-core exact multiset compare for outputs too large for the
+    pandas fetch path (the sf1 sweep's 50M-row pair lists).
+
+    Spark writes its result to parquet (distributed, never collected);
+    DuckDB materializes the oracle once into a spillable temp table and
+    computes the symmetric ``EXCEPT ALL`` difference — exact bag
+    semantics, NULL-safe (SQL set ops group NULLs together, matching
+    the pandas comparator), NaN-safe (DuckDB's total float order has
+    NaN = NaN). Column names and DuckDB-visible types must agree.
+    Strictness vs the pandas path: bitwise double equality is the same
+    bar (shortest-repr str() is bijective with the bits); the one
+    relaxation is -0.0 = 0.0 (SQL equality), which the repo's output
+    contract never produces.
+    """
+    import os as _os
+
+    out = _os.path.join(work_dir, f"{name}.spark.parquet")
+    spark_df.write.mode("overwrite").parquet(out)
+    con.execute(f"SET temp_directory='{work_dir}/duck_spill'")
+    con.execute(f"SET memory_limit='{memory_limit}'")
+    src = f"read_parquet('{out}/*.parquet')"
+    sdesc = con.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()
+    odesc = con.execute(f"DESCRIBE SELECT * FROM ({oracle_sql}) AS _o").fetchall()
+    stypes = {r[0]: r[1] for r in sdesc}
+    otypes = {r[0]: r[1] for r in odesc}
+
+    n_spark = con.execute(f"SELECT count(*) FROM {src}").fetchone()[0]
+    res = CompareResult(name, True, int(n_spark), -1)
+    if sorted(stypes) != sorted(otypes):
+        res.ok = False
+        res.mismatches.append(
+            f"columns differ: spark={sorted(stypes)} oracle={sorted(otypes)}"
+        )
+        return res
+    for c in sorted(stypes):
+        if stypes[c] != otypes[c]:
+            res.ok = False
+            res.mismatches.append(f"dtype[{c}]: spark={stypes[c]} oracle={otypes[c]}")
+    if not res.ok:
+        return res
+
+    cols = ", ".join(f'"{c}"' for c in sorted(stypes))
+    con.execute(f"CREATE OR REPLACE TEMP TABLE __oracle AS SELECT {cols} FROM ({oracle_sql}) AS _o")
+    try:
+        res.oracle_rows = int(
+            con.execute("SELECT count(*) FROM __oracle").fetchone()[0]
+        )
+        if res.oracle_rows != res.spark_rows:
+            res.ok = False
+            res.mismatches.append("row counts differ")
+        s_minus_o, o_minus_s = con.execute(
+            f"""
+            SELECT
+              (SELECT count(*) FROM
+                 (SELECT {cols} FROM {src} EXCEPT ALL SELECT {cols} FROM __oracle)),
+              (SELECT count(*) FROM
+                 (SELECT {cols} FROM __oracle EXCEPT ALL SELECT {cols} FROM {src}))
+            """
+        ).fetchone()
+        if s_minus_o or o_minus_s:
+            res.ok = False
+            res.mismatches.append(
+                f"multiset diff: spark-only={s_minus_o} oracle-only={o_minus_s}"
+            )
+    finally:
+        con.execute("DROP TABLE IF EXISTS __oracle")
+    return res
+
+
 def run_all(
     spark: SparkSession,
     sf_dir: str,

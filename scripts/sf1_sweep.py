@@ -8,9 +8,12 @@ run EVERY driver-registry query against the replica under a
 driver-default session (1 GB heap, local[8]) and record rows/wall/err.
 Where the DuckDB oracle is itself scalable (its sf0.1 wall is under
 --oracle-budget seconds), the oracle runs on the same replica and the
-result is hash-compared exactly like CORRECTNESS_r*.json; exhaustive
-oracles (the O(n²) q_er2 class) are recorded rows-only — at sf1 they
-are hours of DuckDB, and their algorithms are already oracle-checked at
+result is hash-compared exactly like CORRECTNESS_r*.json; outputs too
+large to collect through pandas get an exact out-of-core multiset
+compare instead (oracle.compare_setwise: Spark writes parquet, DuckDB
+takes the symmetric EXCEPT ALL diff with disk spill). Only exhaustive
+oracles (the O(n²) q_er2 class) stay rows-only — at sf1 they are hours
+of DuckDB, and their algorithms are already oracle-checked at
 sf0.01/0.1.
 
 Run:  python scripts/sf1_sweep.py [--out SF1_SWEEP.json]
@@ -87,9 +90,12 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/tmp/sf1")
     ap.add_argument("--out", default="SF1_SWEEP.json")
-    ap.add_argument("--oracle-budget", type=float, default=2.0,
+    ap.add_argument("--oracle-budget", type=float, default=10.0,
                     help="oracle runs at sf1 only if its sf0.1 wall is under this")
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--work-dir", default="/tmp/sf1_sweep_work",
+                    help="scratch for the setwise compare (spark result "
+                         "parquet + DuckDB spill)")
     ap.add_argument("--cpus", type=int, default=8,
                     help="local[N]; fewer cores = more heap per concurrent task "
                          "(the 1 GB heap is fixed — this is the memory-bounded knob)")
@@ -148,6 +154,7 @@ def main() -> None:
     queries = E.queries()
     oracles = E.oracle_sql()
 
+    os.makedirs(args.work_dir, exist_ok=True)
     con_small = O.duckdb_connect(args.src)
     con_big = O.duckdb_connect(args.dst)
     results = []
@@ -169,11 +176,22 @@ def main() -> None:
         t0 = time.time()
         try:
             df = queries[name](spark, args.dst)
-            # count(), not toPandas(): a clone-dense replica makes some
-            # pair outputs ×100, and collecting millions of rows into the
-            # 1 GB driver would fail the HARNESS, not the plan.
-            n_rows = df.count()
+            # Full materialization, not df.count(): under a bare count
+            # Catalyst column-prunes computed columns, so an expensive
+            # projection (q_d9's status subtree: 110 s of real work)
+            # times as free. Hashing EVERY column into one xor-folded
+            # checksum forces end-to-end execution while returning a
+            # single row — nothing is collected into the 1 GB driver
+            # (a clone-dense replica makes some pair outputs ×100).
+            from pyspark.sql import functions as F
+
+            n_rows, checksum = (
+                df.select(F.xxhash64(*df.columns).alias("__h"))
+                .agg(F.count(F.lit(1)), F.expr("bit_xor(__h)"))
+                .first()
+            )
             row["rows"] = int(n_rows)
+            row["xor_hash"] = int(checksum) if checksum is not None else None
             row["spark_s"] = round(time.time() - t0, 2)
         except Exception as e:  # noqa: BLE001
             row["err"] = f"{type(e).__name__}: {str(e)[:300]}"
@@ -194,9 +212,22 @@ def main() -> None:
                 small_wall = time.time() - t0
             except Exception:
                 small_wall = float("inf")
-            if n_rows > 3_000_000:
-                row["oracle"] = "rows-only (output too large for a 1 GB pandas compare)"
-            elif small_wall <= args.oracle_budget:
+            if small_wall > args.oracle_budget:
+                row["oracle"] = f"rows-only (sf0.1 oracle {small_wall:.1f}s > budget)"
+            elif n_rows > 3_000_000:
+                # Too large to collect through pandas — exact out-of-core
+                # multiset compare instead (Spark writes parquet, DuckDB
+                # takes the symmetric EXCEPT ALL diff with disk spill).
+                t0 = time.time()
+                try:
+                    r = O.compare_setwise(name, df, sql, con_big, args.work_dir)
+                    row["oracle"] = (
+                        "match (setwise)" if r.ok else f"MISMATCH: {r.mismatches[:2]}"
+                    )
+                except Exception as e:  # noqa: BLE001
+                    row["oracle"] = f"oracle_err: {type(e).__name__}: {str(e)[:200]}"
+                row["oracle_s"] = round(time.time() - t0, 2)
+            else:
                 t0 = time.time()
                 try:
                     r = O.compare(name, df, sql, con_big)
@@ -204,8 +235,6 @@ def main() -> None:
                 except Exception as e:  # noqa: BLE001
                     row["oracle"] = f"oracle_err: {type(e).__name__}: {str(e)[:200]}"
                 row["oracle_s"] = round(time.time() - t0, 2)
-            else:
-                row["oracle"] = f"rows-only (sf0.1 oracle {small_wall:.1f}s > budget)"
         results.append(row)
         print(json.dumps(row), flush=True)
 
@@ -216,6 +245,9 @@ def main() -> None:
         "n_queries": len(results),
         "errs": len(errs),
         "hash_checked": sum(1 for r in results if r.get("oracle") == "match"),
+        "setwise_checked": sum(
+            1 for r in results if r.get("oracle") == "match (setwise)"
+        ),
         "mismatches": len(mismatches),
         "rows_only": sum(1 for r in results if str(r.get("oracle", "")).startswith("rows-only")),
         "total_spark_s": round(sum(r.get("spark_s", 0) for r in results), 1),
