@@ -84,6 +84,25 @@ def test_iterstore_components_end_to_end_with_shared_root(spark, tmp_path):
         spark.conf.unset(ITER_STORE_DIR_CONF)
 
 
+def test_iterstore_detach_keeps_files_until_exit(spark):
+    """Round 8: materialized suites return plans that read the store's
+    part tables directly; close() must become a no-op after detach so
+    the builder's ``finally`` can't delete files the returned plan
+    still reads (cleanup moves to interpreter exit)."""
+    from receiptanalyzerpipeline_spark.operators.components import _IterStore
+
+    store = _IterStore(spark, "rap-detach-test-")
+    df = store.put(spark.range(10))
+    out = store.detach(df)
+    store.close()  # builder's finally fires — must be a no-op now
+    assert os.path.isdir(store.root)
+    assert out.count() == 10  # plan still reads the detached files
+    # Manual cleanup (atexit would otherwise handle it at exit).
+    store._detached = False
+    store.close()
+    assert not os.path.exists(store.root)
+
+
 def test_manifest_extra_reserved_key_collision_raises(spark, tmp_path):
     from receiptanalyzerpipeline_spark.sources import snapshots as snap
 
