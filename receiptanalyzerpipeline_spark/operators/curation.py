@@ -257,11 +257,16 @@ def remove_duplicated_spans(
     )
     from pyspark.sql.window import Window
 
+    # Cross-document test as min != max over the hash partition: one
+    # shuffle, O(1) window state — never a per-partition doc-id set
+    # (which a boilerplate hash shared corpus-wide would blow up).
     wd = e.withColumn(
-        "n_docs", F.size(F.collect_set("doc_id").over(Window.partitionBy("whash")))
+        "_dup",
+        F.min("doc_id").over(Window.partitionBy("whash"))
+        != F.max("doc_id").over(Window.partitionBy("whash")),
     )
     flagged = (
-        wd.where(F.col("n_docs") >= 2)
+        wd.where(F.col("_dup"))
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("flagged"))
     )

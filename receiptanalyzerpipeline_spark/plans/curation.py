@@ -625,10 +625,16 @@ def q_x17(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = C.window_hash_index(_docs(spark, sf_dir), "doc_id", "text", 8)
+    # "shared by >= 2 distinct docs" as min != max over the hash
+    # partition: same single shuffle as a collect_set, but O(1) state
+    # per partition — a boilerplate window hash shared by millions of
+    # documents at 100 TB would otherwise materialize the whole doc-id
+    # set in one executor's window buffer (round 8).
+    w = Window.partitionBy("whash")
     wd = e.withColumn(
-        "n_docs", F.size(F.collect_set("doc_id").over(Window.partitionBy("whash")))
+        "_dup", F.min("doc_id").over(w) != F.max("doc_id").over(w)
     )
-    dup = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).cast("long")
+    dup = F.sum(F.when(F.col("_dup"), 1).otherwise(0)).cast("long")
     return (
         wd.groupBy("doc_id")
         .agg(
