@@ -166,21 +166,26 @@ def compare_setwise(
     oracle_sql: str,
     con: duckdb.DuckDBPyConnection,
     work_dir: str,
-    memory_limit: str = "24GB",
+    memory_limit: str = "16GB",
+    temp_cap: str = "24GB",
 ) -> CompareResult:
     """Out-of-core exact multiset compare for outputs too large for the
     pandas fetch path (the sf1 sweep's 50M-row pair lists).
 
     Spark writes its result to parquet (distributed, never collected);
-    DuckDB materializes the oracle once into a spillable temp table and
-    computes the symmetric ``EXCEPT ALL`` difference — exact bag
-    semantics, NULL-safe (SQL set ops group NULLs together, matching
-    the pandas comparator), NaN-safe (DuckDB's total float order has
-    NaN = NaN). Column names and DuckDB-visible types must agree.
-    Strictness vs the pandas path: bitwise double equality is the same
-    bar (shortest-repr str() is bijective with the bits); the one
-    relaxation is -0.0 = 0.0 (SQL equality), which the repo's output
-    contract never produces.
+    DuckDB then streams BOTH sides — the parquet and the oracle query —
+    through the same order-independent digest: ``(count(*),
+    bit_xor(hash(cols)), sum(hash(cols)))``. One O(1)-memory aggregate
+    pass per side; no temp-table copy and no EXCEPT hash tables (a
+    first-cut EXCEPT ALL implementation spilled 67 GB on a 51M-row
+    suite — the digest replaces that with two streaming scans). Both
+    sides hash through DuckDB's own ``hash()`` on identically-typed
+    values, so equality means bitwise-equal multisets up to digest
+    collision; bit_xor and sum fail independently (xor catches a
+    flipped value, sum catches pair-cancelling duplicates), and the
+    pandas comparator remains the primary gate at sf0.01. The oracle's
+    own intermediates run under ``max_temp_directory_size`` so a
+    blow-up errors cleanly instead of filling the disk.
     """
     import os as _os
 
@@ -188,14 +193,14 @@ def compare_setwise(
     spark_df.write.mode("overwrite").parquet(out)
     con.execute(f"SET temp_directory='{work_dir}/duck_spill'")
     con.execute(f"SET memory_limit='{memory_limit}'")
+    con.execute(f"SET max_temp_directory_size='{temp_cap}'")
     src = f"read_parquet('{out}/*.parquet')"
     sdesc = con.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()
     odesc = con.execute(f"DESCRIBE SELECT * FROM ({oracle_sql}) AS _o").fetchall()
     stypes = {r[0]: r[1] for r in sdesc}
     otypes = {r[0]: r[1] for r in odesc}
 
-    n_spark = con.execute(f"SELECT count(*) FROM {src}").fetchone()[0]
-    res = CompareResult(name, True, int(n_spark), -1)
+    res = CompareResult(name, True, -1, -1)
     if sorted(stypes) != sorted(otypes):
         res.ok = False
         res.mismatches.append(
@@ -210,30 +215,37 @@ def compare_setwise(
         return res
 
     cols = ", ".join(f'"{c}"' for c in sorted(stypes))
-    con.execute(f"CREATE OR REPLACE TEMP TABLE __oracle AS SELECT {cols} FROM ({oracle_sql}) AS _o")
-    try:
-        res.oracle_rows = int(
-            con.execute("SELECT count(*) FROM __oracle").fetchone()[0]
+
+    def digest(rel: str, timeout_s: float | None = None) -> tuple:
+        # A clone-quadratic oracle can take hours at sf1; interrupt it
+        # at the cap so the sweep records a clean error and moves on.
+        import threading
+
+        timer = None
+        if timeout_s:
+            timer = threading.Timer(timeout_s, con.interrupt)
+            timer.start()
+        try:
+            return con.execute(
+                f"SELECT count(*), bit_xor(__h), sum(__h::HUGEINT) "
+                f"FROM (SELECT hash({cols}) AS __h FROM {rel})"
+            ).fetchone()
+        finally:
+            if timer is not None:
+                timer.cancel()
+
+    s_n, s_xor, s_sum = digest(src)
+    o_n, o_xor, o_sum = digest(f"({oracle_sql}) AS _o", timeout_s=900.0)
+    res.spark_rows, res.oracle_rows = int(s_n), int(o_n)
+    if s_n != o_n:
+        res.ok = False
+        res.mismatches.append("row counts differ")
+    if s_xor != o_xor or s_sum != o_sum:
+        res.ok = False
+        res.mismatches.append(
+            f"multiset digest differs: xor {s_xor} vs {o_xor}, "
+            f"sum {s_sum} vs {o_sum}"
         )
-        if res.oracle_rows != res.spark_rows:
-            res.ok = False
-            res.mismatches.append("row counts differ")
-        s_minus_o, o_minus_s = con.execute(
-            f"""
-            SELECT
-              (SELECT count(*) FROM
-                 (SELECT {cols} FROM {src} EXCEPT ALL SELECT {cols} FROM __oracle)),
-              (SELECT count(*) FROM
-                 (SELECT {cols} FROM __oracle EXCEPT ALL SELECT {cols} FROM {src}))
-            """
-        ).fetchone()
-        if s_minus_o or o_minus_s:
-            res.ok = False
-            res.mismatches.append(
-                f"multiset diff: spark-only={s_minus_o} oracle-only={o_minus_s}"
-            )
-    finally:
-        con.execute("DROP TABLE IF EXISTS __oracle")
     return res
 
 
