@@ -118,8 +118,14 @@ def prefix_filter_pairs(
         F.col("key").alias("key_b"), F.col("name").alias("name_b"),
         *block_keys, "gram",
     )
+    # Both sides are corpus-proportional gram indexes CARRYING NAME
+    # STRINGS — force SMJ so no heap ever builds a name-weighted
+    # HashedRelation from a mis-estimated size (round 8: four stacked
+    # broadcast builds OOMed the 1 GB sweep envelope at sf1 the moment
+    # honest materialization stopped pruning the name columns; at
+    # 100 TB this side is never broadcast-able).
     return (
-        a.join(b, ["gram", *block_keys])
+        a.join(b.hint("merge"), ["gram", *block_keys])
         .where(
             (F.col("key_a") < F.col("key_b"))
             & (F.abs(F.length("name_a") - F.length("name_b")) <= d)
@@ -271,12 +277,15 @@ def prefix_filter_edit_join(
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
         .where(F.col("edit_dist") <= d)
     )
+    # Expansion joins: the member map is corpus-sized (one row per input
+    # row) — merge-hint both sides so no broadcast build scales with the
+    # corpus (same 1 GB-envelope OOM class as the gram join above).
     ma = members.select(F.col("_rid").alias("key_a"), F.col("_mem").alias("_ma"))
     mb = members.select(F.col("_rid").alias("key_b"), F.col("_mem").alias("_mb"))
     swap = F.col("_ma") > F.col("_mb")
     inter = (
-        rep_pairs.join(ma, "key_a")
-        .join(mb, "key_b")
+        rep_pairs.join(ma.hint("merge"), "key_a")
+        .join(mb.hint("merge"), "key_b")
         .select(
             F.least("_ma", "_mb").alias("key_a"),
             F.greatest("_ma", "_mb").alias("key_b"),
@@ -285,10 +294,10 @@ def prefix_filter_edit_join(
             "edit_dist",
         )
     )
-    g = members.join(reps.select(F.col("key").alias("_rid"), "name"), "_rid")
+    g = members.join(reps.select(F.col("key").alias("_rid"), "name").hint("merge"), "_rid")
     intra = (
         g.select("_rid", "name", F.col("_mem").alias("key_a"))
-        .join(g.select("_rid", F.col("_mem").alias("key_b")), "_rid")
+        .join(g.select("_rid", F.col("_mem").alias("key_b")).hint("merge"), "_rid")
         .where(F.col("key_a") < F.col("key_b"))
         .select(
             "key_a",

@@ -167,7 +167,7 @@ def compare_setwise(
     con: duckdb.DuckDBPyConnection,
     work_dir: str,
     memory_limit: str = "16GB",
-    temp_cap: str = "24GB",
+    temp_cap: str = "48GB",
 ) -> CompareResult:
     """Out-of-core exact multiset compare for outputs too large for the
     pandas fetch path (the sf1 sweep's 50M-row pair lists).
@@ -191,7 +191,13 @@ def compare_setwise(
 
     out = _os.path.join(work_dir, f"{name}.spark.parquet")
     spark_df.write.mode("overwrite").parquet(out)
-    con.execute(f"SET temp_directory='{work_dir}/duck_spill'")
+    try:
+        con.execute(f"SET temp_directory='{work_dir}/duck_spill'")
+    except duckdb.NotImplementedException:
+        # DuckDB refuses to switch temp_directory once the current one
+        # has been used (even to the same path); the first call's
+        # setting stays in force for the connection.
+        pass
     con.execute(f"SET memory_limit='{memory_limit}'")
     con.execute(f"SET max_temp_directory_size='{temp_cap}'")
     src = f"read_parquet('{out}/*.parquet')"

@@ -119,15 +119,36 @@ def main() -> None:
     # onto 1-2 tasks — an artifact of the replica layout, not of any
     # plan. 16 MB splits restore scan parallelism without touching the
     # 1 GB heap constraint the sweep exists to test.
-    def fresh_session():
+    def fresh_session(hard: bool = False):
         # A query that kills the JVM (OOM → context shutdown) must not
         # poison every later row with ConnectionRefused (the round-6
         # sweep artifact problem): rebuild a clean driver-default session
-        # after any unhealthy run.
-        active = SparkSession.getActiveSession()
-        if active is not None:
+        # after any unhealthy run. hard=True additionally tears down the
+        # py4j gateway singletons — a heap-death takes the whole JVM
+        # with it, and builder.getOrCreate() would otherwise keep
+        # handing back proxies into the dead gateway (the round-8
+        # cascade: 36 IllegalStateException rows after one q_er2 OOM).
+        if hard:
+            from pyspark import SparkContext
+
             try:
-                active.stop()
+                if SparkContext._gateway is not None:
+                    SparkContext._gateway.shutdown()
+            except Exception:  # noqa: BLE001
+                pass
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+            SparkContext._active_spark_context = None
+            for attr in ("_instantiatedSession", "_activeSession"):
+                try:
+                    setattr(SparkSession, attr, None)
+                except Exception:  # noqa: BLE001
+                    pass
+        else:
+            try:
+                active = SparkSession.getActiveSession()
+                if active is not None:
+                    active.stop()
             except Exception:  # noqa: BLE001
                 pass
         s = (
@@ -201,8 +222,8 @@ def main() -> None:
             try:  # health probe; rebuild the session if the JVM died
                 spark.range(1).count()
             except Exception:  # noqa: BLE001
-                print("# session dead — rebuilding", file=sys.stderr, flush=True)
-                spark = fresh_session()
+                print("# session dead — hard rebuild", file=sys.stderr, flush=True)
+                spark = fresh_session(hard=True)
             continue
         sql = oracles.get(name)
         if sql is not None:
