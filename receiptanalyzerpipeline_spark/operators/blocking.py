@@ -44,6 +44,17 @@ __all__ = [
 TARGET_PAIRS_PER_RECORD = 32.0
 
 
+# Inputs past this row count route the prefix machinery's joins through
+# SMJ (merge hints): above it, the gram index / member-map broadcast
+# builds carry enough name payload to endanger a small driver heap
+# (four stacked builds OOMed the 1 GB sf1 envelope at 200k input rows,
+# round 8), and at genuine corpus scale these sides are never
+# broadcast-able. Below it, Spark's own size-adaptive broadcast choice
+# is both safe and measurably faster (q_er2 at sf0.1: 0.47 s broadcast
+# vs 0.75 s SMJ).
+SHUFFLE_ONLY_ROWS = 100_000
+
+
 def prefix_filter_pairs(
     df: DataFrame,
     key_col: str,
@@ -51,6 +62,7 @@ def prefix_filter_pairs(
     q: int = 3,
     d: int = 2,
     block_keys: tuple[str, ...] = (),
+    shuffle_only: bool | None = None,
 ) -> DataFrame:
     """LOSSLESS candidate pairs for ``levenshtein(name_a, name_b) <= d``:
     the symmetric rarest-(d*q+1)-gram prefix filter (q_er2's machinery,
@@ -77,6 +89,8 @@ def prefix_filter_pairs(
     between this and a coarse equi-join cannot change results.
     """
     prefix_n = d * q + 1
+    if shuffle_only is None:
+        shuffle_only = df.count() > SHUFFLE_ONLY_ROWS
     base = df.select(
         F.col(key_col).alias("key"),
         F.col(name_col).alias("name"),
@@ -119,13 +133,12 @@ def prefix_filter_pairs(
         *block_keys, "gram",
     )
     # Both sides are corpus-proportional gram indexes CARRYING NAME
-    # STRINGS — force SMJ so no heap ever builds a name-weighted
-    # HashedRelation from a mis-estimated size (round 8: four stacked
-    # broadcast builds OOMed the 1 GB sweep envelope at sf1 the moment
-    # honest materialization stopped pruning the name columns; at
-    # 100 TB this side is never broadcast-able).
+    # STRINGS — past SHUFFLE_ONLY_ROWS, force SMJ so no heap ever builds
+    # a name-weighted HashedRelation from a mis-estimated size.
+    if shuffle_only:
+        b = b.hint("merge")
     return (
-        a.join(b.hint("merge"), ["gram", *block_keys])
+        a.join(b, ["gram", *block_keys])
         .where(
             (F.col("key_a") < F.col("key_b"))
             & (F.abs(F.length("name_a") - F.length("name_b")) <= d)
@@ -232,6 +245,7 @@ def prefix_filter_edit_join(
     q: int = 3,
     d: int = 2,
     block_keys: tuple[str, ...] = (),
+    shuffle_only: bool | None = None,
 ) -> DataFrame:
     """VERIFIED edit-distance pairs: every (key_a, key_b, name_a, name_b,
     edit_dist) with ``levenshtein <= d`` (and equal ``block_keys``),
@@ -250,6 +264,12 @@ def prefix_filter_edit_join(
     """
     from pyspark.sql.window import Window
 
+    if shuffle_only is None:
+        shuffle_only = df.count() > SHUFFLE_ONLY_ROWS
+    # Past SHUFFLE_ONLY_ROWS the member map and rep tables are big
+    # enough (with name payloads) that broadcast builds endanger a
+    # small heap; below it Spark's size-adaptive broadcast is faster.
+    _mh = (lambda x: x.hint("merge")) if shuffle_only else (lambda x: x)
     base = df.select(
         F.col(key_col).alias("_key"),
         F.col(name_col).alias("_name"),
@@ -273,19 +293,22 @@ def prefix_filter_edit_join(
         F.col("_key").alias("key"), F.col("_name").alias("name"), *block_keys
     )
     rep_pairs = (
-        prefix_filter_pairs(reps, "key", "name", q=q, d=d, block_keys=block_keys)
+        prefix_filter_pairs(
+            reps, "key", "name", q=q, d=d, block_keys=block_keys,
+            shuffle_only=shuffle_only,
+        )
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
         .where(F.col("edit_dist") <= d)
     )
     # Expansion joins: the member map is corpus-sized (one row per input
-    # row) — merge-hint both sides so no broadcast build scales with the
-    # corpus (same 1 GB-envelope OOM class as the gram join above).
+    # row) — above the routing threshold, merge-hint so no broadcast
+    # build scales with the corpus (same OOM class as the gram join).
     ma = members.select(F.col("_rid").alias("key_a"), F.col("_mem").alias("_ma"))
     mb = members.select(F.col("_rid").alias("key_b"), F.col("_mem").alias("_mb"))
     swap = F.col("_ma") > F.col("_mb")
     inter = (
-        rep_pairs.join(ma.hint("merge"), "key_a")
-        .join(mb.hint("merge"), "key_b")
+        rep_pairs.join(_mh(ma), "key_a")
+        .join(_mh(mb), "key_b")
         .select(
             F.least("_ma", "_mb").alias("key_a"),
             F.greatest("_ma", "_mb").alias("key_b"),
@@ -294,10 +317,10 @@ def prefix_filter_edit_join(
             "edit_dist",
         )
     )
-    g = members.join(reps.select(F.col("key").alias("_rid"), "name").hint("merge"), "_rid")
+    g = members.join(_mh(reps.select(F.col("key").alias("_rid"), "name")), "_rid")
     intra = (
         g.select("_rid", "name", F.col("_mem").alias("key_a"))
-        .join(g.select("_rid", F.col("_mem").alias("key_b")).hint("merge"), "_rid")
+        .join(_mh(g.select("_rid", F.col("_mem").alias("key_b"))), "_rid")
         .where(F.col("key_a") < F.col("key_b"))
         .select(
             "key_a",
