@@ -96,6 +96,13 @@ def main() -> None:
     ap.add_argument("--work-dir", default="/tmp/sf1_sweep_work",
                     help="scratch for the setwise compare (spark result "
                          "parquet + DuckDB spill)")
+    ap.add_argument("--oracle-timeout", type=float, default=900.0,
+                    help="hard cap per sf1 oracle execution: the sf0.1 "
+                         "budget can admit an oracle whose sf1 cost is "
+                         "super-linear (q_g1's recursive CTE ate the "
+                         "whole 2 h sweep window in round 8); past the "
+                         "cap the DuckDB query is interrupted and the "
+                         "row records the timeout")
     ap.add_argument("--cpus", type=int, default=8,
                     help="local[N]; fewer cores = more heap per concurrent task "
                          "(the 1 GB heap is fixed — this is the memory-bounded knob)")
@@ -178,6 +185,17 @@ def main() -> None:
     os.makedirs(args.work_dir, exist_ok=True)
     con_small = O.duckdb_connect(args.src)
     con_big = O.duckdb_connect(args.dst)
+
+    import threading
+
+    def timed_oracle(fn):
+        """Run an sf1 oracle under the --oracle-timeout interrupt."""
+        timer = threading.Timer(args.oracle_timeout, con_big.interrupt)
+        timer.start()
+        try:
+            return fn()
+        finally:
+            timer.cancel()
     results = []
     started = args.start_after is None
     ran = 0
@@ -219,6 +237,8 @@ def main() -> None:
             row["spark_s"] = round(time.time() - t0, 2)
             results.append(row)
             print(json.dumps(row), flush=True)
+            with open(args.out + ".partial", "w") as f:
+                json.dump({"results": results}, f, indent=1)
             try:  # health probe; rebuild the session if the JVM died
                 spark.range(1).count()
             except Exception:  # noqa: BLE001
@@ -241,7 +261,9 @@ def main() -> None:
                 # takes the symmetric EXCEPT ALL diff with disk spill).
                 t0 = time.time()
                 try:
-                    r = O.compare_setwise(name, df, sql, con_big, args.work_dir)
+                    r = timed_oracle(
+                        lambda: O.compare_setwise(name, df, sql, con_big, args.work_dir)
+                    )
                     row["oracle"] = (
                         "match (setwise)" if r.ok else f"MISMATCH: {r.mismatches[:2]}"
                     )
@@ -251,13 +273,18 @@ def main() -> None:
             else:
                 t0 = time.time()
                 try:
-                    r = O.compare(name, df, sql, con_big)
+                    r = timed_oracle(lambda: O.compare(name, df, sql, con_big))
                     row["oracle"] = "match" if r.ok else f"MISMATCH: {r.mismatches[:2]}"
                 except Exception as e:  # noqa: BLE001
                     row["oracle"] = f"oracle_err: {type(e).__name__}: {str(e)[:200]}"
                 row["oracle_s"] = round(time.time() - t0, 2)
         results.append(row)
         print(json.dumps(row), flush=True)
+        # Durable progress: a killed sweep (host timeout, OOM of the
+        # harness) keeps every completed row (round-8 lesson: a 2 h run
+        # died at the window edge with all rows buffered in a pipe).
+        with open(args.out + ".partial", "w") as f:
+            json.dump({"results": results}, f, indent=1)
 
     errs = [r for r in results if "err" in r]
     mismatches = [r for r in results if str(r.get("oracle", "")).startswith("MISMATCH")]
