@@ -109,12 +109,29 @@ def contaminated_ids(
     vocabulary collide constantly) while k=5 flags exactly the true
     near-duplicates of eval documents. Real deployments tune k upward
     (8-13-grams) as documents lengthen.
+
+    Round 8: the train side collapses to one representative per
+    distinct text before shingling (contamination is a pure function of
+    text given the eval shingle set), so the semi-join probe mass
+    scales with distinct content — on the 10×-clone sf1 replica the
+    direct probe shuffled 10× the shingle rows for the identical hit
+    set. The eval side was already reduced to DISTINCT shingles.
     """
-    from receiptanalyzerpipeline_spark.operators.dedup import shingle_index
+    from receiptanalyzerpipeline_spark.operators.dedup import (
+        _collapse_reps,
+        shingle_index,
+    )
 
     ev = shingle_index(eval_docs, id_col, text_col, k).select("shingle").distinct()
-    tr = shingle_index(train, id_col, text_col, k)
-    return tr.join(ev, "shingle", "left_semi").select("doc_id").distinct()
+    reps, members = _collapse_reps(train, id_col, text_col)
+    tr = shingle_index(reps, "doc_id", "_text", k)
+    rep_hits = (
+        tr.join(ev, "shingle", "left_semi").select("doc_id").distinct()
+        .withColumnRenamed("doc_id", "_rid")
+    )
+    return members.join(rep_hits.hint("merge"), "_rid").select(
+        F.col("_mem").alias("doc_id")
+    )
 
 
 def mixture_keep(key: Column, source: Column, rates: dict[str, float], default: float) -> Column:
@@ -229,18 +246,28 @@ def remove_duplicated_spans(
     partially-duplicated documents — the behavior that recovers the most
     unique training tokens from boilerplate-heavy corpora.
 
-    Shape: the window inverted index is the q_x17 plan (map-side md5,
-    one shuffle on whash); flagged window START positions come back as
-    one array per document (a groupBy on doc_id), and the coverage mask
-    is evaluated map-side with an EXISTS over that array — O(n_tokens ×
-    n_flagged_spans) per document, linear corpus-wide because flagged
-    spans are bounded by window count. Documents with no flagged windows
-    (including those shorter than ``w``) pass through untouched.
+    Shape (round 8: rep-collapsed): identical texts produce identical
+    cleaned output, so the window index is built over one REPRESENTATIVE
+    per distinct text and results expand back through the member map —
+    the whash shuffle scales with distinct content, not duplication. The
+    cross-document test stays exact under collapse: a window is
+    duplicated iff its distinct MEMBER documents ≥ 2, i.e. it appears in
+    ≥ 2 rep groups OR in one rep group that has ≥ 2 members (exact
+    clones duplicate every window among themselves). Flagged window
+    START positions come back as one array per rep (a groupBy), and the
+    coverage mask is evaluated map-side with an EXISTS over that array —
+    O(n_tokens × n_flagged_spans) per document. Documents with no
+    flagged windows (including those shorter than ``w``) pass through
+    untouched.
     """
-    toks = tokens(F.col(text_col))
+    from receiptanalyzerpipeline_spark.operators.dedup import _collapse_reps
+
+    reps, members = _collapse_reps(docs, id_col, text_col)
+    mcnt = members.groupBy("_rid").agg(F.count(F.lit(1)).alias("_mcnt"))
+    toks = tokens(F.col("_text"))
     n = F.size(toks)
-    with_hashes = docs.select(
-        F.col(id_col).alias("doc_id"),
+    with_hashes = reps.select(
+        "doc_id",
         toks.alias("toks"),
         F.when(
             n >= w,
@@ -254,16 +281,18 @@ def remove_duplicated_spans(
     )
     e = with_hashes.select(
         "doc_id", F.posexplode("whs").alias("pos", "whash")
-    )
+    ).join(mcnt.withColumnRenamed("_rid", "doc_id").hint("merge"), "doc_id")
     from pyspark.sql.window import Window
 
-    # Cross-document test as min != max over the hash partition: one
-    # shuffle, O(1) window state — never a per-partition doc-id set
-    # (which a boilerplate hash shared corpus-wide would blow up).
+    # Duplication test with O(1) window state (never a per-partition
+    # doc-id set, which a corpus-wide boilerplate hash would blow up):
+    # min != max over the hash partition detects ≥2 distinct reps, and
+    # max(_mcnt) ≥ 2 detects a multi-member (exact-clone) rep group.
+    ws = Window.partitionBy("whash")
     wd = e.withColumn(
         "_dup",
-        F.min("doc_id").over(Window.partitionBy("whash"))
-        != F.max("doc_id").over(Window.partitionBy("whash")),
+        (F.min("doc_id").over(ws) != F.max("doc_id").over(ws))
+        | (F.max("_mcnt").over(ws) >= 2),
     )
     flagged = (
         wd.where(F.col("_dup"))
@@ -282,9 +311,14 @@ def remove_duplicated_spans(
         F.transform(F.col("toks"), lambda t, i: F.struct(t.alias("t"), covered(i).alias("c"))),
         lambda x: ~x["c"],
     )
-    return joined.select(
-        "doc_id",
+    rep_out = joined.select(
+        F.col("doc_id").alias("_rid"),
         F.size("toks").cast("long").alias("n_tokens"),
         (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
         F.array_join(F.transform(kept, lambda x: x["t"]), " ").alias("clean_text"),
+    )
+    # Expand the rep's cleaned output to every member: an equi-join on
+    # the rep id that shuffles O(corpus) rows, never pairs.
+    return members.join(rep_out.hint("merge"), "_rid").select(
+        F.col("_mem").alias("doc_id"), "n_tokens", "n_removed", "clean_text"
     )
