@@ -116,6 +116,7 @@ def main() -> None:
             ),
         }
         for name, fn in ops.items():
+            materialize_s(fn())  # warm-up: codegen + page cache, untimed
             wall, rows = materialize_s(fn())
             results["ops"].setdefault(name, {})[f"x{times}"] = {
                 "wall_s": wall,
