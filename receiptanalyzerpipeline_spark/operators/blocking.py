@@ -54,6 +54,69 @@ TARGET_PAIRS_PER_RECORD = 32.0
 # vs 0.75 s SMJ).
 SHUFFLE_ONLY_ROWS = 100_000
 
+# Row-width assumption for converting Catalyst sizeInBytes into a row
+# estimate when neither CBO rowCount nor parquet footers are available.
+# Deliberately SMALL: a low bytes-per-row divisor inflates the row
+# estimate, which errs toward shuffle_only=True — the safe direction
+# (SMJ is correct at any scale; a mis-routed broadcast is the one that
+# can OOM the driver heap).
+_ASSUMED_ROW_BYTES = 32
+
+# Driver-side footer reads are metadata-proportional; past this many
+# files, read a sample and extrapolate by file count instead of
+# touching every footer.
+_MAX_FOOTER_READS = 256
+
+
+def _estimated_rows(df: DataFrame) -> int:
+    """Row-count estimate WITHOUT running a Spark job (ADVICE r8: the
+    previous ``df.count()`` here made a nominally-lazy plan builder
+    eagerly scan its full input during construction, then the real join
+    recomputed that same scan).
+
+    Resolution order:
+    1. CBO/catalog ``rowCount`` when the optimized plan carries one.
+    2. Exact row totals from the scan's parquet FOOTERS
+       (``df.inputFiles()`` + pyarrow metadata — no executors, no data
+       pages). This matters because Catalyst's ``sizeInBytes`` is the
+       COMPRESSED size: a clone-dense corpus dictionary-encodes to
+       ~9 bytes/row, and a byte-derived estimate would under-count by
+       3-4× — re-routing the sf1 corpus back to the exact broadcast
+       heap death this threshold exists to prevent. When the plan has
+       filters above the scan, footer totals over-count the post-filter
+       rows — the safe direction.
+    3. ``sizeInBytes`` over a deliberately small assumed row width.
+
+    Callers that know their scale (q_er1/q_er2-style plans) can bypass
+    the estimate by passing ``shuffle_only`` explicitly."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        return int(str(rc.get()))
+    try:
+        files = [f for f in df.inputFiles() if f.endswith(".parquet")]
+    except Exception:
+        files = []
+    if files:
+        try:
+            from urllib.parse import unquote, urlparse
+
+            import pyarrow.parquet as pq
+
+            sample = files[:_MAX_FOOTER_READS]
+            total = 0
+            for f in sample:
+                u = urlparse(f)
+                if u.scheme not in ("", "file"):
+                    raise ValueError(f"non-local scheme {u.scheme}")
+                total += pq.ParquetFile(unquote(u.path)).metadata.num_rows
+            if len(files) > len(sample):
+                total = total * len(files) // len(sample)
+            return total
+        except Exception:
+            pass  # remote/unreadable footers: fall through to stats
+    return int(str(stats.sizeInBytes())) // _ASSUMED_ROW_BYTES
+
 
 def prefix_filter_pairs(
     df: DataFrame,
@@ -90,7 +153,7 @@ def prefix_filter_pairs(
     """
     prefix_n = d * q + 1
     if shuffle_only is None:
-        shuffle_only = df.count() > SHUFFLE_ONLY_ROWS
+        shuffle_only = _estimated_rows(df) > SHUFFLE_ONLY_ROWS
     base = df.select(
         F.col(key_col).alias("key"),
         F.col(name_col).alias("name"),
@@ -265,7 +328,7 @@ def prefix_filter_edit_join(
     from pyspark.sql.window import Window
 
     if shuffle_only is None:
-        shuffle_only = df.count() > SHUFFLE_ONLY_ROWS
+        shuffle_only = _estimated_rows(df) > SHUFFLE_ONLY_ROWS
     # Past SHUFFLE_ONLY_ROWS the member map and rep tables are big
     # enough (with name payloads) that broadcast builds endanger a
     # small heap; below it Spark's size-adaptive broadcast is faster.

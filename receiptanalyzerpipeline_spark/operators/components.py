@@ -166,21 +166,61 @@ class _IterStore:
         disk materialization, and a final ``localCheckpoint(DISK_ONLY)``
         re-serializes every row into block-manager disk for nothing —
         measured 68 s of the q_d2 suite's 238 s at sf1. The store's
-        files stay alive for the result's lifetime; cleanup moves to
-        interpreter exit (best-effort for shared/cluster roots, whose
-        scratch area has its own retention), and ``close()`` becomes a
-        no-op so the caller's ``finally`` can't delete files the
-        returned plan still reads."""
+        files stay alive for the result's lifetime; ``close()`` becomes
+        a no-op so the caller's ``finally`` can't delete files the
+        returned plan still reads.
+
+        Cleanup (ADVICE r8): atexit is only registered for LOCAL roots,
+        where ``shutil.rmtree`` still works at interpreter exit. Shared
+        (cluster) roots delete through the Spark JVM gateway, which is
+        already stopped inside atexit — the old hook silently no-op'd
+        and leaked scratch. Instead every detached root is recorded in
+        ``_DETACHED_ROOTS``; long-lived sessions call
+        ``vacuum_detached_scratch(spark)`` once the detached results
+        have been fully consumed (the sf1 sweep does, per suite)."""
         import atexit
 
         self._detached = True
-        atexit.register(self._rm, self.root)
+        _DETACHED_ROOTS.append((self._shared, self.root, self.spark))
+        if not self._shared:
+            atexit.register(shutil.rmtree, self.root, ignore_errors=True)
         return df
 
     def close(self) -> None:
         if getattr(self, "_detached", False):
             return
         self._rm(self.root)
+
+
+# (shared?, root, session-at-detach-time) for every detached store —
+# see _IterStore.detach. Consumed by vacuum_detached_scratch.
+_DETACHED_ROOTS: list = []
+
+
+def vacuum_detached_scratch(spark: SparkSession | None = None) -> int:
+    """Delete every scratch root left behind by ``_IterStore.detach``.
+
+    Call ONLY once the detached DataFrames have been fully materialized
+    or discarded — their plans read these files. Shared (cluster) roots
+    are deleted through the given live session's Hadoop FS (falling back
+    to the session recorded at detach time); local roots via rmtree.
+    Returns the number of roots removed."""
+    removed = 0
+    while _DETACHED_ROOTS:
+        shared, root, owner = _DETACHED_ROOTS.pop()
+        try:
+            if shared:
+                sess = spark or owner
+                jvm = sess._jvm
+                jpath = jvm.org.apache.hadoop.fs.Path(root)
+                fs = jpath.getFileSystem(sess._jsc.hadoopConfiguration())
+                fs.delete(jpath, True)
+            else:
+                shutil.rmtree(root, ignore_errors=True)
+            removed += 1
+        except Exception:
+            pass  # best-effort, like every other scratch delete
+    return removed
 
 
 def connected_components(

@@ -168,6 +168,7 @@ def compare_setwise(
     work_dir: str,
     memory_limit: str = "16GB",
     temp_cap: str = "48GB",
+    oracle_timeout_s: float = 900.0,
 ) -> CompareResult:
     """Out-of-core exact multiset compare for outputs too large for the
     pandas fetch path (the sf1 sweep's 50M-row pair lists).
@@ -225,23 +226,49 @@ def compare_setwise(
     def digest(rel: str, timeout_s: float | None = None) -> tuple:
         # A clone-quadratic oracle can take hours at sf1; interrupt it
         # at the cap so the sweep records a clean error and moves on.
+        # ADVICE r8: the interrupt is guarded by a lock-held flag —
+        # without it, a timer firing between fetchone() returning and
+        # timer.cancel() lands the interrupt on an idle shared
+        # connection and spuriously cancels the NEXT oracle query.
         import threading
+
+        lock = threading.Lock()
+        running = True
+        fired = False
+
+        def _interrupt() -> None:
+            nonlocal fired
+            with lock:
+                if running:
+                    fired = True
+                    con.interrupt()
 
         timer = None
         if timeout_s:
-            timer = threading.Timer(timeout_s, con.interrupt)
+            timer = threading.Timer(timeout_s, _interrupt)
             timer.start()
         try:
-            return con.execute(
+            row = con.execute(
                 f"SELECT count(*), bit_xor(__h), sum(__h::HUGEINT) "
                 f"FROM (SELECT hash({cols}) AS __h FROM {rel})"
             ).fetchone()
         finally:
+            with lock:
+                running = False
             if timer is not None:
                 timer.cancel()
+        if fired:
+            # Interrupt landed while the query was finishing but the
+            # result still arrived: absorb any pending interrupt flag so
+            # it cannot cancel the connection's next statement.
+            try:
+                con.execute("SELECT 1").fetchone()
+            except duckdb.InterruptException:
+                pass
+        return row
 
     s_n, s_xor, s_sum = digest(src)
-    o_n, o_xor, o_sum = digest(f"({oracle_sql}) AS _o", timeout_s=900.0)
+    o_n, o_xor, o_sum = digest(f"({oracle_sql}) AS _o", timeout_s=oracle_timeout_s)
     res.spark_rows, res.oracle_rows = int(s_n), int(o_n)
     if s_n != o_n:
         res.ok = False
@@ -253,6 +280,97 @@ def compare_setwise(
             f"sum {s_sum} vs {o_sum}"
         )
     return res
+
+
+def compare_setwise_parts(
+    name: str,
+    parquet_dir: str,
+    part_sqls: dict[str, str],
+    con: duckdb.DuckDBPyConnection,
+    work_dir: str | None = None,
+    memory_limit: str = "16GB",
+    temp_cap: str = "48GB",
+    oracle_timeout_s: float = 900.0,
+) -> dict[str, CompareResult]:
+    """Part-wise fallback for suite oracles that OOM as ONE fused query
+    (VERDICT r8 task 2: q_d2/q_g1/q_x10's sf1 oracles exceeded DuckDB's
+    spill cap computing the whole union, while each member's SQL runs
+    fine alone). Entirely DuckDB-side: the Spark side is the parquet
+    ``compare_setwise`` already wrote (filtered per part tag), so no
+    Spark job re-runs; each part's oracle digests independently under
+    the same memory/temp caps and timeout. Returns tag -> CompareResult
+    with the same multiset-digest semantics as ``compare_setwise``."""
+    import threading
+
+    if work_dir:
+        try:
+            con.execute(f"SET temp_directory='{work_dir}/duck_spill'")
+        except duckdb.NotImplementedException:
+            pass  # already in force for this connection (see compare_setwise)
+    con.execute(f"SET memory_limit='{memory_limit}'")
+    con.execute(f"SET max_temp_directory_size='{temp_cap}'")
+    src = f"read_parquet('{parquet_dir}/*.parquet')"
+    sdesc = con.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()
+    cols = ", ".join(f'"{c}"' for c in sorted(r[0] for r in sdesc))
+
+    def digest(rel: str, timeout_s: float | None = None) -> tuple:
+        lock = threading.Lock()
+        running = True
+        fired = False
+
+        def _interrupt() -> None:
+            nonlocal fired
+            with lock:
+                if running:
+                    fired = True
+                    con.interrupt()
+
+        timer = None
+        if timeout_s:
+            timer = threading.Timer(timeout_s, _interrupt)
+            timer.start()
+        try:
+            row = con.execute(
+                f"SELECT count(*), bit_xor(__h), sum(__h::HUGEINT) "
+                f"FROM (SELECT hash({cols}) AS __h FROM {rel})"
+            ).fetchone()
+        finally:
+            with lock:
+                running = False
+            if timer is not None:
+                timer.cancel()
+        if fired:
+            try:
+                con.execute("SELECT 1").fetchone()
+            except duckdb.InterruptException:
+                pass
+        return row
+
+    out: dict[str, CompareResult] = {}
+    for tag, psql in part_sqls.items():
+        res = CompareResult(f"{name}.{tag}", True, -1, -1)
+        try:
+            s_n, s_xor, s_sum = digest(
+                f"(SELECT * FROM {src} WHERE part = '{tag}') AS _s"
+            )
+            o_n, o_xor, o_sum = digest(
+                f"({psql}) AS _o", timeout_s=oracle_timeout_s
+            )
+            res.spark_rows, res.oracle_rows = int(s_n), int(o_n)
+            if s_n != o_n:
+                res.ok = False
+                res.mismatches.append("row counts differ")
+            if s_xor != o_xor or s_sum != o_sum:
+                res.ok = False
+                res.mismatches.append(
+                    f"multiset digest differs: xor {s_xor} vs {o_xor}, "
+                    f"sum {s_sum} vs {o_sum}"
+                )
+        except Exception as ex:  # per-part isolation: one OOM ≠ suite opaque
+            res.ok = False
+            res.mismatches.append(f"exception: {type(ex).__name__}: {str(ex)[:200]}")
+        out[tag] = res
+    return out
 
 
 def run_all(

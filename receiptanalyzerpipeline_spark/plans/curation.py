@@ -1440,3 +1440,109 @@ def q_x29(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_x36_streaming_membership",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, text, {DUCK_TOKENS} tk FROM documents),
+        m AS (
+            SELECT doc_id, text,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   CAST(list_aggregate(list_transform(tk, x -> len(x)), 'sum')
+                        AS DOUBLE) / len(tk) AS mean_tok_len,
+                   CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+                        AS DOUBLE) / len(tk) AS alpha_frac,
+                   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n]'))
+                        AS DOUBLE) / len(text) AS symbol_frac
+            FROM t WHERE len(tk) >= 1
+        ),
+        quality AS (
+            SELECT doc_id, text FROM m WHERE {_QUALITY_RULES}
+        ),
+        dedup AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, ROW_NUMBER() OVER (
+                    PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+                FROM quality
+            ) WHERE rn = 1
+        )
+        SELECT CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) % 16 AS shard_id,
+               doc_id
+        FROM dedup
+        ORDER BY shard_id, doc_id
+    """,
+    doc=(
+        "The STREAMING curation loop's shard membership, driver-checked "
+        "against the batch-SQL replay (VERDICT r8 task 8): documents are "
+        "delivered as two id-ordered file chunks through the checkpointed "
+        "availableNow topology (streaming/curation_stream.py — quality "
+        "rules, snapshot-backed exact dedup whose state is the snapshot "
+        "table itself, md5 shard export with exactly-once batch commits), "
+        "then the exported (shard_id, doc_id) membership is returned. "
+        "Arrival order = id order, so the streaming first-arrived dedup "
+        "representative equals the batch smallest-id representative and "
+        "membership is bit-identical to the one-shot batch pipeline the "
+        "oracle replays. Scale note: per-batch cost is O(batch + state "
+        "probe); the corpus-side state is bucketable (bucket_fps) so the "
+        "anti-join scans O(|batch buckets|/N) of the table at 100 TB."
+    ),
+    tags=("streaming", "curation", "dedup"),
+)
+def q_x36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from receiptanalyzerpipeline_spark.streaming.curation_stream import (
+        read_shard_membership,
+        run_streaming_curation,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="rap-streammem-")
+    try:
+        src = os.path.join(base, "in")
+        os.makedirs(src)
+        # Two id-ordered chunks with pinned mtimes: the file source
+        # delivers them as two deterministic micro-batches in id order.
+        med = docs.selectExpr("percentile(doc_id, 0.5) AS m").first()["m"]
+        halves = [
+            docs.where(F.col("doc_id") <= med),
+            docs.where(F.col("doc_id") > med),
+        ]
+        for i, half in enumerate(halves):
+            tmpd = os.path.join(base, f"w{i}")
+            half.coalesce(1).write.parquet(tmpd)
+            (part,) = _glob.glob(os.path.join(tmpd, "part-*.parquet"))
+            dest = os.path.join(src, f"chunk_{i}.parquet")
+            shutil.move(part, dest)
+            os.utime(dest, (1_700_000_000 + i * 10,) * 2)
+        q = run_streaming_curation(
+            spark,
+            src,
+            snapshot_path=os.path.join(base, "snapshot"),
+            shards_path=os.path.join(base, "shards"),
+            checkpoint=os.path.join(base, "ckpt"),
+            schema=docs.schema,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(600)
+        if q.exception() is not None:
+            raise RuntimeError(f"streaming curation failed: {q.exception()}")
+        mem = (
+            read_shard_membership(spark, os.path.join(base, "shards"))
+            .select(
+                F.col("shard_id").cast("long").alias("shard_id"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+            )
+            .orderBy("shard_id", "doc_id")
+        )
+        # Small result (one row per surviving doc): pin it so the tmp
+        # dirs (input chunks, checkpoint, snapshot state, shard export)
+        # can be deleted before returning.
+        return mem.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -141,10 +141,35 @@ def _register_suite(suite: Suite) -> None:
         tags=suite.tags + ("suite",),
     )(_spark_fn(suite))
     SUITE_MEMBERS[suite.name] = members
+    _SUITE_SPECS[suite.name] = suite
 
 
 # suite name -> member query names (for coverage accounting/tests)
 SUITE_MEMBERS: dict[str, tuple] = {}
+
+# suite name -> Suite spec (for part-wise oracle fallback)
+_SUITE_SPECS: dict[str, "Suite"] = {}
+
+
+def part_oracle_sqls(suite_name: str) -> dict[str, str]:
+    """tag -> standalone DuckDB oracle SQL for each Part of a registered
+    suite — the fused suite SQL restricted to one part (VERDICT r8 task
+    2: when DuckDB OOMs computing the FUSED union at sf1, each part's
+    oracle can still run alone under the spill cap, and the sweep
+    value-checks the suite part-by-part against the already-written
+    Spark parquet). Raises KeyError for non-suite queries."""
+    suite = _SUITE_SPECS[suite_name]
+    out: dict[str, str] = {}
+    for p in suite.parts:
+        src_sql = REGISTRY[p.src].oracle
+        cols = [f"'{p.tag}' AS part"]
+        for col, typ in suite.cols:
+            expr = p.m.get(col, _PAD[typ])
+            cols.append(f"CAST(({expr}) AS {_DUCK_T[typ]}) AS {col}")
+        out[p.tag] = (
+            "SELECT " + ",\n       ".join(cols) + f"\nFROM (\n{src_sql}\n) AS _p"
+        )
+    return out
 
 
 _SUITES = [
@@ -468,10 +493,18 @@ _SUITES = [
                 "q_x13_sequence_packing",
                 {"shard_id": "shard_id", "doc_id": "doc_id", "n1": "n_tok", "n2": "token_offset", "n3": "chunk_id"},
             ),
+            # The STREAMING curation loop's exported membership vs its
+            # batch-SQL replay (VERDICT r8 task 8): the one driver row
+            # that executes the checkpointed foreachBatch topology.
+            Part(
+                "stream_membership",
+                "q_x36_streaming_membership",
+                {"shard_id": "shard_id", "doc_id": "doc_id"},
+            ),
         ],
         order=["shard_id", "doc_id", "n1"],
-        doc="Token-budget shard packing + sequence packing with running offsets.",
-        tags=("curation", "packing"),
+        doc="Token-budget shard packing + sequence packing with running offsets + streaming-curation shard membership (batch parity).",
+        tags=("curation", "packing", "streaming"),
     ),
     Suite(
         "q_x15_chunking_suite",

@@ -150,17 +150,39 @@ class CommitConflict(Exception):
     they commute, so the writer re-chains and retries internally."""
 
 
+# STRUCTURAL manifest fields — the ones readers interpret as the file
+# list, schema, or commit protocol state. The clash guard checks these
+# against a static set, not the keys present in the dict at the call
+# site (ADVICE r8): in tree mode "files" is popped into group manifests
+# before the guard ran, and append manifests never carry "groups", so a
+# dynamic check let manifest_extra={"files": ...} slip through and be
+# re-expanded by _manifest_files as a data-file list — exactly the
+# corruption the guard exists to prevent. PROVENANCE markers (batch_id,
+# compaction_of, merge_of, delete_of, cluster_by) are deliberately NOT
+# in this set: carrying them atomically with a commit is what the
+# manifest_extra channel exists for (the streaming sink and compactor
+# are its callers); at call sites that already wrote one, the dynamic
+# present-keys check still raises.
+_RESERVED_MANIFEST_KEYS = frozenset(
+    {
+        "version", "mode", "files", "groups", "schema", "stats",
+        "constraints", "carried_files", "rewrote_files",
+    }
+)
+
+
 def _apply_manifest_extra(m: dict, extra: dict | None) -> dict:
     """Merge caller-supplied manifest metadata (``manifest_extra``) into
     a fully-built protocol manifest, refusing to clobber commit-protocol
-    state (ADVICE r7): any key the protocol already wrote at this call
-    site — version/mode/files/groups/schema/batch_id/stats/... — is
-    reserved; a colliding key raises instead of silently corrupting
+    state (ADVICE r7/r8): any key the protocol writes in ANY mode —
+    version/mode/files/groups/schema/batch_id/stats/... — is reserved
+    via a static set (not the keys currently in the dict, which vary by
+    commit path); a colliding key raises instead of silently corrupting
     replay markers or file lists. Callers should namespace app metadata
     (e.g. ``"app_owner"``) to stay clear of future protocol fields."""
     if not extra:
         return m
-    clash = sorted(set(extra) & set(m))
+    clash = sorted(set(extra) & (_RESERVED_MANIFEST_KEYS | set(m)))
     if clash:
         raise ValueError(
             f"manifest_extra keys {clash} collide with reserved manifest "
@@ -926,7 +948,17 @@ def _commit_manifest(
         m["groups"] = groups
         if not files:
             del m["files"]
-    _apply_manifest_extra(m, extra)
+    # ``extra`` here is the commit path's OWN field dict (merge_of,
+    # schema, stats, ...) — caller-supplied manifest_extra was already
+    # validated against the static reserved set upstream, so only the
+    # structural base keys built above need collision protection.
+    if extra:
+        clash = sorted(set(extra) & set(m))
+        if clash:
+            raise ValueError(
+                f"internal manifest fields {clash} collide with the commit base"
+            )
+        m.update(extra)
     try:
         _write_manifest_exclusive(path, version, m)
     except FileExistsError:

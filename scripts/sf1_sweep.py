@@ -189,12 +189,27 @@ def main() -> None:
     import threading
 
     def timed_oracle(fn):
-        """Run an sf1 oracle under the --oracle-timeout interrupt."""
-        timer = threading.Timer(args.oracle_timeout, con_big.interrupt)
+        """Run an sf1 oracle under the --oracle-timeout interrupt.
+
+        The interrupt only fires while the wrapped call is still running
+        (lock-guarded flag — ADVICE r8): a timer that outraces cancel()
+        would otherwise land on the idle shared connection and cancel
+        the NEXT suite's oracle."""
+        lock = threading.Lock()
+        running = True
+
+        def _interrupt():
+            with lock:
+                if running:
+                    con_big.interrupt()
+
+        timer = threading.Timer(args.oracle_timeout, _interrupt)
         timer.start()
         try:
             return fn()
         finally:
+            with lock:
+                running = False
             timer.cancel()
     results = []
     started = args.start_after is None
@@ -262,13 +277,44 @@ def main() -> None:
                 t0 = time.time()
                 try:
                     r = timed_oracle(
-                        lambda: O.compare_setwise(name, df, sql, con_big, args.work_dir)
+                        lambda: O.compare_setwise(
+                            name, df, sql, con_big, args.work_dir,
+                            oracle_timeout_s=args.oracle_timeout,
+                        )
                     )
                     row["oracle"] = (
                         "match (setwise)" if r.ok else f"MISMATCH: {r.mismatches[:2]}"
                     )
                 except Exception as e:  # noqa: BLE001
                     row["oracle"] = f"oracle_err: {type(e).__name__}: {str(e)[:200]}"
+                    # Part-wise fallback (VERDICT r8 task 2): the FUSED
+                    # suite oracle can exceed DuckDB's spill cap while
+                    # each member's SQL runs fine alone. The Spark side
+                    # is the parquet compare_setwise already wrote — no
+                    # Spark re-run; a fresh connection isolates any
+                    # post-OOM connection state.
+                    pq_dir = os.path.join(args.work_dir, f"{name}.spark.parquet")
+                    psqls = None
+                    try:
+                        from receiptanalyzerpipeline_spark.plans.suites import (
+                            part_oracle_sqls,
+                        )
+
+                        psqls = part_oracle_sqls(name)
+                    except KeyError:
+                        pass
+                    if psqls and os.path.isdir(pq_dir):
+                        con_big = O.duckdb_connect(args.dst)
+                        pres = O.compare_setwise_parts(
+                            name, pq_dir, psqls, con_big, args.work_dir,
+                            oracle_timeout_s=args.oracle_timeout,
+                        )
+                        row["oracle_parts"] = {
+                            t: ("match" if r.ok else f"FAIL: {r.mismatches[:1]}")
+                            for t, r in pres.items()
+                        }
+                        if all(r.ok for r in pres.values()):
+                            row["oracle"] = "match (partwise)"
                 row["oracle_s"] = round(time.time() - t0, 2)
             else:
                 t0 = time.time()
@@ -278,6 +324,15 @@ def main() -> None:
                 except Exception as e:  # noqa: BLE001
                     row["oracle"] = f"oracle_err: {type(e).__name__}: {str(e)[:200]}"
                 row["oracle_s"] = round(time.time() - t0, 2)
+        # The suite's result is fully materialized (xor-hash + oracle
+        # parquet write) — safe to reclaim any scratch its detached
+        # _IterStores left behind (ADVICE r8: atexit can't delete
+        # shared roots, and a 50-suite sweep would accumulate them).
+        from receiptanalyzerpipeline_spark.operators.components import (
+            vacuum_detached_scratch,
+        )
+
+        vacuum_detached_scratch(spark)
         results.append(row)
         print(json.dumps(row), flush=True)
         # Durable progress: a killed sweep (host timeout, OOM of the
@@ -295,6 +350,9 @@ def main() -> None:
         "hash_checked": sum(1 for r in results if r.get("oracle") == "match"),
         "setwise_checked": sum(
             1 for r in results if r.get("oracle") == "match (setwise)"
+        ),
+        "partwise_checked": sum(
+            1 for r in results if r.get("oracle") == "match (partwise)"
         ),
         "mismatches": len(mismatches),
         "rows_only": sum(1 for r in results if str(r.get("oracle", "")).startswith("rows-only")),
