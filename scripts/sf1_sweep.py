@@ -261,6 +261,37 @@ def main() -> None:
                 spark = fresh_session(hard=True)
             continue
         sql = oracles.get(name)
+
+        def _suite_part_sqls(qname):
+            try:
+                from receiptanalyzerpipeline_spark.plans.suites import (
+                    part_oracle_sqls,
+                )
+
+                return part_oracle_sqls(qname)
+            except KeyError:
+                return None
+
+        def _partwise(qname, frame, psqls, write_parquet):
+            """Digest each part independently (oracle.compare_setwise_parts,
+            all DuckDB-side); returns (per-part outcome dict, all_ok)."""
+            nonlocal con_big
+            pq_dir = os.path.join(args.work_dir, f"{qname}.spark.parquet")
+            if write_parquet:
+                frame.write.mode("overwrite").parquet(pq_dir)
+            if not os.path.isdir(pq_dir):
+                return None, False
+            con_big = O.duckdb_connect(args.dst)
+            pres = O.compare_setwise_parts(
+                qname, pq_dir, psqls, con_big, args.work_dir,
+                oracle_timeout_s=args.oracle_timeout,
+            )
+            outcome = {
+                t: ("match" if r.ok else f"FAIL: {r.mismatches[:1]}")
+                for t, r in pres.items()
+            }
+            return outcome, all(r.ok for r in pres.values())
+
         if sql is not None:
             t0 = time.time()
             try:
@@ -270,6 +301,36 @@ def main() -> None:
                 small_wall = float("inf")
             if small_wall > args.oracle_budget:
                 row["oracle"] = f"rows-only (sf0.1 oracle {small_wall:.1f}s > budget)"
+                # A fused suite oracle over budget doesn't mean every
+                # PART is: budget-check each part's sf0.1 oracle alone
+                # and value-check the affordable ones at sf1 (VERDICT r8
+                # task 2 — no suite stays rows-only just because one
+                # member's oracle is clone-quadratic).
+                psqls = _suite_part_sqls(name)
+                if psqls:
+                    afford = {}
+                    for tag, psql in psqls.items():
+                        t1 = time.time()
+                        try:
+                            con_small.execute(psql).fetchall()
+                            pw = time.time() - t1
+                        except Exception:
+                            pw = float("inf")
+                        if pw <= args.oracle_budget:
+                            afford[tag] = psql
+                    if afford:
+                        outcome, all_ok = _partwise(name, df, afford, True)
+                        if outcome is not None:
+                            row["oracle_parts"] = outcome
+                            skipped = sorted(set(psqls) - set(afford))
+                            if skipped:
+                                row["oracle_parts_skipped"] = skipped
+                            if all_ok:
+                                row["oracle"] = (
+                                    "match (partwise)" if not skipped else
+                                    f"match (partwise {len(afford)}/{len(psqls)})"
+                                )
+                row["oracle_s"] = round(time.time() - t0, 2)
             elif n_rows > 3_000_000:
                 # Too large to collect through pandas — exact out-of-core
                 # multiset compare instead (Spark writes parquet, DuckDB
@@ -293,28 +354,13 @@ def main() -> None:
                     # is the parquet compare_setwise already wrote — no
                     # Spark re-run; a fresh connection isolates any
                     # post-OOM connection state.
-                    pq_dir = os.path.join(args.work_dir, f"{name}.spark.parquet")
-                    psqls = None
-                    try:
-                        from receiptanalyzerpipeline_spark.plans.suites import (
-                            part_oracle_sqls,
-                        )
-
-                        psqls = part_oracle_sqls(name)
-                    except KeyError:
-                        pass
-                    if psqls and os.path.isdir(pq_dir):
-                        con_big = O.duckdb_connect(args.dst)
-                        pres = O.compare_setwise_parts(
-                            name, pq_dir, psqls, con_big, args.work_dir,
-                            oracle_timeout_s=args.oracle_timeout,
-                        )
-                        row["oracle_parts"] = {
-                            t: ("match" if r.ok else f"FAIL: {r.mismatches[:1]}")
-                            for t, r in pres.items()
-                        }
-                        if all(r.ok for r in pres.values()):
-                            row["oracle"] = "match (partwise)"
+                    psqls = _suite_part_sqls(name)
+                    if psqls:
+                        outcome, all_ok = _partwise(name, df, psqls, False)
+                        if outcome is not None:
+                            row["oracle_parts"] = outcome
+                            if all_ok:
+                                row["oracle"] = "match (partwise)"
                 row["oracle_s"] = round(time.time() - t0, 2)
             else:
                 t0 = time.time()
@@ -343,6 +389,7 @@ def main() -> None:
 
     errs = [r for r in results if "err" in r]
     mismatches = [r for r in results if str(r.get("oracle", "")).startswith("MISMATCH")]
+    walls = {r["name"]: r["spark_s"] for r in results if "spark_s" in r}
     summary = {
         "sf": 1.0,
         "n_queries": len(results),
@@ -352,15 +399,47 @@ def main() -> None:
             1 for r in results if r.get("oracle") == "match (setwise)"
         ),
         "partwise_checked": sum(
-            1 for r in results if r.get("oracle") == "match (partwise)"
+            1 for r in results
+            if str(r.get("oracle", "")).startswith("match (partwise")
         ),
         "mismatches": len(mismatches),
         "rows_only": sum(1 for r in results if str(r.get("oracle", "")).startswith("rows-only")),
         "total_spark_s": round(sum(r.get("spark_s", 0) for r in results), 1),
     }
+    fv = check_sf1_floors(walls)
+    if fv is not None:
+        summary["floor_violations"] = fv
     with open(args.out, "w") as f:
         json.dump({"summary": summary, "results": results}, f, indent=1)
     print(json.dumps(summary), flush=True)
+
+
+def check_sf1_floors(walls: dict[str, float]) -> list[str] | None:
+    """sf1 mirror of bench.check_floors (VERDICT r8 task 7): compare the
+    sweep's engine walls against committed slow-tail references. The sf1
+    envelope (1 GB heap, local[8], shared host) is far noisier than the
+    sf0.1 bench, so the bounds are looser — the gate exists to catch the
+    round-8 disease class (a rep-collapse regression turning 10 s back
+    into 90+ s), not 20% jitter. Returns None when no floors file exists."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SF1_FLOORS.json",
+    )
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        floors = json.load(f)
+    mult = floors["multiplier"]
+    slack = floors["absolute_slack_sec"]
+    out = []
+    for name, ref in floors["reference"].items():
+        got = walls.get(name)
+        if got is None:
+            continue
+        bound = max(ref * mult, ref + slack)
+        if got > bound:
+            out.append(f"{name}: {got:.1f}s > bound {bound:.1f}s (ref {ref:.1f}s)")
+    return out
 
 
 if __name__ == "__main__":
