@@ -191,7 +191,15 @@ def compare_setwise(
     import os as _os
 
     out = _os.path.join(work_dir, f"{name}.spark.parquet")
-    spark_df.write.mode("overwrite").parquet(out)
+    # 16 MB row groups instead of parquet's 128 MB default: each write
+    # task buffers a full row group, so 8 concurrent tasks under the
+    # sweep's 1 GB driver-default heap sit one flush away from an OOM
+    # at the default size (q_d2's 51.6 M-row write died exactly there
+    # in round 9). The compare only ever streams this file back through
+    # DuckDB, which is indifferent to row-group granularity.
+    spark_df.write.mode("overwrite").option(
+        "parquet.block.size", 16 * 1024 * 1024
+    ).parquet(out)
     try:
         con.execute(f"SET temp_directory='{work_dir}/duck_spill'")
     except duckdb.NotImplementedException:

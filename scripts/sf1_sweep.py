@@ -211,6 +211,21 @@ def main() -> None:
             with lock:
                 running = False
             timer.cancel()
+    def ensure_alive(s):
+        """Health-probe the session; hard-rebuild if the JVM is gone.
+
+        The per-query except path already resurrects after a failed
+        MATERIALIZATION, but a JVM death inside the oracle section (the
+        part-wise parquet write is a real Spark job) would otherwise
+        poison every later row — exactly the round-6 cascade, one
+        stage later."""
+        try:
+            s.range(1).count()
+            return s
+        except Exception:  # noqa: BLE001
+            print("# session dead — hard rebuild", file=sys.stderr, flush=True)
+            return fresh_session(hard=True)
+
     results = []
     started = args.start_after is None
     ran = 0
@@ -278,7 +293,13 @@ def main() -> None:
             nonlocal con_big
             pq_dir = os.path.join(args.work_dir, f"{qname}.spark.parquet")
             if write_parquet:
-                frame.write.mode("overwrite").parquet(pq_dir)
+                # 16 MB row groups: a write task buffers a whole row
+                # group, and 8 tasks x the 128 MB parquet default is the
+                # exact heap-death this sweep's 1 GB envelope exists to
+                # catch (q_d2's 51.6 M-row write, round 9).
+                frame.write.mode("overwrite").option(
+                    "parquet.block.size", 16 * 1024 * 1024
+                ).parquet(pq_dir)
             if not os.path.isdir(pq_dir):
                 return None, False
             con_big = O.duckdb_connect(args.dst)
@@ -319,7 +340,29 @@ def main() -> None:
                         if pw <= args.oracle_budget:
                             afford[tag] = psql
                     if afford:
-                        outcome, all_ok = _partwise(name, df, afford, True)
+                        try:
+                            outcome, all_ok = _partwise(name, df, afford, True)
+                        except Exception as e:  # noqa: BLE001
+                            # The write is a real Spark job and can take
+                            # the JVM with it; resurrect, re-derive the
+                            # frame on the fresh session, and retry once
+                            # (the lean-row-group write makes the retry
+                            # meaningfully different, not a coin flip).
+                            row["oracle_parts_retry"] = (
+                                f"{type(e).__name__}: {str(e)[:160]}"
+                            )
+                            spark = ensure_alive(spark)
+                            try:
+                                df = queries[name](spark, args.dst)
+                                outcome, all_ok = _partwise(
+                                    name, df, afford, True
+                                )
+                            except Exception as e2:  # noqa: BLE001
+                                row["oracle_parts_err"] = (
+                                    f"{type(e2).__name__}: {str(e2)[:200]}"
+                                )
+                                spark = ensure_alive(spark)
+                                outcome, all_ok = None, False
                         if outcome is not None:
                             row["oracle_parts"] = outcome
                             skipped = sorted(set(psqls) - set(afford))
@@ -356,7 +399,14 @@ def main() -> None:
                     # post-OOM connection state.
                     psqls = _suite_part_sqls(name)
                     if psqls:
-                        outcome, all_ok = _partwise(name, df, psqls, False)
+                        try:
+                            outcome, all_ok = _partwise(name, df, psqls, False)
+                        except Exception as e2:  # noqa: BLE001
+                            row["oracle_parts_err"] = (
+                                f"{type(e2).__name__}: {str(e2)[:200]}"
+                            )
+                            spark = ensure_alive(spark)
+                            outcome, all_ok = None, False
                         if outcome is not None:
                             row["oracle_parts"] = outcome
                             if all_ok:
@@ -378,6 +428,7 @@ def main() -> None:
             vacuum_detached_scratch,
         )
 
+        spark = ensure_alive(spark)
         vacuum_detached_scratch(spark)
         results.append(row)
         print(json.dumps(row), flush=True)
