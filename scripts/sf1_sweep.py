@@ -109,6 +109,11 @@ def main() -> None:
     ap.add_argument("--start-after", default=None,
                     help="resume: skip query names up to and including this")
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--merge", action="store_true",
+                    help="merge this run's rows into an existing --out by "
+                         "query name (fresh rows win) and recompute the "
+                         "summary — for targeted re-runs after a fix "
+                         "instead of hand-splicing the artifact")
     ap.add_argument("--restart-every", type=int, default=10,
                     help="recycle the Spark session every N queries: pinned "
                          "localCheckpoint blocks and broadcast refs from "
@@ -307,11 +312,29 @@ def main() -> None:
                 qname, pq_dir, psqls, con_big, args.work_dir,
                 oracle_timeout_s=args.oracle_timeout,
             )
-            outcome = {
-                t: ("match" if r.ok else f"FAIL: {r.mismatches[:1]}")
-                for t, r in pres.items()
-            }
-            return outcome, all(r.ok for r in pres.values())
+            outcome = {}
+            all_ok = True
+            for t, r in pres.items():
+                if r.ok:
+                    outcome[t] = "match"
+                    continue
+                msg = "; ".join(r.mismatches[:1])
+                if "InterruptException" in msg or "OutOfMemoryException" in msg:
+                    # Oracle capacity, not evidence of mismatch: the
+                    # part's DuckDB side hit the interrupt cap or the
+                    # spill cap (q_x10's split part is a clone-quadratic
+                    # shingle self-join + recursive CTE — the q_er2
+                    # exhaustive-oracle class). Recorded visibly, never
+                    # folded into FAIL.
+                    outcome[t] = (
+                        "skipped (oracle timeout)"
+                        if "InterruptException" in msg
+                        else "skipped (oracle OOM)"
+                    )
+                else:
+                    outcome[t] = f"FAIL: {r.mismatches[:1]}"
+                    all_ok = False
+            return outcome, all_ok
 
         if sql is not None:
             t0 = time.time()
@@ -368,10 +391,14 @@ def main() -> None:
                             skipped = sorted(set(psqls) - set(afford))
                             if skipped:
                                 row["oracle_parts_skipped"] = skipped
-                            if all_ok:
+                            n_match = sum(
+                                1 for v in outcome.values() if v == "match"
+                            )
+                            if all_ok and n_match:
                                 row["oracle"] = (
-                                    "match (partwise)" if not skipped else
-                                    f"match (partwise {len(afford)}/{len(psqls)})"
+                                    "match (partwise)"
+                                    if n_match == len(psqls) else
+                                    f"match (partwise {n_match}/{len(psqls)})"
                                 )
                 row["oracle_s"] = round(time.time() - t0, 2)
             elif n_rows > 3_000_000:
@@ -409,8 +436,15 @@ def main() -> None:
                             outcome, all_ok = None, False
                         if outcome is not None:
                             row["oracle_parts"] = outcome
-                            if all_ok:
-                                row["oracle"] = "match (partwise)"
+                            n_match = sum(
+                                1 for v in outcome.values() if v == "match"
+                            )
+                            if all_ok and n_match:
+                                row["oracle"] = (
+                                    "match (partwise)"
+                                    if n_match == len(outcome) else
+                                    f"match (partwise {n_match}/{len(outcome)})"
+                                )
                 row["oracle_s"] = round(time.time() - t0, 2)
             else:
                 t0 = time.time()
@@ -419,6 +453,33 @@ def main() -> None:
                     row["oracle"] = "match" if r.ok else f"MISMATCH: {r.mismatches[:2]}"
                 except Exception as e:  # noqa: BLE001
                     row["oracle"] = f"oracle_err: {type(e).__name__}: {str(e)[:200]}"
+                    # Same part-wise fallback as the setwise branch: a
+                    # fused suite oracle can blow DuckDB's spill cap or
+                    # the interrupt ceiling even when its OUTPUT is small
+                    # enough for the pandas compare (q_x10's 162 k rows
+                    # hide a 7-member union whose sf1 oracle runs 900 s+).
+                    # No parquet exists yet on this path — write it.
+                    psqls = _suite_part_sqls(name)
+                    if psqls:
+                        try:
+                            outcome, all_ok = _partwise(name, df, psqls, True)
+                        except Exception as e2:  # noqa: BLE001
+                            row["oracle_parts_err"] = (
+                                f"{type(e2).__name__}: {str(e2)[:200]}"
+                            )
+                            spark = ensure_alive(spark)
+                            outcome, all_ok = None, False
+                        if outcome is not None:
+                            row["oracle_parts"] = outcome
+                            n_match = sum(
+                                1 for v in outcome.values() if v == "match"
+                            )
+                            if all_ok and n_match:
+                                row["oracle"] = (
+                                    "match (partwise)"
+                                    if n_match == len(outcome) else
+                                    f"match (partwise {n_match}/{len(outcome)})"
+                                )
                 row["oracle_s"] = round(time.time() - t0, 2)
         # The suite's result is fully materialized (xor-hash + oracle
         # parquet write) — safe to reclaim any scratch its detached
@@ -437,6 +498,14 @@ def main() -> None:
         # died at the window edge with all rows buffered in a pipe).
         with open(args.out + ".partial", "w") as f:
             json.dump({"results": results}, f, indent=1)
+
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f).get("results", [])
+        by = {r["name"]: r for r in prev}
+        for r in results:
+            by[r["name"]] = r
+        results = [by[n] for n in sorted(by)]
 
     errs = [r for r in results if "err" in r]
     mismatches = [r for r in results if str(r.get("oracle", "")).startswith("MISMATCH")]
