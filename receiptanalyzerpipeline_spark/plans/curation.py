@@ -716,18 +716,24 @@ def q_x18(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(C.word_kgrams(F.col("text"), 2)).alias("g"),
     ).select("doc_id", "source", C.dsir_bucket(F.col("g"), _DSIR_BUCKETS).alias("b"))
 
-    tot = f.agg(
-        F.sum(F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0))
+    # ONE tokenize+explode+bucket pass: db is the only aggregate over
+    # raw features; tot/tgt/cor re-fold db's partial counts (integer-
+    # exact, bit-identical results) so the corpus-sized map and its
+    # (doc, source, bucket) shuffle run once and the exchange is reused
+    # by every consumer — previously FOUR full tokenize passes.
+    db = f.groupBy("doc_id", "source", "b").agg(F.count("*").alias("n"))
+    tot = db.agg(
+        F.sum(F.when(F.col("source") == _DSIR_TARGET, F.col("n")).otherwise(0))
         .cast("long")
         .alias("t_total"),
-        F.count("*").alias("c_total"),
+        F.sum("n").alias("c_total"),
     )
     tgt = (
-        f.where(F.col("source") == _DSIR_TARGET)
+        db.where(F.col("source") == _DSIR_TARGET)
         .groupBy("b")
-        .agg(F.count("*").alias("tc"))
+        .agg(F.sum("n").alias("tc"))
     )
-    cor = f.groupBy("b").agg(F.count("*").alias("cc"))
+    cor = db.groupBy("b").agg(F.sum("n").alias("cc"))
     lr = (
         cor.join(tgt, "b", "left")
         .crossJoin(F.broadcast(tot))
@@ -746,7 +752,6 @@ def q_x18(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lr"),
         )
     )
-    db = f.groupBy("doc_id", "source", "b").agg(F.count("*").alias("n"))
     terms = db.join(F.broadcast(lr), "b").select(
         "doc_id", "source", "b", "n", (F.col("n") * F.col("lr")).alias("term")
     )
@@ -1026,12 +1031,18 @@ def q_x25(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = docs.select(
         "doc_id", F.explode(C.word_kgrams(F.col("text"), 2)).alias("g")
     )
-    v = bg.agg(
-        F.count_distinct("g").cast("long").alias("vocab"),
-        F.count("*").alias("total"),
-    )
-    lm = bg.groupBy("g").agg(F.count("*").alias("c"))
+    # ONE tokenize+explode pass: db is the only aggregate computed from
+    # raw bigrams; lm re-groups db's partial counts (sum over docs) and
+    # v folds lm — all integer-exact, so results are bit-identical to
+    # aggregating bg three times, but the corpus-sized map and its
+    # shuffle run once and Catalyst reuses the exchange for every
+    # consumer (sf1: 63 s -> the map was 3x of the wall).
     db = bg.groupBy("doc_id", "g").agg(F.count("*").alias("n"))
+    lm = db.groupBy("g").agg(F.sum("n").alias("c"))
+    v = lm.agg(
+        F.count("*").cast("long").alias("vocab"),
+        F.sum("c").alias("total"),
+    )
     terms = (
         db.join(lm, "g")
         .crossJoin(F.broadcast(v))
