@@ -357,10 +357,17 @@ def compare_setwise_parts(
     out: dict[str, CompareResult] = {}
     for tag, psql in part_sqls.items():
         res = CompareResult(f"{name}.{tag}", True, -1, -1)
+        # Tag which SIDE a digest exception came from (ADVICE r9): the
+        # Spark-parquet digest runs under the same memory_limit and can
+        # itself OOM; callers must not classify that as "oracle
+        # capacity" — it would leave an UNVERIFIED Spark result looking
+        # like a benign oracle skip.
+        side = "spark-parquet"
         try:
             s_n, s_xor, s_sum = digest(
                 f"(SELECT * FROM {src} WHERE part = '{tag}') AS _s"
             )
+            side = "oracle"
             o_n, o_xor, o_sum = digest(
                 f"({psql}) AS _o", timeout_s=oracle_timeout_s
             )
@@ -376,7 +383,9 @@ def compare_setwise_parts(
                 )
         except Exception as ex:  # per-part isolation: one OOM ≠ suite opaque
             res.ok = False
-            res.mismatches.append(f"exception: {type(ex).__name__}: {str(ex)[:200]}")
+            res.mismatches.append(
+                f"exception ({side} digest): {type(ex).__name__}: {str(ex)[:200]}"
+            )
         out[tag] = res
     return out
 

@@ -722,11 +722,16 @@ def q_x18(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc, source, bucket) shuffle run once and the exchange is reused
     # by every consumer — previously FOUR full tokenize passes.
     db = f.groupBy("doc_id", "source", "b").agg(F.count("*").alias("n"))
+    # coalesce keeps the pre-r9 non-null contract (count(*) never NULL;
+    # sum(n) is NULL on empty input) — ADVICE r9.
     tot = db.agg(
-        F.sum(F.when(F.col("source") == _DSIR_TARGET, F.col("n")).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("source") == _DSIR_TARGET, F.col("n")).otherwise(0)),
+            F.lit(0),
+        )
         .cast("long")
         .alias("t_total"),
-        F.sum("n").alias("c_total"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("c_total"),
     )
     tgt = (
         db.where(F.col("source") == _DSIR_TARGET)
@@ -1041,7 +1046,9 @@ def q_x25(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = db.groupBy("g").agg(F.sum("n").alias("c"))
     v = lm.agg(
         F.count("*").cast("long").alias("vocab"),
-        F.sum("c").alias("total"),
+        # coalesce: sum() is NULL on empty input; keep the count(*)-era
+        # non-null contract (ADVICE r9).
+        F.coalesce(F.sum("c"), F.lit(0)).alias("total"),
     )
     terms = (
         db.join(lm, "g")

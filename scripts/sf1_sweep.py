@@ -85,6 +85,26 @@ def build_sf1(src: str, dst: str, times: int = 10) -> None:
     con.close()
 
 
+def _apply_parts(row: dict, outcome: dict, n_total: int) -> None:
+    """Fold a part-wise outcome dict into the row's TOP-LEVEL 'oracle'
+    field. A part FAIL must surface as a MISMATCH string there —
+    summary['mismatches'] and the sf1 gate test only look at
+    row['oracle'] (ADVICE r9: a real part-level value mismatch
+    previously left the row 'rows-only'/'oracle_err' and the gate
+    green)."""
+    row["oracle_parts"] = outcome
+    fails = sorted(t for t, v in outcome.items() if str(v).startswith("FAIL"))
+    n_match = sum(1 for v in outcome.values() if v == "match")
+    if fails:
+        row["oracle"] = f"MISMATCH (partwise): {fails}"
+    elif n_match:
+        row["oracle"] = (
+            "match (partwise)"
+            if n_match == n_total
+            else f"match (partwise {n_match}/{n_total})"
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -307,6 +327,14 @@ def main() -> None:
                 ).parquet(pq_dir)
             if not os.path.isdir(pq_dir):
                 return None, False
+            # Close the previous connection before reconnecting — a
+            # 50-suite sweep otherwise leaks one DuckDB connection (and
+            # its file handles / spill dirs) per part-wise fallback
+            # (ADVICE r9).
+            try:
+                con_big.close()
+            except Exception:  # noqa: BLE001
+                pass
             con_big = O.duckdb_connect(args.dst)
             pres = O.compare_setwise_parts(
                 qname, pq_dir, psqls, con_big, args.work_dir,
@@ -319,7 +347,15 @@ def main() -> None:
                     outcome[t] = "match"
                     continue
                 msg = "; ".join(r.mismatches[:1])
-                if "InterruptException" in msg or "OutOfMemoryException" in msg:
+                # Soft-skip requires the exception to come from the
+                # ORACLE digest specifically (compare_setwise_parts tags
+                # the side — ADVICE r9): the Spark-parquet digest runs
+                # under the same 16 GB memory_limit and can itself OOM,
+                # and that is an UNVERIFIED Spark result, not oracle
+                # capacity.
+                if "(oracle digest)" in msg and (
+                    "InterruptException" in msg or "OutOfMemoryException" in msg
+                ):
                     # Oracle capacity, not evidence of mismatch: the
                     # part's DuckDB side hit the interrupt cap or the
                     # spill cap (q_x10's split part is a clone-quadratic
@@ -387,19 +423,10 @@ def main() -> None:
                                 spark = ensure_alive(spark)
                                 outcome, all_ok = None, False
                         if outcome is not None:
-                            row["oracle_parts"] = outcome
                             skipped = sorted(set(psqls) - set(afford))
                             if skipped:
                                 row["oracle_parts_skipped"] = skipped
-                            n_match = sum(
-                                1 for v in outcome.values() if v == "match"
-                            )
-                            if all_ok and n_match:
-                                row["oracle"] = (
-                                    "match (partwise)"
-                                    if n_match == len(psqls) else
-                                    f"match (partwise {n_match}/{len(psqls)})"
-                                )
+                            _apply_parts(row, outcome, len(psqls))
                 row["oracle_s"] = round(time.time() - t0, 2)
             elif n_rows > 3_000_000:
                 # Too large to collect through pandas — exact out-of-core
@@ -435,16 +462,7 @@ def main() -> None:
                             spark = ensure_alive(spark)
                             outcome, all_ok = None, False
                         if outcome is not None:
-                            row["oracle_parts"] = outcome
-                            n_match = sum(
-                                1 for v in outcome.values() if v == "match"
-                            )
-                            if all_ok and n_match:
-                                row["oracle"] = (
-                                    "match (partwise)"
-                                    if n_match == len(outcome) else
-                                    f"match (partwise {n_match}/{len(outcome)})"
-                                )
+                            _apply_parts(row, outcome, len(outcome))
                 row["oracle_s"] = round(time.time() - t0, 2)
             else:
                 t0 = time.time()
@@ -470,16 +488,7 @@ def main() -> None:
                             spark = ensure_alive(spark)
                             outcome, all_ok = None, False
                         if outcome is not None:
-                            row["oracle_parts"] = outcome
-                            n_match = sum(
-                                1 for v in outcome.values() if v == "match"
-                            )
-                            if all_ok and n_match:
-                                row["oracle"] = (
-                                    "match (partwise)"
-                                    if n_match == len(outcome) else
-                                    f"match (partwise {n_match}/{len(outcome)})"
-                                )
+                            _apply_parts(row, outcome, len(outcome))
                 row["oracle_s"] = round(time.time() - t0, 2)
         # The suite's result is fully materialized (xor-hash + oracle
         # parquet write) — safe to reclaim any scratch its detached
@@ -523,6 +532,15 @@ def main() -> None:
             if str(r.get("oracle", "")).startswith("match (partwise")
         ),
         "mismatches": len(mismatches),
+        # Belt-and-braces (ADVICE r9): count part-level FAILs directly
+        # so a future regression in the propagation above can't hide a
+        # value mismatch from the gate test.
+        "part_fails": sum(
+            1
+            for r in results
+            for v in (r.get("oracle_parts") or {}).values()
+            if str(v).startswith("FAIL")
+        ),
         "rows_only": sum(1 for r in results if str(r.get("oracle", "")).startswith("rows-only")),
         "total_spark_s": round(sum(r.get("spark_s", 0) for r in results), 1),
     }

@@ -65,6 +65,20 @@ def test_sf1_sweep_health():
         r for r in sweep["results"]
         if str(r.get("oracle", "")).startswith("MISMATCH")
     ]
+    # ADVICE r9: a part-level FAIL must never hide behind a 'rows-only'
+    # or 'oracle_err' top-level field. The sweep now both propagates
+    # FAILs into row['oracle'] (counted above) and records them raw in
+    # summary['part_fails'] — assert on the raw count too so a future
+    # propagation regression cannot blind this test.
+    assert s.get(
+        "part_fails",
+        sum(
+            1
+            for r in sweep["results"]
+            for v in (r.get("oracle_parts") or {}).values()
+            if str(v).startswith("FAIL")
+        ),
+    ) == 0
     checked = (
         s["hash_checked"]
         + s["setwise_checked"]
