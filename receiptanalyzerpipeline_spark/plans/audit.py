@@ -192,11 +192,37 @@ def audit_registry(spark, sf_dir: str, names: list[str] | None = None) -> list[P
     """Audit every registered query's plan (build-only, nothing executes).
 
     This is the preflight a reference user runs after adding a query:
-    zero findings (or a consciously-allowlisted one) before it ships."""
+    zero findings (or a consciously-allowlisted one) before it ships.
+
+    Beyond the plan-tree hazards, this flags ``eager_builder``: a
+    registry builder that runs Spark JOBS during plan CONSTRUCTION
+    (VERDICT r9 task 7). A builder's contract is to declare a lazy plan;
+    a driver action inside it (count(), first(), a materializing write)
+    executes corpus-sized work before the user ever asks for a row, and
+    re-executes it on every plan re-build. The one legitimate exception
+    is a query whose SUBJECT is an execution (the streaming-equivalence
+    probe replays a checkpointed topology — the run IS the result);
+    callers allowlist those by (query, 'eager_builder') with a written
+    justification, exactly like the plan-tree hazards."""
     from receiptanalyzerpipeline_spark.plans import REGISTRY
 
+    sc = spark.sparkContext
     findings: list[PlanFinding] = []
     for qname in sorted(names or REGISTRY):
-        df = REGISTRY[qname].spark(spark, sf_dir)
+        group = f"plan-audit-build-{qname}"
+        sc.setJobGroup(group, "registry builders must construct lazily")
+        try:
+            df = REGISTRY[qname].spark(spark, sf_dir)
+        finally:
+            sc.setJobGroup("", "")
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        if jobs:
+            findings.append(
+                PlanFinding(
+                    qname,
+                    "eager_builder",
+                    f"{len(jobs)} Spark job(s) ran during plan construction",
+                )
+            )
         findings.extend(audit_plan(df, name=qname))
     return findings

@@ -516,10 +516,22 @@ def main() -> None:
             by[r["name"]] = r
         results = [by[n] for n in sorted(by)]
 
+    summary = compute_summary(results)
+    walls = {r["name"]: r["spark_s"] for r in results if "spark_s" in r}
+    fv = check_sf1_floors(walls)
+    if fv is not None:
+        summary["floor_violations"] = fv
+    with open(args.out, "w") as f:
+        json.dump({"summary": summary, "results": results}, f, indent=1)
+    print(json.dumps(summary), flush=True)
+
+
+def compute_summary(results: list[dict]) -> dict:
+    """Sweep-wide counters (shared with scripts/sf1_close_parts.py's
+    merge step so a re-merged artifact recomputes the SAME summary)."""
     errs = [r for r in results if "err" in r]
     mismatches = [r for r in results if str(r.get("oracle", "")).startswith("MISMATCH")]
-    walls = {r["name"]: r["spark_s"] for r in results if "spark_s" in r}
-    summary = {
+    return {
         "sf": 1.0,
         "n_queries": len(results),
         "errs": len(errs),
@@ -530,6 +542,12 @@ def main() -> None:
         "partwise_checked": sum(
             1 for r in results
             if str(r.get("oracle", "")).startswith("match (partwise")
+        ),
+        # VERDICT r9 task 3: q_er2's sf1 value evidence is sampled-slice
+        # (deterministic md5 buckets, exhaustive oracle per slice).
+        "sampled_checked": sum(
+            1 for r in results
+            if str(r.get("oracle", "")).startswith("match (sampled")
         ),
         "mismatches": len(mismatches),
         # Belt-and-braces (ADVICE r9): count part-level FAILs directly
@@ -544,12 +562,6 @@ def main() -> None:
         "rows_only": sum(1 for r in results if str(r.get("oracle", "")).startswith("rows-only")),
         "total_spark_s": round(sum(r.get("spark_s", 0) for r in results), 1),
     }
-    fv = check_sf1_floors(walls)
-    if fv is not None:
-        summary["floor_violations"] = fv
-    with open(args.out, "w") as f:
-        json.dump({"summary": summary, "results": results}, f, indent=1)
-    print(json.dumps(summary), flush=True)
 
 
 def check_sf1_floors(walls: dict[str, float]) -> list[str] | None:

@@ -83,6 +83,7 @@ def test_sf1_sweep_health():
         s["hash_checked"]
         + s["setwise_checked"]
         + s.get("partwise_checked", 0)
+        + s.get("sampled_checked", 0)
         + s["rows_only"]
     )
     unexplained = [
