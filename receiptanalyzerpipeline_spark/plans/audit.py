@@ -207,6 +207,20 @@ def audit_registry(spark, sf_dir: str, names: list[str] | None = None) -> list[P
     from receiptanalyzerpipeline_spark.plans import REGISTRY
 
     sc = spark.sparkContext
+    # Pre-warm schema inference THROUGH the catalog's memoized scans: the
+    # FIRST read of a parquet file in a session runs a 1-task footer job
+    # (Spark's distributed schema inference), and catalog.table memoizes
+    # per (session, sf_dir, name) — so whichever builder first touches a
+    # table would otherwise absorb that one-time job and masquerade as
+    # an eager_builder finding.
+    from receiptanalyzerpipeline_spark.catalog import TABLES, table as _table
+
+    for t in TABLES:
+        try:
+            _table(spark, sf_dir, t).schema
+        except Exception:  # noqa: BLE001 — missing optional table in a partial sf_dir
+            pass
+
     findings: list[PlanFinding] = []
     for qname in sorted(names or REGISTRY):
         group = f"plan-audit-build-{qname}"
