@@ -448,6 +448,7 @@ def write_snapshot(
     manifest_extra: dict | None = None,
     validate_constraints: bool = True,
     stats_cols: list[str] | None = None,
+    expected_head: int | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -468,6 +469,17 @@ def write_snapshot(
     APPEND re-chains on the new head and retries (appends commute); an
     OVERWRITE raises ``CommitConflict`` — its content was computed
     against a base that no longer is the head.
+
+    ``expected_head``: the version the caller's ``df`` was DERIVED from
+    (a read-modify-write like compaction). The conditional-put alone
+    only detects races inside the publish window; a writer whose READ
+    was stale — it read version N, another writer committed N+1, and
+    only then did this function run — would otherwise publish its
+    rewrite as N+2 and silently drop the interleaved commit's rows (the
+    lost update the round-10 continuous soak caught: a live sink's
+    batch vanished from a snapshot compacted from a stale read). With
+    ``expected_head`` set, the commit raises ``CommitConflict`` whenever
+    the current head differs from it.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -488,6 +500,12 @@ def write_snapshot(
         # the crash window between manifest publish and pointer rename).
         committed = versions(path)
         prev = committed[-1] if committed else None
+        if expected_head is not None and prev != expected_head:
+            raise CommitConflict(
+                f"head at {path} is {prev}, but this write was derived "
+                f"from version {expected_head}; recompute against the new "
+                "head and retry"
+            )
         version = 0 if prev is None else prev + 1
         files = new_files
         groups: list[dict] = []
@@ -1625,6 +1643,10 @@ def compact_snapshot(
         validate_constraints=False,
         manifest_extra=extra,
         stats_cols=cluster_by or None,
+        # The rewrite is version `cur`'s rows: if anything committed
+        # after `cur` was read, publishing would be a lost update (the
+        # round-10 soak's finding); conflict instead, caller retries.
+        expected_head=cur,
     )
 
 

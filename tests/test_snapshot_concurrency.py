@@ -140,3 +140,51 @@ def test_orphan_data_dirs_vacuumed_after_grace(spark, tmp_path):
     snap.expire_snapshots(path, keep_last=2, orphan_grace_s=0)
     assert not orphan.exists()
     assert snap.read_snapshot(spark, path).count() == 5
+
+
+def test_stale_read_overwrite_conflicts_instead_of_lost_update(spark, tmp_path):
+    """Round-10 soak finding: a read-modify-write (compaction) whose READ
+    predates an interleaved commit must CONFLICT, not publish — before
+    expected_head, the stale rewrite landed as a fresh version and the
+    interleaved commit's rows silently vanished from the live view."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    snap.write_snapshot(spark.range(5).toDF("id"), path, mode="overwrite")
+    base = snap.current_version(path)
+    stale = snap.read_snapshot(spark, path, version=base)
+    # Interleaved commit lands after the reader took its base.
+    snap.write_snapshot(spark.range(5, 8).toDF("id"), path, mode="append")
+    with _pytest.raises(snap.CommitConflict):
+        snap.write_snapshot(
+            stale, path, mode="overwrite", expected_head=base,
+            validate_constraints=False,
+        )
+    # The interleaved rows are still live.
+    ids = {r["id"] for r in snap.read_snapshot(spark, path).collect()}
+    assert ids == set(range(8))
+
+
+def test_compact_snapshot_conflicts_on_concurrent_commit(spark, tmp_path, monkeypatch):
+    """compact_snapshot passes its read version as expected_head: inject
+    a commit between its read and its publish and assert the compaction
+    conflicts rather than dropping the injected batch."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    snap.write_snapshot(spark.range(10).toDF("id"), path, mode="overwrite")
+
+    real_read = snap.read_snapshot
+
+    def read_then_interleave(s, p, version=None):
+        df = real_read(s, p, version=version)
+        # A live sink commits right after the compaction's read.
+        snap.write_snapshot(spark.range(10, 12).toDF("id"), p, mode="append")
+        return df
+
+    monkeypatch.setattr(snap, "read_snapshot", read_then_interleave)
+    with _pytest.raises(snap.CommitConflict):
+        snap.compact_snapshot(spark, path)
+    monkeypatch.undo()
+    ids = {r["id"] for r in snap.read_snapshot(spark, path).collect()}
+    assert ids == set(range(12))
