@@ -90,20 +90,26 @@ def run_names(master: str, names: list[str], sf_dir: str) -> dict[str, dict]:
     return out
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
-    ap.add_argument("--out", default="LOCAL_CLUSTER_PARITY.json")
-    ap.add_argument("--cluster-master", default="local-cluster[2,1,1024]")
-    ap.add_argument("--local-master", default="local[8]")
-    args = ap.parse_args()
+# VERDICT r9 task 6: the sf0.001 full-registry sweep proves
+# serialization/scratch-visibility; these are the heaviest suites,
+# re-proven AT DATA VOLUME (sf0.1) on a 2-executor/2-core/2 GB cluster —
+# the regime where shuffle sizes, partial-aggregate merges, and
+# broadcast thresholds actually bite.
+VOLUME_NAMES = [
+    "q_d2_neardup_suite",
+    "q_x10_selection_suite",
+    "q_g1_graph_suite",
+    "q_er2_qgram_edit_join",
+    "q_x25_model_scoring",
+    "q_er3_linkage_scoring",
+    "q_x20_mining_suite",
+    "q_x17_substring_dedup",
+    "q_d3_minhash_lsh",
+    "q_x22_portable_ml",
+]
 
-    import __spark_entry__ as E
 
-    names = sorted(E.queries())
-    cluster = run_names(args.cluster_master, names, args.sf_dir)
-    local = run_names(args.local_master, names, args.sf_dir)
-
+def compare_runs(names, cluster, local):
     results = []
     for name in names:
         c, l = cluster[name], local[name]
@@ -116,19 +122,65 @@ def main() -> int:
             else "err"
         )
         results.append(row)
+    return results
 
-    summary = {
-        "sf_dir": args.sf_dir,
-        "cluster_master": args.cluster_master,
+
+def summarize(results, sf_dir, cluster_master):
+    return {
+        "sf_dir": sf_dir,
+        "cluster_master": cluster_master,
         "n_queries": len(results),
         "match": sum(1 for r in results if r["parity"] == "match"),
         "mismatch": sum(1 for r in results if r["parity"] == "MISMATCH"),
         "errs": sum(1 for r in results if r["parity"] == "err"),
     }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default="LOCAL_CLUSTER_PARITY.json")
+    ap.add_argument("--cluster-master", default="local-cluster[2,1,1024]")
+    ap.add_argument("--local-master", default="local[8]")
+    ap.add_argument("--volume-only", action="store_true",
+                    help="skip the full-registry sf0.001 sweep; run ONLY "
+                         "the heavy-suite volume section at --volume-sf-dir "
+                         "and merge it into the existing --out artifact")
+    ap.add_argument("--volume-sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--volume-cluster-master", default="local-cluster[2,2,2048]")
+    args = ap.parse_args()
+
+    import __spark_entry__ as E
+
+    artifact: dict = {}
+    if args.volume_only and os.path.exists(args.out):
+        with open(args.out) as f:
+            artifact = json.load(f)
+
+    if not args.volume_only:
+        names = sorted(E.queries())
+        cluster = run_names(args.cluster_master, names, args.sf_dir)
+        local = run_names(args.local_master, names, args.sf_dir)
+        results = compare_runs(names, cluster, local)
+        artifact["summary"] = summarize(results, args.sf_dir, args.cluster_master)
+        artifact["results"] = results
+
+    vnames = [n for n in VOLUME_NAMES if n in E.queries()]
+    vcluster = run_names(args.volume_cluster_master, vnames, args.volume_sf_dir)
+    vlocal = run_names(args.local_master, vnames, args.volume_sf_dir)
+    vresults = compare_runs(vnames, vcluster, vlocal)
+    artifact["volume"] = {
+        "summary": summarize(vresults, args.volume_sf_dir, args.volume_cluster_master),
+        "results": vresults,
+    }
+
     with open(args.out, "w") as f:
-        json.dump({"summary": summary, "results": results}, f, indent=1)
-    print(json.dumps(summary), flush=True)
-    return 0 if summary["mismatch"] == 0 and summary["errs"] == 0 else 1
+        json.dump(artifact, f, indent=1)
+    print(json.dumps(artifact["volume"]["summary"]), flush=True)
+    bad = artifact["volume"]["summary"]["mismatch"] + artifact["volume"]["summary"]["errs"]
+    if not args.volume_only:
+        bad += artifact["summary"]["mismatch"] + artifact["summary"]["errs"]
+    return 0 if bad == 0 else 1
 
 
 if __name__ == "__main__":

@@ -518,7 +518,21 @@ def main() -> None:
 
     summary = compute_summary(results)
     walls = {r["name"]: r["spark_s"] for r in results if "spark_s" in r}
-    fv = check_sf1_floors(walls)
+    # Host-speed canary (VERDICT r9 task 1, sf1 side): measured on the
+    # PINNED sf0.1 lineitem (host speed, not replica size) under this
+    # sweep's own session, recorded in the artifact, and used to scale
+    # the floor bounds exactly like bench.py's gate.
+    hi = 1.0
+    try:
+        import bench
+
+        canary = bench.measure_canary(spark, args.src)
+        hi = sf1_host_index(canary)
+        summary["canary"] = canary
+        summary["host_index"] = hi
+    except Exception as e:  # noqa: BLE001 — a dead session must not void the sweep
+        summary["canary_err"] = f"{type(e).__name__}: {str(e)[:120]}"
+    fv = check_sf1_floors(walls, hi)
     if fv is not None:
         summary["floor_violations"] = fv
     with open(args.out, "w") as f:
@@ -564,7 +578,22 @@ def compute_summary(results: list[dict]) -> dict:
     }
 
 
-def check_sf1_floors(walls: dict[str, float]) -> list[str] | None:
+def sf1_host_index(canary: dict[str, float] | None) -> float:
+    """host_index against SF1_FLOORS.json's canary_reference (measured
+    under the sweep session shape); 1.0 when no reference is committed."""
+    import bench
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SF1_FLOORS.json",
+    )
+    if not os.path.exists(path):
+        return 1.0
+    with open(path) as f:
+        return bench.host_index(canary, json.load(f))
+
+
+def check_sf1_floors(walls: dict[str, float], hi: float = 1.0) -> list[str] | None:
     """sf1 mirror of bench.check_floors (VERDICT r8 task 7): compare the
     sweep's engine walls against committed slow-tail references. The sf1
     envelope (1 GB heap, local[8], shared host) is far noisier than the
@@ -586,9 +615,12 @@ def check_sf1_floors(walls: dict[str, float]) -> list[str] | None:
         got = walls.get(name)
         if got is None:
             continue
-        bound = max(ref * mult, ref + slack)
+        bound = max(ref * mult, ref + slack) * hi
         if got > bound:
-            out.append(f"{name}: {got:.1f}s > bound {bound:.1f}s (ref {ref:.1f}s)")
+            out.append(
+                f"{name}: {got:.1f}s > bound {bound:.1f}s "
+                f"(ref {ref:.1f}s, host_index {hi})"
+            )
     return out
 
 

@@ -43,3 +43,29 @@ def test_parity_artifact_covers_driver_surface():
     d = _load()
     E = importlib.import_module("__spark_entry__")
     assert {r["name"] for r in d["results"]} == set(E.queries())
+
+
+def test_parity_artifact_volume_section_clean():
+    """VERDICT r9 task 6: the sf0.001 sweep proves serialization and
+    scratch visibility; the VOLUME section re-proves the 10 heaviest
+    suites at sf0.1 on local-cluster[2,2,2048] — the regime where
+    shuffle sizes, partial-agg merges, and broadcast thresholds bite."""
+    d = _load()
+    v = d["volume"]
+    s = v["summary"]
+    assert "local-cluster[" in s["cluster_master"]
+    assert abs(0.1 - float(s["sf_dir"].rsplit("sf", 1)[-1])) < 1e-9
+    assert s["mismatch"] == 0 and s["errs"] == 0
+    assert s["match"] == s["n_queries"] == 10
+    assert {r["name"] for r in v["results"]} == set(_parity_mod().VOLUME_NAMES)
+
+
+def _parity_mod():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "cluster_parity", os.path.join(REPO, "scripts", "cluster_parity.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
