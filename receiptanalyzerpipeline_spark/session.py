@@ -56,6 +56,16 @@ def get_spark(
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Arrow slicing: the 10k default turns a 5.5M-row driver collect
+        # (q_er2's pair table) into 550 tiny batches — measurable slicing +
+        # GC overhead and high run-to-run variance. 256k cuts q_er2's warm
+        # collect ~10-20%. Batch BYTES stay bounded by partition size
+        # either way (scan partitions by maxPartitionBytes, shuffle
+        # partitions by AQE's advisory target), so the records cap is a
+        # narrow-row backstop, not the real memory bound; 256k keeps the
+        # pathological case (a multi-GB skewed shuffle partition of ~1 KB
+        # rows feeding mapInPandas) at ~256 MB per Python-worker batch.
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "262144",
         # Nested-schema pruning: the Textract document scans (sources/textract.py)
         # must read only the struct leaves a query touches.
         "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",

@@ -379,3 +379,13 @@ def test_q_x28_bm25_prunes_tokens_before_shuffle(spark, registry):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # everything joinable is broadcast-size
+
+
+def test_session_arrow_batch_sizing(spark):
+    # session.py raises Arrow's records-per-batch cap from the 10k default:
+    # a 5.5M-row driver collect (q_er2's pair table) is 550 batches at the
+    # default — measurable slicing/GC overhead — while batch BYTES remain
+    # bounded by partition size (maxPartitionBytes / AQE advisory target)
+    # regardless of the cap. Frozen so a future session edit can't silently
+    # reintroduce the 10k slicing.
+    assert spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "262144"
