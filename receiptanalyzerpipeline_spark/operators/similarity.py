@@ -193,7 +193,7 @@ def cosine_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 8,
+    n_blocks: int = 16,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — exact, id_a < id_b.
 
@@ -202,12 +202,12 @@ def cosine_neardup_pairs(
     irreducibly O(n²) compute, so the scalable plan distributes the
     quadratic work instead of funneling it through one broadcast loop.
     Block-partitioned all-pairs: vector i lands in block ``id % B``; every
-    unordered block pair (bi ≤ bj) becomes one equi-join key, each holding
-    ~n/B vectors per side. The join is a plain shuffled EQUI-join on
-    (bi, bj) — B(B+1)/2 keys, each a bounded (n/B)² candidate set — no
-    BroadcastNestedLoop / CartesianProduct anywhere in the plan
-    (tests/test_plan_shapes.py asserts this). Shuffle volume is n·(B+1)/2
-    rows; pick B ≈ √(cluster cores) so every core gets a block pair.
+    unordered block pair (bi ≤ bj) becomes one shuffle group key, each
+    holding ~n/B vectors per side — B(B+1)/2 keys, a bounded (n/B)²
+    candidate square per key, no BroadcastNestedLoop / CartesianProduct
+    anywhere in the plan (tests/test_plan_shapes.py asserts this).
+    Shuffle volume is n·(B+1)/2 rows; pick B so B(B+1)/2 ≳ cluster cores
+    and a block pair's two (n/B)-row matrices fit a Python worker.
 
     Why not LSH-front this operator (the usual candidate pruner, and what
     q_x5/q_d3 do): measured on the driver's corpus, the near-dup pairs sit
@@ -226,7 +226,27 @@ def cosine_neardup_pairs(
     on (v, v) — not a 1.0 literal — so results stay bit-identical to
     the raw-corpus join (sqrt(s)*sqrt(s) is not always exactly s in
     IEEE).
+
+    The quadratic core is BLAS-PRUNED (round 10, after the sf10 anchor
+    timed the expression-evaluated join out at 200 k distinct vectors:
+    40 G zip_with/aggregate evaluations is hours, the same count as
+    chunked sgemm is seconds). Each block pair becomes one
+    ``applyInPandas`` group holding the two blocks' vectors; a chunked
+    float32 matmul over L2-normalized rows emits CANDIDATE id pairs
+    with approx sim >= threshold - MARGIN, and the exact Spark
+    expression then recomputes sim on the survivors and applies the
+    real rounded-threshold test. MARGIN (2e-4) dominates the worst-case
+    float32 accumulation deviation (~d*eps32 = 4e-6) plus the
+    round-half-up boundary (5e-5), so the candidate set is a strict
+    superset of the true pairs and the final output is BIT-IDENTICAL
+    to the pure-expression join — the BLAS values are never emitted.
+    Rows whose exact sim would be NULL (ragged lengths, null or
+    zero-norm vectors) are excluded from the matmul per-length, exactly
+    mirroring zip_with's null-poisoning semantics.
     """
+    import numpy as np
+    import pandas as pd
+
     w = Window.partitionBy(vec_col)
     tagged = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
         "_rep", F.min(id_col).over(w)
@@ -241,26 +261,78 @@ def cosine_neardup_pairs(
     # right role: members of block bj, replicated to every key (bi≤bj, bj).
     # A cross-block pair meets exactly once (under (min_block, max_block)),
     # in arbitrary id order — so ids are canonicalized with least/greatest
-    # rather than filtered, and the id_l < id_r guard applies only to
+    # inside the kernel, and the id_l < id_r guard applies only to
     # same-block keys (where both orderings of a pair appear).
     a = reps.select(
-        F.col(id_col).alias("id_l"),
-        F.col(vec_col).alias("va"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.lit(0).alias("_role"),
         (F.col(id_col) % n_blocks).cast("int").alias("bi"),
     ).withColumn("bj", F.explode(F.filter(blocks, lambda j: j >= F.col("bi"))))
     b = reps.select(
-        F.col(id_col).alias("id_r"),
-        F.col(vec_col).alias("vb"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.lit(1).alias("_role"),
         (F.col(id_col) % n_blocks).cast("int").alias("bj"),
     ).withColumn("bi", F.explode(F.filter(blocks, lambda i: i <= F.col("bj"))))
-    rep_pairs = (
-        a.join(b, ["bi", "bj"])
-        .where((F.col("bi") < F.col("bj")) | (F.col("id_l") < F.col("id_r")))
-        .select(
-            F.least("id_l", "id_r").alias("id_a"),
-            F.greatest("id_l", "id_r").alias("id_b"),
-            cosine(F.col("va"), F.col("vb")).alias("sim"),
+    grouped = a.unionByName(b)
+
+    margin = 2e-4
+    chunk = 1024
+
+    def _candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+        same_block = bool(pdf["bi"].iloc[0] == pdf["bj"].iloc[0])
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+
+        def side(role: int):
+            s = pdf[pdf["_role"] == role]
+            by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            lens = s["_v"].map(lambda v: -1 if v is None else len(v))
+            for n, sub in s.groupby(lens):
+                if n <= 0:
+                    continue  # null/empty vec -> exact sim NULL -> dropped
+                m = np.stack([np.asarray(v, dtype=np.float64) for v in sub["_v"]])
+                nrm = np.sqrt((m * m).sum(axis=1))
+                ok = nrm > 0.0  # zero norm -> exact sim NULL -> dropped
+                if not ok.any():
+                    continue
+                mn = (m[ok] / nrm[ok, None]).astype(np.float32)
+                by_len[int(n)] = (sub["_id"].to_numpy()[ok], mn)
+            return by_len
+
+        left, right = side(0), side(1)
+        for n, (id_l, ln) in left.items():
+            rv = right.get(n)  # ragged pair -> exact sim NULL -> dropped
+            if rv is None:
+                continue
+            id_r, rn = rv
+            for i0 in range(0, len(id_l), chunk):
+                c = ln[i0 : i0 + chunk] @ rn.T
+                ii, jj = np.nonzero(c >= threshold - margin)
+                li = id_l[ii + i0]
+                rj = id_r[jj]
+                if same_block:
+                    keep = li < rj
+                    li, rj = li[keep], rj[keep]
+                out_a.append(np.minimum(li, rj))
+                out_b.append(np.maximum(li, rj))
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
+
+    cands = grouped.groupBy("bi", "bj").applyInPandas(
+        _candidates, "id_a long, id_b long"
+    )
+    va = reps.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = reps.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    rep_pairs = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("sim"))
         .where(F.col("sim") >= threshold)
     )
     ma = members.select(F.col("_rid").alias("id_a"), F.col("_mem").alias("_ma"))

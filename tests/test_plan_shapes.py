@@ -132,10 +132,14 @@ def test_q_d3_minhash_banded_join_no_cartesian(spark, registry):
 def test_q_d5_blocked_allpairs_is_equi_join(spark, registry):
     """Exact cosine near-dup distributes its O(n^2) work via block-pair
     equi-join keys - never a BroadcastNestedLoop of the whole corpus
-    (round-1 verdict scale-killer, fixed in round 2)."""
+    (round-1 verdict scale-killer, fixed in round 2). Round 10: the
+    quadratic kernel itself must be the Arrow-batched BLAS prefilter
+    (FlatMapGroupsInPandas), not an expression-evaluated pair join —
+    the sf10 anchor timed the expression form out at 200k vectors."""
     plan = _executed_plan(registry["q_d5_cosine_neardup"].spark(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
 
 
 def test_q_x5_ann_is_bucket_equi_join(spark, registry):
