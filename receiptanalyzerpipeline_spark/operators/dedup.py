@@ -326,14 +326,18 @@ def minhash_lsh_jaccard_pairs(
     )
 
 
-def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, seed: str = "sim"
+) -> DataFrame:
     """(doc_id, simhash bigint): per-bit majority vote over distinct-token
     60-bit hashes. Explode-by-bit keeps everything in codegen'd aggregates;
-    rows = |tokens| × 60, shuffled by (doc, bit) then (doc)."""
+    rows = |tokens| × 60, shuffled by (doc, bit) then (doc). ``seed`` salts
+    the token hash so independent signature halves can be composed
+    (simhash_wide_pairs)."""
     tok = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
     )
-    hashed = tok.select("doc_id", md5_hash60(F.col("tok"), "sim").alias("h"))
+    hashed = tok.select("doc_id", md5_hash60(F.col("tok"), seed).alias("h"))
     bits = hashed.select(
         "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(HASH_BITS - 1))).alias("b")
     )
@@ -399,6 +403,86 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    ma = members.select(F.col("_rid").alias("id_a"), F.col("_mem").alias("_ma"))
+    mb = members.select(F.col("_rid").alias("id_b"), F.col("_mem").alias("_mb"))
+    inter = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        members.select(F.col("_rid").alias("_r"), F.col("_mem").alias("id_a"))
+        .join(members.select(F.col("_rid").alias("_r"), F.col("_mem").alias("id_b")), "_r")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).alias("hamming"))
+    )
+    return inter.unionByName(intra)
+
+
+def simhash_wide_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs with Hamming ≤ max_hamming over a 120-bit signature
+    (two independent 60-bit halves h1/h2), via 4×30-bit pigeonhole bands.
+
+    Why it exists (round-10 sf10 anchor finding, SCALE.md): the 60-bit
+    ``simhash_pairs`` bands are 15 bits — 32 768 buckets — so raw band
+    collisions carry an n²/2^15 term that rep-collapse only cures in the
+    duplication regime (identical signatures). At true corpus GROWTH all
+    signatures are distinct, and at ~10^10 docs that term dominates any
+    cluster. Doubling the signature keeps the same pigeonhole recall
+    guarantee (Hamming ≤ 3 over 4 disjoint bands ⇒ one band identical)
+    while dividing the collision term by 2^15. Both halves stay 60-bit
+    md5-derived (15 hex chars) so every value fits a SIGNED int64 in
+    Spark AND DuckDB — the same cross-engine constraint that set
+    HASH_BITS. Same rep-collapse/expansion as simhash_pairs, keyed on
+    the (h1, h2) pair."""
+    band_bits = HASH_BITS // 2  # 30
+    mask = (1 << band_bits) - 1
+    w = Window.partitionBy("h1", "h2")
+    tagged = sigs.withColumn("_rep", F.min("doc_id").over(w))
+    members = tagged.select(F.col("_rep").alias("_rid"), F.col("doc_id").alias("_mem"))
+    reps = tagged.where(F.col("doc_id") == F.col("_rep")).select("doc_id", "h1", "h2")
+
+    def band(i: int, h: str, shift: int):
+        key = F.shiftright(F.col(h), shift).bitwiseAND(mask) if shift else F.col(
+            h
+        ).bitwiseAND(mask)
+        return F.struct(F.lit(i).alias("band"), key.alias("key"))
+
+    bands = reps.select(
+        "doc_id",
+        "h1",
+        "h2",
+        F.explode(
+            F.array(
+                band(0, "h1", band_bits),
+                band(1, "h1", 0),
+                band(2, "h2", band_bits),
+                band(3, "h2", 0),
+            )
+        ).alias("bucket"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hamm = F.bit_count(F.col("a.h1").bitwiseXOR(F.col("b.h1"))) + F.bit_count(
+        F.col("a.h2").bitwiseXOR(F.col("b.h2"))
+    )
+    rep_pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamm.alias("hamming"),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)

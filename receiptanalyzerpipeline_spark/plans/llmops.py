@@ -452,6 +452,66 @@ def q_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_d4b_simhash_wide",
+    oracle=f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents
+            ) t
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5('sim:' || tok), 1, 15)) AS BIGINT) AS h1,
+                   CAST(('0x' || substr(md5('simw:' || tok), 1, 15)) AS BIGINT) AS h2
+            FROM tok
+        ),
+        votes AS (
+            SELECT doc_id, r.b,
+                   SUM(CASE WHEN (h1 >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS v1,
+                   SUM(CASE WHEN (h2 >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS v2
+            FROM h, (SELECT unnest(range(60)) AS b) r
+            GROUP BY doc_id, r.b
+        ),
+        sig AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN v1 > 0 THEN (CAST(1 AS BIGINT) << b)
+                       ELSE CAST(0 AS BIGINT) END) AS h1,
+                   SUM(CASE WHEN v2 > 0 THEN (CAST(1 AS BIGINT) << b)
+                       ELSE CAST(0 AS BIGINT) END) AS h2
+            FROM votes GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2))
+                    AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3
+    """,
+    doc=(
+        "Wide (120-bit) SimHash near-dup pairs: two independent 60-bit "
+        "sign-aggregate halves, Hamming ≤ 3, Spark side joins on 4×30-bit "
+        "pigeonhole bands. The corpus-GROWTH companion to q_d4: 15-bit "
+        "bands carry an n²/2^15 raw-collision term that rep-collapse only "
+        "cures under duplication (sf10 anchor, SCALE.md round 10); 30-bit "
+        "bands divide it by 2^15 while keeping the same pigeonhole recall "
+        "guarantee and int64-safe 60-bit halves on both engines. Oracle "
+        "brute-forces the 120-bit Hamming join — identical pairs by "
+        "construction."
+    ),
+    tags=("dedup", "similarity", "simhash"),
+)
+def q_d4b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    s1 = D.simhash_signatures(docs, "doc_id", "text").withColumnRenamed(
+        "simhash", "h1"
+    )
+    s2 = D.simhash_signatures(docs, "doc_id", "text", seed="simw").withColumnRenamed(
+        "simhash", "h2"
+    )
+    pairs = D.simhash_wide_pairs(s1.join(s2, "doc_id"), max_hamming=3)
+    return pairs.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+@register(
     "q_x7_leakage_safe_split",
     oracle=f"""
         WITH RECURSIVE

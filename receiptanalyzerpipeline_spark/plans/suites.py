@@ -248,6 +248,7 @@ _SUITES = [
         parts=[
             Part("ngram", "q_d2_ngram_jaccard", {"id_a": "id_a", "id_b": "id_b", "v1": "jaccard"}),
             Part("simhash", "q_d4_simhash", {"id_a": "id_a", "id_b": "id_b", "v1": "CAST(hamming AS DOUBLE)"}),
+            Part("simhashw", "q_d4b_simhash_wide", {"id_a": "id_a", "id_b": "id_b", "v1": "CAST(hamming AS DOUBLE)"}),
             Part("cosine", "q_d5_cosine_neardup", {"id_a": "id_a", "id_b": "id_b", "v1": "sim"}),
             Part("crossmodal", "q_d6_crossmodal_neardup", {"id_a": "id_a", "id_b": "id_b", "v1": "cos_sim", "v2": "jaccard"}),
             Part("semantic", "q_d8_semantic_dedup", {"id_a": "vec_id", "id_b": "bucket", "kept": "kept"}),
