@@ -50,17 +50,27 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def word_shingles(c: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles as array<string>."""
-    toks = tokens(c)
-    n = F.size(toks)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-            lambda i: F.when(
-                n >= k, F.array_join(F.slice(toks, i + 1, k), " ")
-            ),
-        )
-    )
+    """Distinct word k-shingles as array<string>.
+
+    The token array is bound as a lambda VARIABLE (single-element outer
+    transform) so the regex split runs ONCE per row. Referencing the
+    tokens() expression tree directly inside the per-shingle lambda
+    re-evaluates the whole split under interpreted HigherOrderFunction
+    evaluation — once per generated shingle, O(tokens²) per doc (r10:
+    5.5 s → sub-second for the 260 k shingles of the sf0.1 rep set; see
+    OPTIMIZATION_r10.md). Element values are unchanged: identical
+    slice/array_join/when expressions over the identical token array."""
+    return F.transform(
+        F.array(tokens(c)),
+        lambda toks: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+                lambda i: F.when(
+                    F.size(toks) >= k, F.array_join(F.slice(toks, i + 1, k), " ")
+                ),
+            )
+        ),
+    )[0]
 
 
 def shingle_index(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
@@ -218,23 +228,52 @@ def minhash_signatures(
     docs: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 32
 ) -> DataFrame:
     """(doc_id, sig array<bigint>[n_hashes]) — elementwise min over shingle
-    hashes, one md5 seed per hash function. Pure map-side per doc."""
-    sh = word_shingles(F.col(text_col), k)
-    per_shingle = F.transform(
-        sh,
-        lambda s: F.transform(
-            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-            lambda i: F.conv(
-                F.substring(F.md5(F.concat(i.cast("string"), F.lit(":"), s)), 1, 15), 16, 10
-            ).cast("bigint"),
-        ),
+    hashes, one md5 seed per hash function.
+
+    Shape: explode shingles, evaluate the n_hashes seeded xxhash64 calls
+    as flat codegen'd aggregate inputs, MIN per (doc, seed), re-assemble
+    the array. Two r10 changes vs the original nested transform/reduce
+    lambda form (see OPTIMIZATION_r10.md):
+
+    - The lambda form ran through interpreted HigherOrderFunction
+      evaluation and — being exchange-free — was re-evaluated once per
+      side of the LSH band self-join. The aggregate's shuffle is
+      canonically identical on both sides, so ReusedExchange computes
+      signatures exactly once, inside whole-stage codegen.
+    - The per-seed hash is xxhash64(seed, shingle) instead of the md5 →
+      substring → conv(16,10) chain (~1 µs per evaluation, conv's string
+      base conversion dominating; native xxhash64 is ~30 ns). The hash
+      FAMILY is internal to the operator — the declared contract is that
+      LSH-candidate + exact-Jaccard-verify equals the exhaustive
+      Jaccard-≥-threshold result, which the oracle checks exhaustively —
+      and recall-completeness of this family is verified at every driver
+      SF (see OPTIMIZATION_r10.md) plus the property test
+      test_minhash_candidates_cover_all_true_pairs.
+
+    MIN ignores NULL hashes exactly as F.least did; the 2^62 sentinel
+    only survives for docs with no non-null shingle (restored by
+    coalesce), so empty/NULL-text docs get the sentinel sig and their
+    band collisions die in the exact-Jaccard verify (empty shingle sets
+    ⇒ NULL jaccard), emitting no pairs — as before."""
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(word_shingles(F.col(text_col), k)).alias("_sh"),
     )
-    sig = F.reduce(
-        per_shingle,
-        F.array_repeat(F.lit(2**62).cast("bigint"), n_hashes),
-        lambda acc, hs: F.zip_with(acc, hs, lambda x, y: F.least(x, y)),
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_h{i}")
+        for i in range(n_hashes)
+    ]
+    sentinel = F.lit(2**62).cast("bigint")
+    return (
+        ex.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(
+                *[F.coalesce(F.col(f"_h{i}"), sentinel) for i in range(n_hashes)]
+            ).alias("sig"),
+        )
     )
-    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
