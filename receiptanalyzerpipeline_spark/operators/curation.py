@@ -28,21 +28,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from receiptanalyzerpipeline_spark.operators.sampling import hash_bucket
-from receiptanalyzerpipeline_spark.operators.textanalysis import tokens
+from receiptanalyzerpipeline_spark.operators.textanalysis import let_bound, tokens
 
 
 def word_kgrams(c: Column, k: int) -> Column:
     """Word k-grams WITH multiplicity (unlike dedup.word_shingles, which
-    dedups) — repetition scoring needs the counts."""
-    toks = tokens(c)
-    n = F.size(toks)
-    return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    dedups) — repetition scoring needs the counts. The token array is
+    let-bound so the regex split runs once per row, not once per k-gram
+    position (see textanalysis.let_bound)."""
+    return let_bound(
+        tokens(c),
+        lambda toks: F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def _max_run(sorted_arr: Column) -> Column:
@@ -235,15 +238,16 @@ def window_hash_index(
     shuffle-native equivalent and loses only windows crossing removed
     span boundaries.
     """
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    hashes = F.when(
-        n >= w,
-        F.transform(
-            F.sequence(F.lit(0), n - w),
-            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, w), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    hashes = let_bound(
+        tokens(F.col(text_col)),
+        lambda toks: F.when(
+            F.size(toks) >= w,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - w),
+                lambda i: F.md5(F.array_join(F.slice(toks, i + 1, w), " ")),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     return docs.select(
         F.col(id_col).alias("doc_id"), F.explode(hashes).alias("whash")
     )
@@ -294,20 +298,19 @@ def remove_duplicated_spans(
 
     reps, members = _collapse_reps(docs, id_col, text_col)
     mcnt = members.groupBy("_rid").agg(F.count(F.lit(1)).alias("_mcnt"))
-    toks = tokens(F.col("_text"))
-    n = F.size(toks)
     with_hashes = reps.select(
         "doc_id",
-        toks.alias("toks"),
-        F.when(
-            n >= w,
-            F.transform(
-                F.sequence(F.lit(0), n - w),
-                lambda i: F.md5(F.array_join(F.slice(toks, i + 1, w), " ")),
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("whs"),
+        tokens(F.col("_text")).alias("toks"),
+        let_bound(
+            tokens(F.col("_text")),
+            lambda toks: F.when(
+                F.size(toks) >= w,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - w),
+                    lambda i: F.md5(F.array_join(F.slice(toks, i + 1, w), " ")),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ).alias("whs"),
     )
     e = with_hashes.select(
         "doc_id", F.posexplode("whs").alias("pos", "whash")

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from receiptanalyzerpipeline_spark.operators.textanalysis import tokens
+from receiptanalyzerpipeline_spark.operators.textanalysis import let_bound, tokens
 
 # 15 hex chars = 60 bits: fits signed int64 positively in Spark AND DuckDB.
 HASH_BITS = 60
@@ -60,8 +60,8 @@ def word_shingles(c: Column, k: int = 3) -> Column:
     5.5 s → sub-second for the 260 k shingles of the sf0.1 rep set; see
     OPTIMIZATION_r10.md). Element values are unchanged: identical
     slice/array_join/when expressions over the identical token array."""
-    return F.transform(
-        F.array(tokens(c)),
+    return let_bound(
+        tokens(c),
         lambda toks: F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
@@ -70,7 +70,7 @@ def word_shingles(c: Column, k: int = 3) -> Column:
                 ),
             )
         ),
-    )[0]
+    )
 
 
 def shingle_index(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:

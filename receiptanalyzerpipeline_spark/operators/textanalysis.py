@@ -37,6 +37,22 @@ def _as_col(c: str | Column) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def let_bound(bound: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``bound`` ONCE per row
+    and pass the result to ``body`` as a lambda variable.
+
+    Referencing a non-trivial expression tree (e.g. a regex ``tokens()``
+    split) directly inside a higher-order-function lambda re-evaluates the
+    whole tree per array ELEMENT under Spark's interpreted HOF evaluation
+    — O(n²) per row for the per-position lambdas this package builds
+    (r10 finding: 5.5 s of the sf0.1 shingle explode was re-splitting).
+    The single-element transform is the structural fix: the bound
+    expression becomes the HOF's argument (evaluated once), the body only
+    sees the materialized lambda variable, and the optimizer cannot
+    re-inline through the binding."""
+    return F.transform(F.array(bound), body)[0]
+
+
 def tokens(c: str | Column) -> Column:
     """Whitespace tokens, empties dropped.
 
