@@ -53,7 +53,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from receiptanalyzerpipeline_spark.operators.textanalysis import WS_RE, let_bound
+from receiptanalyzerpipeline_spark.operators.textanalysis import WS_RE
 
 END_OF_WORD = "</w>"
 
@@ -75,15 +75,19 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def _pairs(sym: Column) -> Column:
     """Array of adjacent symbol pairs 'a b' of a space-separated symbol
     string (overlapping occurrences all counted, per the reference
-    algorithm). Caller guards the single-symbol case. The split symbol
-    array is let-bound so it is built once per row, not once per pair
-    position (see textanalysis.let_bound)."""
-    return let_bound(
-        F.split(sym, " "),
-        lambda toks: F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda j: F.concat(F.get(toks, j), F.lit(" "), F.get(toks, j + 1)),
-        ),
+    algorithm). Caller guards the single-symbol case.
+
+    Deliberately NOT let_bound (r10, measured): BPE symbol strings are a
+    handful of symbols, so the embedded-split re-evaluation the binding
+    removes is negligible here, while the extra interpreted transform
+    wrapper runs in the 8-round merge hot loop — q_x22's sf1 wall went
+    22.7 s (inline) -> 33.6 s (let_bound) warm, identical output hash.
+    let_bound pays off only where the bound tree is expensive relative
+    to the lambda body (regex tokens() splits over documents)."""
+    toks = F.split(sym, " ")
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda j: F.concat(F.get(toks, j), F.lit(" "), F.get(toks, j + 1)),
     )
 
 

@@ -197,6 +197,13 @@ def heuristic_quality(
     counts. ZERO shuffle: one projection per row; at 100 TB this is the
     scan-speed pass that prunes the corpus before the shuffle-heavy
     dedup stages run.
+
+    The repeated ``tokens()`` references here are fine as-is (r10
+    measured): this is a flat codegen'd projection, where whole-stage
+    codegen's subexpression elimination already evaluates the split once
+    — a let_bound rewrite was tried and was SLOWER (interpreted HOF
+    wrapper). let_bound is for expression trees referenced inside
+    per-element lambdas, where no CSE exists.
     """
     toks = tokens(F.col(text_col))
     n_tok = F.size(toks).cast("long")
