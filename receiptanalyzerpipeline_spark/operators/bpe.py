@@ -119,14 +119,37 @@ def _merge(sym: Column, pair: str) -> Column:
     return F.trim(F.replace(replaced, F.lit("  "), F.lit(" ")))
 
 
+# Vocabularies at or under this row count run the merge loop on the
+# DRIVER over the collected (sym, freq) table; larger ones keep the
+# per-round Spark aggregates. 64 k rows × ~100 B is a few MB — the same
+# bounded-driver-model-state class as the IVF fit sample or a broadcast
+# codebook. The split exists because each Spark round is a full
+# job/stage round-trip (~0.3-0.9 s of pure scheduling latency on a
+# 31-row cached vocab, r11 measured — 8 rounds ≈ 3-6 s of wall for
+# microseconds of work), while past the threshold the per-round
+# aggregate IS the 100 TB shape (a million-row vocab has no business on
+# one driver).
+BPE_DRIVER_VOCAB_MAX = 65536
+
+
 def bpe_fit(
     docs: DataFrame, text_col: str = "text", n_merges: int = 8
 ) -> list[str]:
-    """The training loop: one vocabulary-sized job per merge. Returns the
-    winning pair strings ('a b', in merge order) — the model, driver-held
-    like MLlib centroids. Stops early on pair exhaustion (every word a
-    single symbol — only possible on near-trivial corpora). Deterministic:
-    ties break on the pair string."""
+    """The training loop. Returns the winning pair strings ('a b', in
+    merge order) — the model, driver-held like MLlib centroids. Stops
+    early on pair exhaustion (every word a single symbol — only possible
+    on near-trivial corpora). Deterministic: ties break on the pair
+    string.
+
+    Size-routed (r11): the corpus is always reduced to the vocabulary
+    with ONE distributed pass (word_frequencies); the 8-round merge loop
+    then runs on the driver when the vocabulary fits
+    ``BPE_DRIVER_VOCAB_MAX`` (identical argmax/tie-break/merge
+    semantics — ``tests/test_bpe.py`` pins both paths against the
+    Sennrich reference and each other) and as per-round vocabulary-sized
+    Spark aggregates otherwise. ``merge_table``'s lazy plan and the
+    DuckDB oracle recompute every step's count distributed, so a
+    divergence between the paths cannot go unnoticed."""
     base = (
         word_frequencies(docs, text_col)
         .select(
@@ -138,6 +161,65 @@ def bpe_fit(
         )
         .persist()
     )
+    try:
+        n_vocab = base.count()  # one job; materializes the cache either way
+        if n_vocab <= BPE_DRIVER_VOCAB_MAX:
+            return _fit_driver(base.collect(), n_merges)
+        return _fit_spark(base, n_merges)
+    finally:
+        # The cache only serves the training loop's jobs; downstream plans
+        # reference the vocabulary table ONCE, so release the memory now —
+        # otherwise a 50-query sweep in a default-heap driver session
+        # accumulates pinned cache blocks (observed: later sf0.1
+        # aggregations OOM at spark.driver.memory=1g).
+        base.unpersist(blocking=False)
+
+
+def _fit_driver(rows, n_merges: int) -> list[str]:
+    """Driver-side merge loop over the collected vocabulary — the
+    classical Sennrich learn_bpe, bit-equal to ``_fit_spark``:
+    count all adjacent pairs weighted by word freq (overlapping
+    occurrences all counted), pick max count with ties on the pair
+    string ascending, merge greedily left-to-right non-overlapping."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        key = tuple(r["sym"].split(" "))
+        vocab[key] = vocab.get(key, 0) + r["freq"]
+    pairs: list[str] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        # Same order as the Spark loop's (pair_count DESC, p ASC) where
+        # p is the space-joined pair string.
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))[0]
+        pairs.append(best[0] + " " + best[1])
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            new_vocab[k] = new_vocab.get(k, 0) + n
+        vocab = new_vocab
+    return pairs
+
+
+def _fit_spark(base: DataFrame, n_merges: int) -> list[str]:
+    """Distributed merge loop: one vocabulary-sized aggregate +
+    TakeOrdered(1) job per merge, the winning pairs chained into the
+    next round's plan as literals (see module docstring)."""
     pairs: list[str] = []
     cur = base
     for _ in range(n_merges):
@@ -154,12 +236,6 @@ def bpe_fit(
             break
         pairs.append(top["p"])
         cur = cur.select(_merge(F.col("sym"), top["p"]).alias("sym"), "freq")
-    # The cache only serves the training loop's jobs; downstream plans
-    # reference the vocabulary table ONCE, so release the memory now —
-    # otherwise a 50-query sweep in a default-heap driver session
-    # accumulates pinned cache blocks (observed: later sf0.1 aggregations
-    # OOM at spark.driver.memory=1g).
-    base.unpersist(blocking=False)
     return pairs
 
 

@@ -16,8 +16,15 @@ Scale posture:
 - SimHash pairs join on 15-bit band equality: for Hamming ≤ 3 over a
   60-bit signature, the pigeonhole principle guarantees one of the 4
   bands matches exactly, so the banded join loses nothing.
-- All hashes derive from md5 (stable across engines, sessions, and
-  languages) — no JVM-hash nondeterminism in results.
+- The hashes DECLARED in query results (exact-dedup fingerprints,
+  simhash signatures via md5_hash60) derive from md5 — stable across
+  engines, sessions, and languages, so oracles replay them bit-for-bit.
+  MinHash signatures are the exception: they use Spark-native
+  ``xxhash64`` (r10, ~30 ns vs ~1 µs per evaluation) and are ENGINE-
+  INTERNAL — the declared contract is the exact-Jaccard-verified pair
+  set, which is hash-family-independent. Persisted LSH state derived
+  from them is stamped with MINHASH_FAMILY so a family change can never
+  silently probe stale state (see streaming/neardup_stream.py).
 """
 
 from __future__ import annotations
@@ -30,6 +37,15 @@ from receiptanalyzerpipeline_spark.operators.textanalysis import let_bound, toke
 
 # 15 hex chars = 60 bits: fits signed int64 positively in Spark AND DuckDB.
 HASH_BITS = 60
+
+# MinHash signature hash family, stamped into every persisted LSH state
+# manifest (band buckets / signatures). Signatures from different
+# families NEVER collide, so probing state written by another family
+# would silently miss every near-dup against the pre-existing corpus —
+# readers must refuse on mismatch (ADVICE r10). Bump this string
+# whenever the signature expression changes
+# (currently: min over xxhash64(seed i, shingle), i in 0..n_hashes-1).
+MINHASH_FAMILY = "xxhash64-seeded-min-v2"
 
 
 def md5_hash60(c: Column, seed: str | Column = "") -> Column:
@@ -228,7 +244,7 @@ def minhash_signatures(
     docs: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 32
 ) -> DataFrame:
     """(doc_id, sig array<bigint>[n_hashes]) — elementwise min over shingle
-    hashes, one md5 seed per hash function.
+    hashes, one xxhash64 seed per hash function (MINHASH_FAMILY).
 
     Shape: explode shingles, evaluate the n_hashes seeded xxhash64 calls
     as flat codegen'd aggregate inputs, MIN per (doc, seed), re-assemble
@@ -250,11 +266,21 @@ def minhash_signatures(
       SF (see OPTIMIZATION_r10.md) plus the property test
       test_minhash_candidates_cover_all_true_pairs.
 
-    MIN ignores NULL hashes exactly as F.least did; the 2^62 sentinel
-    only survives for docs with no non-null shingle (restored by
-    coalesce), so empty/NULL-text docs get the sentinel sig and their
-    band collisions die in the exact-Jaccard verify (empty shingle sets
-    ⇒ NULL jaccard), emitting no pairs — as before."""
+    Empty/short/NULL-text docs (all-NULL shingle arrays): ``xxhash64``
+    SKIPS null inputs rather than returning NULL, so every such doc's
+    components are the seed-only hashes ``xxhash64(lit(i))`` — a single
+    shared signature for all shingle-less docs, whose band collisions
+    die in the exact-Jaccard verify (empty shingle sets ⇒ NULL jaccard),
+    emitting no pairs. (ADVICE r10: a prior 2^62-sentinel ``coalesce``
+    here was dead code — MIN never sees NULL — and is removed; the
+    seed-only value is the real, and equally harmless, sentinel.
+    ``tests/test_llmops.py::test_minhash_empty_doc_signature`` pins it.)
+
+    Contract notes (ADVICE r10): output is one row per DISTINCT doc_id —
+    duplicate ids collapse into one signature over the union of their
+    shingles (all current callers pass unique ids: reps, deduped
+    batches); and the aggregate introduces one shuffle on doc_id, which
+    is exactly the exchange the LSH self-join reuses."""
     ex = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(word_shingles(F.col(text_col), k)).alias("_sh"),
@@ -263,15 +289,12 @@ def minhash_signatures(
         F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_h{i}")
         for i in range(n_hashes)
     ]
-    sentinel = F.lit(2**62).cast("bigint")
     return (
         ex.groupBy("doc_id")
         .agg(*mins)
         .select(
             "doc_id",
-            F.array(
-                *[F.coalesce(F.col(f"_h{i}"), sentinel) for i in range(n_hashes)]
-            ).alias("sig"),
+            F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("sig"),
         )
     )
 
@@ -350,9 +373,15 @@ def minhash_lsh_jaccard_pairs(
     sa = arrs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = arrs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jaccard = n_inter.cast("double") / (
-        F.size("sh_a") + F.size("sh_b") - n_inter
-    )
+    union = F.size("sh_a") + F.size("sh_b") - n_inter
+    # Two shingle-LESS docs share the seed-only signature, so their band
+    # collision reaches this verify with 0/0 — which ANSI mode RAISES
+    # instead of NULLing (r11, caught by the empty-doc signature test).
+    # Guard exactly like the streaming twin: NULL jaccard, pair dropped
+    # by the threshold filter, same as the DuckDB oracle's 0/0 -> NULL.
+    # (jaccard_pairs needs no guard: its candidates share a shingle, so
+    # the union is always >= 1 there.)
+    jaccard = F.when(union > 0, n_inter.cast("double") / union)
     rep_pairs = (
         cands.join(sa, "id_a")
         .join(sb, "id_b")

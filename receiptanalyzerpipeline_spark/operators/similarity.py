@@ -193,7 +193,8 @@ def cosine_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 16,
+    n_blocks: int | None = None,
+    dims: int = EMBED_DIMS,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — exact, id_a < id_b.
 
@@ -206,8 +207,11 @@ def cosine_neardup_pairs(
     holding ~n/B vectors per side — B(B+1)/2 keys, a bounded (n/B)²
     candidate square per key, no BroadcastNestedLoop / CartesianProduct
     anywhere in the plan (tests/test_plan_shapes.py asserts this).
-    Shuffle volume is n·(B+1)/2 rows; pick B so B(B+1)/2 ≳ cluster cores
-    and a block pair's two (n/B)-row matrices fit a Python worker.
+    Shuffle volume is n·(B+1)/2 rows; B must keep B(B+1)/2 ≳ cluster
+    cores while a block pair's two (n/B)-row float32 matrices fit a
+    Python worker. ``n_blocks=None`` (default) derives exactly that from
+    a plan-build-time row estimate via ``auto_n_blocks`` (r11 — the old
+    fixed B=16 broke the memory bound past 16× the worker budget).
 
     Why not LSH-front this operator (the usual candidate pruner, and what
     q_x5/q_d3 do): measured on the driver's corpus, the near-dup pairs sit
@@ -246,6 +250,20 @@ def cosine_neardup_pairs(
     """
     import numpy as np
     import pandas as pd
+
+    if n_blocks is None:
+        # Scale-adaptive block count (VERDICT r10 task 5): a plan-build-
+        # time row estimate (CBO stats / parquet footers, no Spark job —
+        # blocking's lazy-builder-safe estimator) upper-bounds the
+        # distinct-rep count, and auto_n_blocks turns it into the
+        # smallest B whose per-group matrices fit the worker budget.
+        # B does not affect results, so estimate error only shifts the
+        # memory/shuffle split — and over-counting errs safe.
+        from receiptanalyzerpipeline_spark.operators.blocking import (
+            _estimated_rows,
+        )
+
+        n_blocks = auto_n_blocks(_estimated_rows(corpus), dims)
 
     w = Window.partitionBy(vec_col)
     tagged = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
@@ -362,6 +380,37 @@ def cosine_neardup_pairs(
 
 TARGET_BUCKET_OCCUPANCY = 32  # auto_n_planes aims buckets at ~this size
 BUCKET_CAP = 128  # deterministic per-(table,bucket) negative-candidate cap
+
+# Per-group worker budget for cosine_neardup_pairs' BLAS kernel: one
+# block-pair group materializes TWO (n/B, dims) float32 matrices inside
+# a single Python worker. 256 MB leaves the rest of a worker's RSS for
+# Arrow buffers, the id arrays, and the per-chunk score tile.
+COSINE_BLOCK_BUDGET_BYTES = 256 * 1024 * 1024
+
+
+def auto_n_blocks(
+    n: int,
+    dims: int = EMBED_DIMS,
+    budget_bytes: int = COSINE_BLOCK_BUDGET_BYTES,
+    lo: int = 16,
+    hi: int = 4096,
+) -> int:
+    """Block count for ``cosine_neardup_pairs`` such that one group's two
+    (n/B, dims) float32 matrices PROVABLY fit ``budget_bytes``
+    (VERDICT r10 task 5 — the old hardcoded B=16 OOMs a worker once the
+    corpus outgrows 16 blocks × the budget): 2·(n/B)·dims·4 ≤ budget ⇒
+    B ≥ 8·n·dims/budget, clamped to [lo, hi].
+
+    ``lo``=16 keeps ≥136 group keys so small corpora still parallelize;
+    ``hi`` bounds the group-key count (B(B+1)/2 keys — 4096 ⇒ 8.4 M keys,
+    past which the budget must be raised instead). The choice of B never
+    changes RESULTS (every unordered block pair meets exactly once and
+    the exact verify recomputes sim), only the per-group memory/shuffle
+    split, so an over-estimate of n errs safe."""
+    import math
+
+    need = math.ceil(8 * max(int(n), 1) * dims / float(budget_bytes))
+    return int(min(max(lo, need), hi))
 
 
 def auto_n_planes(

@@ -91,14 +91,40 @@ def _spark_fn(suite: Suite):
 
             store = _IterStore(spark, f"rap-{suite.name}-")
         try:
-            dfs = []
+            # Parts sharing one member query are fused into a SINGLE pass
+            # (r11, guide §2.1/§6.3 scan sharing): q_x25 projected q_x34
+            # twice and q_x35 three times as separate union branches, and
+            # Catalyst's column pruning specializes each branch's copy of
+            # the member subtree (different output columns), so runtime
+            # exchange reuse can never dedupe them — the member pipeline
+            # (q_x34's brute-force top-k over the corpus) executed once
+            # PER PART. Building the member once (also dropping q_x35's
+            # 3× build-time emb.count() jobs) and exploding an array of
+            # per-part structs emits all those parts' rows from one
+            # evaluation: same rows, same types, same final
+            # ORDER BY (part, ...) — only the number of passes changes.
+            by_src: dict[str, list] = {}
             for p in suite.parts:
-                src = REGISTRY[p.src].spark(spark, sf_dir)
+                by_src.setdefault(p.src, []).append(p)
+
+            def _row(p) -> list:
                 sel = [F.lit(p.tag).alias("part")]
                 for col, typ in suite.cols:
                     expr = p.m.get(col, _PAD[typ])
                     sel.append(F.expr(expr).cast(_SPARK_T[typ]).alias(col))
-                part_df = src.select(*sel)
+                return sel
+
+            dfs = []
+            for src_name, plist in by_src.items():
+                src = REGISTRY[src_name].spark(spark, sf_dir)
+                if len(plist) == 1:
+                    part_df = src.select(*_row(plist[0]))
+                else:
+                    part_df = src.select(
+                        F.explode(
+                            F.array(*[F.struct(*_row(p)) for p in plist])
+                        ).alias("_r")
+                    ).select("_r.*")
                 dfs.append(store.put(part_df) if store else part_df)
             out = reduce(lambda a, b: a.unionByName(b), dfs)
             out = out.orderBy("part", *suite.order)

@@ -56,16 +56,16 @@ def get_spark(
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        # Arrow slicing: the 10k default turns a 5.5M-row driver collect
-        # (q_er2's pair table) into 550 tiny batches — measurable slicing +
-        # GC overhead and high run-to-run variance. 256k cuts q_er2's warm
-        # collect ~10-20%. Batch BYTES stay bounded by partition size
-        # either way (scan partitions by maxPartitionBytes, shuffle
-        # partitions by AQE's advisory target), so the records cap is a
-        # narrow-row backstop, not the real memory bound; 256k keeps the
-        # pathological case (a multi-GB skewed shuffle partition of ~1 KB
-        # rows feeding mapInPandas) at ~256 MB per Python-worker batch.
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "262144",
+        # Arrow collect batch size: r10 raised this 10k -> 256k claiming
+        # fewer slices cut q_er2's 5.5 M-row warm collect 10-20%, but the
+        # driver's r10 bench moved the OTHER way (0.60 -> 0.69 s) and the
+        # r11 A/B (scripts/er2_arrow_ab.py: 12 order-rotated rounds on
+        # the prepared q_er2 collect) confirms the driver: best-of-reps
+        # 0.64 s @10k vs 0.77 @64k vs 0.87 @256k, medians within noise.
+        # Small batches pipeline the executor->driver transfer; big ones
+        # make it bursty. Reverted to the Spark default (10k), stated
+        # explicitly so the next tuning round finds the A/B history.
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
         # Nested-schema pruning: the Textract document scans (sources/textract.py)
         # must read only the struct leaves a query touches.
         "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",

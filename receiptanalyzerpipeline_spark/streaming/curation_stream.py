@@ -174,6 +174,14 @@ def curation_sink(
                 "state probe. Rebuild the state tables or reuse the "
                 "stamped value."
             )
+    if near_dedup:
+        # Fail fast on a MinHash hash-family mismatch with persisted LSH
+        # state (ADVICE r10) — see neardup_stream.check_minhash_family.
+        from receiptanalyzerpipeline_spark.streaming.neardup_stream import (
+            check_minhash_family,
+        )
+
+        check_minhash_family(buckets_path, sigs_path)
     snapshot_commit = snap.snapshot_sink(
         snapshot_path,
         cluster_by=["_fpb"] if bucket_fps else None,
@@ -291,9 +299,15 @@ def curation_sink(
             fresh.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
             "doc_id", "text", k=nd_k, n_hashes=nd_n_hashes,
         )
+        from receiptanalyzerpipeline_spark.operators.dedup import MINHASH_FAMILY
+
         if not snap.batch_committed(buckets_path, batch_id):
             state_b = _band_buckets(sigs, nd_n_hashes, nd_rows_per_band)
-            extra: dict = {"batch_id": batch_id, "bucket_fps": bucket_fps or 0}
+            extra: dict = {
+                "batch_id": batch_id,
+                "bucket_fps": bucket_fps or 0,
+                "minhash_family": MINHASH_FAMILY,
+            }
             kw: dict = {}
             if bucket_fps:
                 state_b = _bucketed(
@@ -309,7 +323,11 @@ def curation_sink(
             )
         if not snap.batch_committed(sigs_path, batch_id):
             snap.write_snapshot(
-                sigs, sigs_path, mode="append", manifest_extra={"batch_id": batch_id},
+                sigs, sigs_path, mode="append",
+                manifest_extra={
+                    "batch_id": batch_id,
+                    "minhash_family": MINHASH_FAMILY,
+                },
             )
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:

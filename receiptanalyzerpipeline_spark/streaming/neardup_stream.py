@@ -36,11 +36,47 @@ from pyspark.sql import functions as F
 
 from receiptanalyzerpipeline_spark.operators.components import connected_components
 from receiptanalyzerpipeline_spark.operators.dedup import (
+    MINHASH_FAMILY,
     minhash_lsh_jaccard_pairs,
     minhash_signatures,
     word_shingles,
 )
 from receiptanalyzerpipeline_spark.sources import snapshots as snap
+
+
+def stamped_minhash_family(path: str) -> str | None:
+    """The MinHash hash family a persisted LSH state table was written
+    under, or None if the table doesn't exist / predates stamping.
+    Newest stamp wins (every commit carries the same value once a sink
+    is constructed)."""
+    for v in reversed(snap.versions(path)):
+        fam = snap._read_manifest(path, v).get("minhash_family")
+        if fam is not None:
+            return str(fam)
+    return None
+
+
+def check_minhash_family(*paths: str) -> None:
+    """Refuse to probe LSH state written by a different signature hash
+    family (ADVICE r10). Signatures from different families never
+    collide, so a family change would make every near-dup probe against
+    pre-existing state silently miss (estimate ~0, no error) — the
+    failure mode this guard turns into a loud construction-time error.
+    Non-empty state with NO stamp is treated as unknown-family and also
+    refused: it predates the stamp, so nothing proves it matches."""
+    for path in paths:
+        if not snap.versions(path):
+            continue  # fresh table: this sink's own commits will stamp it
+        fam = stamped_minhash_family(path)
+        if fam != MINHASH_FAMILY:
+            raise ValueError(
+                f"LSH state at {path} was written by MinHash hash family "
+                f"{fam or 'unknown (pre-stamp)'} but this engine computes "
+                f"{MINHASH_FAMILY}; probing it would silently miss every "
+                "near-dup against the existing corpus. Rebuild the state "
+                "tables with the current engine (re-run the stream from "
+                "the source corpus), or run the matching engine version."
+            )
 
 
 def _band_buckets(sigs: DataFrame, n_hashes: int, rows_per_band: int) -> DataFrame:
@@ -120,6 +156,9 @@ def neardup_dedup_sink(
             neardup_dedup_sink(corpus, buckets)
         ).option("checkpointLocation", cp).start()
     """
+    # Fail fast if existing bucket state was written by a different (or
+    # unstamped) MinHash hash family — see check_minhash_family.
+    check_minhash_family(buckets_path)
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         if snap.batch_committed(corpus_path, batch_id):
@@ -184,7 +223,10 @@ def neardup_dedup_sink(
         if not snap.batch_committed(buckets_path, batch_id):
             snap.write_snapshot(
                 surv_buckets, buckets_path, mode="append",
-                manifest_extra={"batch_id": batch_id},
+                manifest_extra={
+                    "batch_id": batch_id,
+                    "minhash_family": MINHASH_FAMILY,
+                },
             )
         snap.write_snapshot(
             survivors, corpus_path, mode="append",

@@ -167,3 +167,32 @@ def test_bpe_trivial_corpus_returns_empty_table(spark):
     assert [(r["step"], r["merged"]) for r in rows] == [(1, "a</w>")]
     empty = spark.createDataFrame([(1, "   ")], ["doc_id", "text"])
     assert bpe_train(empty, n_merges=3).collect() == []
+
+
+def test_bpe_fit_driver_and_spark_paths_agree(spark):
+    """r11 size routing: small vocabularies run the merge loop on the
+    driver (bpe_fit routes there under BPE_DRIVER_VOCAB_MAX); the
+    distributed per-round aggregate path must produce the IDENTICAL
+    merge list on the same corpus — including through count ties and
+    separator-sharing runs — and both must equal the independent
+    Sennrich reference."""
+    from pyspark.sql import functions as F
+
+    from receiptanalyzerpipeline_spark.operators import bpe
+
+    word_counts = {
+        "aaaa": 3, "aaaaaa": 2, "banana": 4, "abab": 2,
+        "low": 5, "lowest": 5, "newest": 6, "papa": 1, "pb": 6,
+    }
+    docs = _corpus(spark, word_counts)
+    driver_pairs = bpe.bpe_fit(docs, n_merges=10)  # routes to _fit_driver
+    base = bpe.word_frequencies(docs, "text").select(
+        F.concat(
+            F.regexp_replace(F.col("w"), "(.)", "$1 "), F.lit(bpe.END_OF_WORD)
+        ).alias("sym"),
+        "freq",
+    )
+    spark_pairs = bpe._fit_spark(base, 10)
+    assert driver_pairs == spark_pairs
+    ref = [m for m, _ in _ref_sennrich(word_counts, 10)]
+    assert [p.replace(" ", "") for p in driver_pairs] == ref

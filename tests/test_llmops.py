@@ -262,3 +262,83 @@ def test_embedder_content_keyed(spark):
     }
     assert rows[0] == rows[1] != rows[2]
     assert len(rows[0]) == 8
+
+
+def test_minhash_empty_doc_signature_is_seed_only(spark):
+    """Docs with no shingles (empty/short/NULL text) share one signature
+    whose components are the SEED-ONLY hashes xxhash64(lit(i)) — Spark's
+    xxhash64 skips NULL inputs, so MIN never sees NULL and the old 2^62
+    sentinel coalesce was dead code (ADVICE r10, removed). Their band
+    collisions die in the exact-Jaccard verify, so no pairs leak."""
+    from receiptanalyzerpipeline_spark.operators.dedup import (
+        minhash_lsh_jaccard_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "ab"), (3, None), (4, "one two three four five")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: list(r["sig"]) for r in
+            minhash_signatures(docs, "doc_id", "text").collect()}
+    seed_only = [
+        r["h"]
+        for r in spark.range(32).select(
+            F.xxhash64(F.col("id").cast("int")).alias("h")
+        ).orderBy("id").collect()
+    ]
+    assert sigs[1] == sigs[3] == seed_only  # shingle-less docs
+    assert sigs[2] == seed_only  # < k tokens: all-NULL shingle array
+    assert sigs[4] != seed_only and None not in sigs[4]
+    # The shared signature never becomes a declared pair.
+    pairs = minhash_lsh_jaccard_pairs(docs, "doc_id", "text").collect()
+    assert pairs == []
+
+
+def test_auto_n_blocks_memory_bound():
+    """auto_n_blocks must pick the smallest B whose two per-group
+    (n/B, dims) float32 matrices fit the worker budget (VERDICT r10
+    task 5) — except at the hi cap, where the budget must be raised."""
+    import math
+
+    from receiptanalyzerpipeline_spark.operators.similarity import (
+        COSINE_BLOCK_BUDGET_BYTES,
+        auto_n_blocks,
+    )
+
+    for n in (1, 100, 5_000, 200_000, 10**7, 10**9, 10**11):
+        for dims in (16, 64, 1024):
+            b = auto_n_blocks(n, dims)
+            assert 16 <= b <= 4096
+            if b < 4096:
+                per_group = 2 * math.ceil(n / b) * dims * 4
+                # ceil slack: one extra row per side at most.
+                assert per_group <= COSINE_BLOCK_BUDGET_BYTES + 8 * dims
+    # Monotone in n for fixed dims (more data never fewer blocks).
+    seq = [auto_n_blocks(n, 64) for n in (10**6, 10**8, 10**9, 10**10)]
+    assert seq == sorted(seq)
+
+
+def test_cosine_neardup_block_count_invariant(spark):
+    """The block count is a pure execution parameter: auto-derived,
+    small, and large B must produce the identical pair set."""
+    from receiptanalyzerpipeline_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, [float((i * j) % 7 - 3) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    ref = sorted(
+        map(tuple, cosine_neardup_pairs(docs, 0.8, n_blocks=16, dims=8).collect())
+    )
+    assert ref  # the grid has engineered collisions
+    for nb in (None, 3, 40):
+        got = sorted(
+            map(
+                tuple,
+                cosine_neardup_pairs(docs, 0.8, n_blocks=nb, dims=8).collect(),
+            )
+        )
+        assert got == ref

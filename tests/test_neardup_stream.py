@@ -344,3 +344,49 @@ def test_neardup_probe_plan_is_equi_join(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "Join" in plan
 
+
+
+def test_minhash_family_stamp_guards_persisted_state(spark, tmp_path):
+    """ADVICE r10: LSH state manifests carry the signature hash family;
+    a sink built by an engine with a different (or unknown) family must
+    refuse to probe the state instead of silently missing every
+    near-dup against the pre-existing corpus."""
+    from receiptanalyzerpipeline_spark.operators.dedup import MINHASH_FAMILY
+    from receiptanalyzerpipeline_spark.streaming.neardup_stream import (
+        check_minhash_family,
+        stamped_minhash_family,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    corpus, buckets = str(tmp_path / "corpus"), str(tmp_path / "buckets")
+    with open(landing / "f0.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": BASE_A}) + "\n")
+    _run(spark, landing, corpus, buckets, str(tmp_path / "cp1"))
+
+    # Writes stamp the current family; a same-family restart constructs.
+    assert stamped_minhash_family(buckets) == MINHASH_FAMILY
+    neardup_dedup_sink(corpus, buckets)  # no raise
+
+    # Tamper the stamp to simulate state written by another family.
+    v = snap.current_version(buckets)
+    mpath = snap._manifest_path(buckets, v)
+    m = json.loads(mpath.read_text())
+    m["minhash_family"] = "md5-conv-v1"
+    mpath.write_text(json.dumps(m))
+    with pytest.raises(ValueError, match="md5-conv-v1"):
+        neardup_dedup_sink(corpus, buckets)
+    with pytest.raises(ValueError, match="hash family"):
+        check_minhash_family(buckets)
+
+    # Unstamped non-empty state (predates the stamp) is unknown-family:
+    # nothing proves it matches, so it is refused too.
+    del m["minhash_family"]
+    mpath.write_text(json.dumps(m))
+    with pytest.raises(ValueError, match="pre-stamp"):
+        neardup_dedup_sink(corpus, buckets)
+
+    # Restore and confirm the guard passes again.
+    m["minhash_family"] = MINHASH_FAMILY
+    mpath.write_text(json.dumps(m))
+    neardup_dedup_sink(corpus, buckets)
