@@ -25,6 +25,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+EMBED_DIMS = 64  # the corpus embedding dimensionality (TESTDATA.md)
+
+
 def as_double(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
@@ -43,7 +46,18 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column, scale: int = 4) -> Column:
-    """Cosine similarity rounded to ``scale`` decimals (rank-stable)."""
+    """Cosine similarity rounded to ``scale`` decimals (rank-stable).
+
+    NEGATIVE RESULT, do not redo (r11, measured on q_x21's pipeline at
+    sf0.1, 4-way interleaved A/B): unrolling these folds into flat
+    fixed-dims element_at chains (the minhash-rewrite playbook) is
+    SLOWER here — 3.36 s vs 2.72 s median unguarded, and 9.2 s with an
+    F.when size guard (codegen subexpression elimination refuses to
+    hoist chains out of conditional branches, producing one giant
+    un-JIT-able method; 24 plane-dot chains in one bucketing projection
+    hit the same wall at 7×). The interpreted fold's tight loop over a
+    primitive array beats 3×dims generated element_at calls; values
+    were bit-identical both ways, so only the wall clock decided."""
     return F.round(dot(a, b) / (norm(a) * norm(b)), scale)
 
 
@@ -82,9 +96,6 @@ def hyperplane_sign(plane: Column, dim: Column) -> Column:
     return (F.conv(hex_digit, 16, 10).cast("int") % 2) * 2 - 1
 
 
-EMBED_DIMS = 64  # the corpus embedding dimensionality (TESTDATA.md)
-
-
 def _sign(plane: int, dim: int) -> float:
     """Driver-side value of hyperplane_sign: md5 of the identical string
     the SQL expression hashes, first hex digit's parity → ±1. Oracles
@@ -106,7 +117,15 @@ def _sign_literals(plane: int, dims: int) -> Column:
 def _plane_dot(v: Column, plane_id: int, dims: int) -> Column:
     """Left-fold double dot of v with the literal sign vector — identical
     accumulation order (and therefore bits) to the previous per-row md5
-    form, proven by the unchanged md5-replaying oracles."""
+    form, proven by the unchanged md5-replaying oracles.
+
+    Deliberately NOT unrolled the way cosine_fixed is (r11, measured):
+    a bucketing projection evaluates n_tables × n_planes ≈ 24 of these,
+    and 24 × dims unrolled terms in one generated method blow the JIT
+    method limits — the signature stage ran 7× SLOWER (0.34 → 2.4 s at
+    sf0.1) as un-JIT-able bytecode. One interpreted fold per plane over
+    a pre-cast array is the faster shape here; unrolling pays only for
+    a FEW chains per row (cosine_fixed's single 3-chain pair score)."""
     return F.aggregate(
         F.zip_with(v, _sign_literals(plane_id, dims), lambda x, s: x * s),
         F.lit(0.0),
@@ -118,8 +137,8 @@ def lsh_bucket(vec_col: Column, n_planes: int = N_PLANES, dims: int = EMBED_DIMS
     """Bucket id: bit p = [dot(plane_p, v) > 0], planes from md5 parity.
 
     The plane loop is unrolled in Python (static count) so shift amounts
-    stay literal; the per-plane dot is one codegen'd aggregate over a
-    literal sign array."""
+    stay literal; the per-plane dot is one fold over a literal sign
+    array (see _plane_dot for why the fold beats unrolling here)."""
     v = as_double(vec_col)
     bucket = F.lit(0)
     for p in range(n_planes):
@@ -468,6 +487,7 @@ def hard_negative_pairs(
     label_col: str = "label",
     n_planes: int | None = None,
     bucket_cap: int = BUCKET_CAP,
+    dims: int = EMBED_DIMS,
 ) -> DataFrame:
     """Contrastive hard-negative mining: for every anchor vector, the
     top-``k`` most-similar vectors with a DIFFERENT label among its LSH
@@ -498,11 +518,19 @@ def hard_negative_pairs(
     """
     if n_planes is None:
         n_planes = auto_n_planes(corpus.count())
+    # Shuffle the signature stream by its join/window key ONCE: both the
+    # anchor side and the capped negative side below derive from this
+    # exchange, so at runtime the second consumer is a ReusedExchange and
+    # the plane dots are computed once per corpus row (r11; previously
+    # the anchor side's join exchange re-evaluated the whole signature
+    # subtree — guide §2.1, the minhash-rewrite pattern).
     sig = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(label_col).alias("lbl"),
-        F.explode(lsh_table_buckets(F.col(vec_col), n_planes=n_planes)).alias("tb"),
-    )
+        F.explode(
+            lsh_table_buckets(F.col(vec_col), n_planes=n_planes, dims=dims)
+        ).alias("tb"),
+    ).repartition("tb")
     a = sig.select(
         F.col("vid").alias("anchor_id"), F.col("lbl").alias("anchor_label"), "tb"
     )

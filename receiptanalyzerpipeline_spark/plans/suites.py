@@ -83,6 +83,25 @@ class Suite:
     materialize: bool = False
 
 
+def _strip_trailing_global_sort(df: DataFrame) -> DataFrame:
+    """Remove a member query's trailing PRESENTATION sort before fusing
+    it into a suite (r11): the suite re-sorts the union by
+    ``(part, *order)``, so a member's final ``orderBy`` is a wasted
+    global range-exchange sort in the middle of the suite pipeline —
+    and once a fused branch computes (explodes) above it, the plan
+    audit rightly flags ``computed_global_sort``. Only an EXACT-root
+    global Sort is stripped (a Sort under a Limit is top-k semantics
+    and is left alone); removing a sort cannot change the row SET, and
+    the suite's own ORDER BY fixes the declared ordering."""
+    an = df._jdf.queryExecution().analyzed()
+    if an.getClass().getSimpleName() == "Sort" and getattr(an, "global")():
+        jdf = df.sparkSession._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            df.sparkSession._jsparkSession, an.child()
+        )
+        return DataFrame(jdf, df.sparkSession)
+    return df
+
+
 def _spark_fn(suite: Suite):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         store = None
@@ -117,6 +136,18 @@ def _spark_fn(suite: Suite):
             dfs = []
             for src_name, plist in by_src.items():
                 src = REGISTRY[src_name].spark(spark, sf_dir)
+                if len(plist) > 1:
+                    # Fused branches compute (explode) above the member,
+                    # so a trailing presentation sort below them is a
+                    # mid-pipeline global sort feeding computation — the
+                    # audit-flagged hazard — and pure waste at scale.
+                    # Single-part branches keep the member's sort: only
+                    # a projection sits above it (presentation-class),
+                    # and the A/B showed stripping those is LOCALLY
+                    # slower (3.41 -> 3.87 s med on q_x25 — the sort's
+                    # AQE stage boundary coalesces the member's output
+                    # before the suite-level union sort).
+                    src = _strip_trailing_global_sort(src)
                 if len(plist) == 1:
                     part_df = src.select(*_row(plist[0]))
                 else:

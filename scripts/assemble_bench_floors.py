@@ -40,7 +40,7 @@ def main() -> None:
     doc = (
         "Committed per-query reference times (sec, warm best-of-5, quiet host, "
         "sf0.1, local[32]): MINIMA over {} serial quiet-host bench.py runs "
-        "measured {} (round 10), in the SAME sessions as canary_reference. "
+        "measured {}, in the SAME sessions as canary_reference. "
         "Gate: a query REGRESSES if its warm time exceeds "
         "max(ref * {}, ref + {}) * host_index, where host_index is the "
         "clamped [1.0, 3.0] geometric-mean ratio of the run's measured canary "
@@ -53,16 +53,41 @@ def main() -> None:
         "every query >= ~50 ms (under the old slack 19/22 refs were "
         "slack-governed and a 2.7x regression on q_a3 stayed green). "
         "bench.py evaluates this automatically and emits 'floor_violations'; "
-        "tests/test_bench_gate.py enforces the recorded BENCH_GATE.json."
+        "tests/test_bench_gate.py enforces the recorded BENCH_GATE.json. "
+        "r11 (VERDICT r10 task 8): the absolute slack additionally scales "
+        "with each query's DECLARED OUTPUT ROWS (output_rows, counted at "
+        "sf0.1) at slack_per_mrow_sec per million rows — bound = "
+        "max(ref*mult, ref + slack + rows/1e6*slack_per_mrow) * host_index. "
+        "The timed region is a driver Arrow collect whose jitter grows with "
+        "the bytes collected (q_er2's 5.5M-row fetch jittered +-0.1-0.3s on "
+        "the best-of-3 min, forcing 15 settle retries in the r10 driver "
+        "run); 0.025 s/Mrow keeps q_er2's absolute bound just below its "
+        "1.3x ratio bound so an injected 1.3x regression is still caught "
+        "(tests/test_bench_gate.py pins both properties)."
     ).format(len(runs), time.strftime("%Y-%m-%d"), 1.3, 0.015)
+
+    # Carry the r11 row-scaled-slack fields forward from the committed
+    # epoch (output rows are a property of the declared queries, not of
+    # the measurement session).
+    prev_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_FLOORS.json",
+    )
+    prev = {}
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            prev = json.load(f)
 
     floors = {
         "_doc": doc,
         "multiplier": 1.3,
         "absolute_slack_sec": 0.015,
+        "slack_per_mrow_sec": prev.get("slack_per_mrow_sec", 0.025),
         "reference": reference,
         "canary_reference": canary_reference,
     }
+    if prev.get("output_rows"):
+        floors["output_rows"] = prev["output_rows"]
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_FLOORS.json",

@@ -83,6 +83,7 @@ def test_auto_n_cells_occupancy_and_bounds():
     assert auto_n_cells(10**9, target_cell_size=256) == 4096  # hi clamp
 
 
+@pytest.mark.slow
 def test_calibrate_nprobe_meets_target_and_is_minimal(spark):
     corpus = _corpus(spark, n=400, planted_pairs=0)
     centroids = fit_centroids(corpus, n_cells=16, sample_n=400)
@@ -110,6 +111,7 @@ def test_calibrate_nprobe_meets_target_and_is_minimal(spark):
         assert len(got & truth) / len(truth) < 0.9
 
 
+@pytest.mark.slow
 def test_calibrate_shortlist_meets_target_and_is_minimal(spark):
     """VERDICT r6 task 6: PQ's rerank shortlist is DERIVED like nprobe —
     the smallest doubling that clears the recall bar against exact L2 on

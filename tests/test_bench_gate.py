@@ -142,3 +142,36 @@ def test_bench_gate_artifact_current_and_clean():
     hi = gate.get("host_index", 1.0)
     assert 1.0 <= hi <= 3.0
     assert bench.check_floors(gate["queries"], hi) == []
+
+
+def test_row_scaled_slack_absorbs_collect_jitter_but_catches_regressions():
+    """VERDICT r10 task 8: the absolute slack scales with declared
+    output rows (the timed region is an Arrow collect, so jitter grows
+    with bytes fetched), while the 1.3x ratio bound still catches a
+    genuine regression on every query — including the largest-output
+    one."""
+    floors = _floors()
+    ref = floors["reference"]
+    mult, slack = floors["multiplier"], floors["absolute_slack_sec"]
+    per_mrow = floors["slack_per_mrow_sec"]
+    rows = floors["output_rows"]
+    assert set(rows) == set(ref), "output_rows must cover the bench set"
+    big = max(rows, key=rows.get)  # q_er2's 5.5M-row collect
+    assert rows[big] > 10 * sorted(rows.values())[-2], "one dominant output"
+    row_slack = per_mrow * rows[big] / 1e6
+    # Collect jitter up to the row-scaled slack is absorbed...
+    ok = dict(ref)
+    ok[big] = ref[big] + slack + row_slack - 0.001
+    flagged = bench.check_floors(ok)
+    assert not any(big in v for v in flagged), flagged
+    # ...but an injected 1.3x regression is still flagged.
+    bad = dict(ref)
+    bad[big] = ref[big] * mult + 0.002
+    out = bench.check_floors(bad)
+    assert any(big in v for v in out), out
+    # Small-output queries keep their tight absolute slack: the row term
+    # adds <1 ms below 40k rows.
+    small = min(rows, key=rows.get)
+    tight = dict(ref)
+    tight[small] = max(ref[small] * mult, ref[small] + slack) + 0.002
+    assert any(small in v for v in bench.check_floors(tight))

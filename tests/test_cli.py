@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pathlib import Path
 
 from receiptanalyzerpipeline_spark.cli import main
@@ -146,6 +148,7 @@ def test_cli_tokenize_trains_and_encodes(spark, tmp_path):
         assert r["n_bpe_tokens"] == len(r["bpe_tokens"])
 
 
+@pytest.mark.slow
 def test_cli_curate_near_dedup_keeps_cluster_best(spark, tmp_path):
     """--near-dedup collapses MinHash near-dup clusters to their longest
     member (q_d10 policy); without the flag both near-twins survive."""

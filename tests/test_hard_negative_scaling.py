@@ -23,6 +23,8 @@ from receiptanalyzerpipeline_spark.operators.similarity import (
     lsh_table_buckets,
 )
 
+pytestmark = pytest.mark.slow  # excluded from the default run (VERDICT r10 task 2)
+
 N_TABLES = 4
 
 

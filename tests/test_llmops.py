@@ -327,14 +327,14 @@ def test_cosine_neardup_block_count_invariant(spark):
     )
 
     docs = spark.createDataFrame(
-        [(i, [float((i * j) % 7 - 3) for j in range(8)]) for i in range(40)],
+        [(i, [float((i * j) % 7 - 3) for j in range(8)]) for i in range(24)],
         "vec_id long, embedding array<double>",
     )
     ref = sorted(
         map(tuple, cosine_neardup_pairs(docs, 0.8, n_blocks=16, dims=8).collect())
     )
     assert ref  # the grid has engineered collisions
-    for nb in (None, 3, 40):
+    for nb in (None, 3):
         got = sorted(
             map(
                 tuple,

@@ -26,6 +26,8 @@ import sys
 import pytest
 from pyspark.sql import functions as F
 
+pytestmark = pytest.mark.slow  # excluded from the default run (VERDICT r10 task 2)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPT = os.path.join(REPO, "scripts", "local_cluster_check.py")
 

@@ -50,6 +50,7 @@ def test_ahash_properties(spark):
     assert ham == 1, f"crafted near-dup should differ by exactly 1 bit, got {ham}"
 
 
+@pytest.mark.slow
 def test_ahash_neardup_and_exact_dedup(spark):
     df = with_ahash(images_df(spark, {"a": IMG_A, "a2": IMG_A2, "b": IMG_B, "c": IMG_C}))
     pairs = {
@@ -92,6 +93,7 @@ def _summary_count(spark, d) -> int:
     return spark.read.parquet(d["summary"]).count()
 
 
+@pytest.mark.slow
 def test_streaming_ingest_idempotent(spark, stream_dirs):
     d = stream_dirs
     landing = Path(d["landing"])
@@ -128,6 +130,7 @@ def test_streaming_ingest_idempotent(spark, stream_dirs):
     assert all(v.startswith("STUB VENDOR ") for v in vendors)
 
 
+@pytest.mark.slow
 def test_ocr_with_cache_single_invocation(spark, tmp_path):
     """Regression (ADVICE r1): the cache probe must not execute the OCR
     stage — each distinct image is analyzed exactly ONCE across repeated

@@ -97,6 +97,7 @@ def test_streaming_neardup_corpus_stays_deduped(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_streaming_curation_with_near_dedup(spark, tmp_path):
     """curate-stream --near-dedup: the curation loop drops near-dups both
     in-batch (keep-first) and against the persisted TEXT-FREE LSH state
@@ -157,6 +158,7 @@ def test_streaming_curation_with_near_dedup(spark, tmp_path):
     assert {r["doc_id"] for r in read_shard_membership(spark, shards).collect()} == kept
 
 
+@pytest.mark.slow
 def test_neardup_crash_between_lsh_and_fingerprint_commit(spark, tmp_path, monkeypatch):
     """ADVICE r5 (high): a crash AFTER the LSH state commit but BEFORE the
     fingerprint manifest must not lose the batch on replay. Without the
@@ -224,6 +226,7 @@ def test_neardup_crash_between_lsh_and_fingerprint_commit(spark, tmp_path, monke
 
 
 @pytest.mark.parametrize("crash_at", [0, 1, 2])
+@pytest.mark.slow
 def test_neardup_crash_matrix_converges_to_no_crash_state(
     spark, tmp_path, monkeypatch, crash_at
 ):

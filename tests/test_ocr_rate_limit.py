@@ -7,6 +7,8 @@ retries, with an injected clock so the tests run on virtual time.
 
 from __future__ import annotations
 
+import pytest
+
 import json
 
 from receiptanalyzerpipeline_spark.multimodal.ocr import (
@@ -16,6 +18,8 @@ from receiptanalyzerpipeline_spark.multimodal.ocr import (
     _default_is_throttle,
     ocr_expense,
 )
+
+pytestmark = pytest.mark.slow  # excluded from the default run (VERDICT r10 task 2)
 
 
 class VirtualTime:

@@ -10,13 +10,25 @@ from __future__ import annotations
 import pytest
 
 from receiptanalyzerpipeline_spark.oracle import compare
-from receiptanalyzerpipeline_spark.plans import REGISTRY
+from receiptanalyzerpipeline_spark.plans import DRIVER_REGISTRY, REGISTRY
 
 ORACLE_QUERIES = sorted(name for name, q in REGISTRY.items() if q.oracle is not None)
 NO_ORACLE_QUERIES = sorted(name for name, q in REGISTRY.items() if q.oracle is None)
 
+# VERDICT r10 task 2 (default-run budget): the default run oracle-checks
+# every DRIVER-EXPOSED query (the exact surface the driver grades —
+# suites included, so every fused member's values are still covered
+# part-wise); the standalone long-tail member variants are redundant
+# with their suite's check and run in the slow (full) pass.
+_marked = [
+    pytest.param(
+        n, marks=[] if n in DRIVER_REGISTRY else [pytest.mark.slow]
+    )
+    for n in ORACLE_QUERIES
+]
 
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
+
+@pytest.mark.parametrize("name", _marked)
 def test_query_matches_oracle(spark, sf_dir, oracle_con, name):
     q = REGISTRY[name]
     res = compare(name, q.spark(spark, sf_dir), q.oracle, oracle_con)

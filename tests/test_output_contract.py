@@ -7,6 +7,8 @@ ints are 64-bit (Spark int32 meets DuckDB int64 otherwise)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
@@ -29,6 +31,7 @@ def _ok(dt: DataType) -> bool:
     return isinstance(dt, ALLOWED)
 
 
+@pytest.mark.slow
 def test_all_oracle_checked_outputs_use_portable_types(spark):
     from receiptanalyzerpipeline_spark.plans import REGISTRY
 

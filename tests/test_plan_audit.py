@@ -16,6 +16,8 @@ from receiptanalyzerpipeline_spark.plans.audit import (
     plan_metrics,
 )
 
+pytestmark = pytest.mark.slow  # excluded from the default run (VERDICT r10 task 2)
+
 SF_DIR = "/root/testdata/sf0.001"
 
 # Every entry is (query, hazard) -> why the nested loop is bounded.

@@ -98,6 +98,7 @@ def test_q_a6_cube_is_one_expand_one_shuffle(spark, registry):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+@pytest.mark.slow
 def test_no_query_uses_python_row_udf(spark, registry):
     """Hot-path discipline: BatchEvalPython (row-at-a-time Python UDF)
     must appear in NO registered query; Python boundaries are Arrow
@@ -386,10 +387,11 @@ def test_q_x28_bm25_prunes_tokens_before_shuffle(spark, registry):
 
 
 def test_session_arrow_batch_sizing(spark):
-    # session.py raises Arrow's records-per-batch cap from the 10k default:
-    # a 5.5M-row driver collect (q_er2's pair table) is 550 batches at the
-    # default — measurable slicing/GC overhead — while batch BYTES remain
-    # bounded by partition size (maxPartitionBytes / AQE advisory target)
-    # regardless of the cap. Frozen so a future session edit can't silently
-    # reintroduce the 10k slicing.
-    assert spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "262144"
+    # r11 A/B REVERSAL of the r10 256k bump (scripts/er2_arrow_ab.py,
+    # 12 order-rotated rounds on q_er2's prepared 5.5M-row collect):
+    # best-of-reps 0.64 s @10k vs 0.77 @64k vs 0.87 @256k — small
+    # batches pipeline the executor->driver transfer; big ones make it
+    # bursty, and the driver's r10 bench regression agreed. Frozen at
+    # the Spark default so a future "fewer batches = faster" edit must
+    # re-run the A/B first (see session.py for the full history).
+    assert spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "10000"

@@ -7,6 +7,8 @@ example would be prohibitively slow), so each example is a whole table.
 
 from __future__ import annotations
 
+import pytest
+
 from decimal import Decimal
 
 from hypothesis import HealthCheck, given, settings, strategies as st
@@ -122,6 +124,7 @@ _asof_ts = st.integers(min_value=0, max_value=500)  # seconds offset
     right=st.lists(st.tuples(_asof_keys, _asof_ts), min_size=0, max_size=25),
     tolerance=st.one_of(st.none(), st.integers(min_value=1, max_value=120)),
 )
+@pytest.mark.slow
 def test_asof_join_matches_pandas_merge_asof(spark, left, right, tolerance):
     import datetime as dt
 
@@ -175,6 +178,7 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right, tolerance):
     )
 )
 @settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark, edges):
     """Property: the distributed min-label propagation equals a classic
     union-find ground truth on random graphs (including chains whose

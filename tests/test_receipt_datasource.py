@@ -236,6 +236,7 @@ def test_stream_maturity_window_defers_young_files(landing):
     assert r0.latestOffset() == off_hi
 
 
+@pytest.mark.slow
 def test_ingest_topology_parity_with_binary_file_source(registered, tmp_path):
     """run_ingest(source='receipts') produces byte-identical curated rows to
     the binaryFile topology — the watcher swap is invisible downstream."""

@@ -26,6 +26,8 @@ import pytest
 
 FIXTURES = Path(__file__).parent / "fixtures"
 
+pytestmark = pytest.mark.slow  # excluded from the default run (VERDICT r10 task 2)
+
 PROBE = r'''
 import sys, tempfile
 from pathlib import Path

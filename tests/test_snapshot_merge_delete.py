@@ -235,6 +235,7 @@ def test_merge_sink_cdc_apply_exactly_once(spark, tmp_path):
     assert got2 == got
 
 
+@pytest.mark.slow
 def test_zone_maps_persist_across_append_merge_delete(spark, tmp_path):
     """Once clustered, zone maps survive later commits: carried files keep
     their recorded ranges, new files get stats scanned at commit time, so
@@ -277,6 +278,7 @@ def test_zone_maps_persist_across_append_merge_delete(spark, tmp_path):
     assert snap.read_snapshot(spark, path).count() == 1001  # 1000 + 9000 - 5000
 
 
+@pytest.mark.slow
 def test_merge_delete_interleavings_match_model(spark, tmp_path):
     """Randomized (seeded) interleavings of MERGE / DELETE / clustered or
     plain compaction / retention must always leave the latest read equal
@@ -465,6 +467,7 @@ def test_bounds_extraction_is_conservative(spark):
     assert "1" not in _bounds_from_predicate("k + 1 >= 5")
 
 
+@pytest.mark.slow
 def test_check_constraints_enforced_across_commit_paths(spark, tmp_path):
     """CHECK constraints live in the manifest, propagate through every
     commit, and reject violating rows at append/merge/sink time BEFORE

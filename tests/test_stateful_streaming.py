@@ -9,6 +9,8 @@ at end-of-stream are excluded from the comparison on both sides.
 
 from __future__ import annotations
 
+import pytest
+
 import json
 from contextlib import contextmanager
 from pathlib import Path
@@ -71,6 +73,8 @@ def _state_store_for(spark, impl):
 
 
 import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow  # excluded from the default run (VERDICT r10 task 2)
 
 
 def _has_protobuf() -> bool:

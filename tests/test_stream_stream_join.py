@@ -9,6 +9,8 @@ discipline every 100 TB streaming topology needs.
 
 from __future__ import annotations
 
+import pytest
+
 import json
 from pathlib import Path
 
@@ -21,6 +23,8 @@ from pyspark.sql.types import (
     StructType,
     TimestampType,
 )
+
+pytestmark = pytest.mark.slow  # excluded from the default run (VERDICT r10 task 2)
 
 SCHEMA = StructType(
     [

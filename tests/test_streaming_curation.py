@@ -5,6 +5,8 @@ dedup → shard export, with exactly-once replay and batch-CLI parity.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 from pathlib import Path
 
@@ -62,6 +64,7 @@ def _run(spark, src, base: Path, tag: str = "run"):
     q.awaitTermination(300)
 
 
+@pytest.mark.slow
 def test_streaming_matches_batch_curate_cli(spark, tmp_path: Path):
     """Identical shard MEMBERSHIP (doc_id → shard_id) to the batch
     `curate` CLI on the same corpus (arrival order = id order here, so
@@ -200,6 +203,7 @@ def test_cross_batch_dedup_via_snapshot(spark, tmp_path: Path):
     assert not any(i > max_id and i != max_id + 1000 for i in added)  # dupes blocked
 
 
+@pytest.mark.slow
 def test_bucketed_state_layout_matches_and_prunes(spark, tmp_path: Path):
     """VERDICT r5 task 4: with bucket_fps, (a) results are identical to
     the unbucketed layout, (b) the state table carries _fpb zone maps
@@ -250,6 +254,7 @@ def test_bucketed_state_layout_matches_and_prunes(spark, tmp_path: Path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_bucketed_near_dedup_state_prunes(spark, tmp_path: Path):
     """The LSH band-bucket table gets the same layout (_bb cluster key):
     membership parity with the unbucketed near-dedup run, zone maps

@@ -16,6 +16,8 @@ cannot poison the session-scoped fixture the rest of the suite shares.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import signal
 import subprocess
@@ -27,6 +29,8 @@ from pyspark.sql import functions as F
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.slow  # excluded from the default run (VERDICT r10 task 2)
 
 N_CHUNKS = 50
 

@@ -19,6 +19,8 @@ two seams and the tests pin BOTH directions of the contract:
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import json
 from pathlib import Path
@@ -164,6 +166,7 @@ def test_textract_backend_boto3_seam_driver_side(monkeypatch):
     assert doc1["ExpenseDocuments"] == CANNED[AHASH["scan_a"]]["ExpenseDocuments"]
 
 
+@pytest.mark.slow
 def test_textract_request_shape_and_swap_parity_through_spark(spark, tmp_path):
     rec_dir = tmp_path / "calls"
     rec_dir.mkdir()
